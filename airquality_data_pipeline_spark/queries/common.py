@@ -1,0 +1,80 @@
+"""Cross-engine determinism helpers.
+
+The driver compares Spark output against DuckDB by order-insensitive value
+hash, so every value must match BIT-EXACTLY. Doubles summed in different
+orders differ in the last ULP between engines; the fixes used throughout
+the catalog:
+
+  * SUM/AVG of doubles: cast each value to DECIMAL(18,s) first (same
+    half-up rounding of the same IEEE double in both engines), sum exactly
+    (decimal addition is associative), cast the result back to double
+    (nearest-double of the same decimal => same bits).
+  * Scalar arithmetic stays in double (same expression tree => same IEEE
+    ops => same bits) — only the value *entering* an order-dependent
+    aggregate goes through decimal.
+  * Timestamps in outputs become epoch-millis bigints
+    (Spark unix_millis == DuckDB epoch_ms; both instant-based).
+  * Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects;
+        # read the raw int64 nanos and floor-convert to a micros instant
+        # (matches DuckDB's nanos->micros truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def dec(col: Column | str, scale: int = 6) -> Column:
+    """Per-value decimal quantization before an order-dependent aggregate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-independent double SUM (exact decimal accumulation)."""
+    return F.sum(dec(col, scale)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-independent double AVG: decimal sum -> double, / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(dec(c, scale)).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+# SQL-side twins (DuckDB): keep these in sync with the column helpers above.
+def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def ts_ms(col: Column | str, alias: str) -> Column:
+    """Timestamp -> epoch millis bigint (instant-based, engine-agnostic).
+
+    Parquet ms-timestamps arrive as TIMESTAMP_NTZ in Spark 4; with the
+    session pinned to UTC the cast preserves the wall clock, matching
+    DuckDB's epoch_ms over its naive timestamps.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp")).alias(alias)

@@ -1,0 +1,29 @@
+"""Shared registry: query name -> builder, query name -> oracle SQL.
+
+The driver contract (/root/repo/__spark_entry__.py) exposes these via
+queries() / oracle_sql(). Builders take (spark, sf_dir) and return a
+DataFrame; oracle SQL is ANSI SQL DuckDB can run against the same parquet
+tables registered as views.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a builder (and optionally its oracle SQL) to the
+    catalog. oracle=None => driver runs the weaker rows-only check."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
