@@ -1,0 +1,181 @@
+"""Deduplication operator family.
+
+Reference surface: first-wins in-batch dedup by composite key
+(app/main.py:1194-1203, dict-insertion-order). North-star extensions for
+training-data pipelines: exact content dedup, MinHash, SimHash, n-gram
+Jaccard — all expressed with built-in JVM-side functions (no Python UDFs
+in the hot path) so they survive 100 TB:
+
+  - exact: one hash-shuffle on a 128-bit digest of the content.
+  - minhash: explode to (doc, shingle), per-doc min of k cheap hashes —
+    map-side partial agg; candidate pairs via equi-join on
+    (seed, minhash) buckets, never a cross join.
+  - simhash: 32-bit majority fingerprint; hamming-ball pairing via
+    banded equi-join.
+  - ngram jaccard: verification step over candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_wins_dedup(
+    df: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:
+    """Deterministic first-wins dedup: keep the first row per key under
+    an explicit total order (reference app/main.py:1194-1203 keeps the
+    first *arrival*; a distributed engine needs the tiebreaker spelled
+    out — dropDuplicates alone is nondeterministic under shuffle)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Exact-duplicate groups by content digest: one row per distinct
+    content with the smallest id as keeper + duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct lowercase word n-grams per document.
+
+    Tokenization is whitespace split; shingle = n consecutive tokens
+    joined by a single space. All JVM-side array ops.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: one column per seed, min over the
+    doc's shingles of md5(seed || shingle). Using the hex digest string
+    itself as the hash value keeps the construction engine-portable
+    (md5 is identical everywhere) while remaining a valid uniform hash
+    family. Partial (map-side) min aggregation; one shuffle on id."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(
+            f"mh_{seed}"
+        )
+        for seed in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, min_matches: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= min_matches of the k
+    minhash values. Implemented as an equi-join on (seed, hash value) —
+    the LSH banding trick with band size 1 — then a count filter.
+    E[matches]/k estimates Jaccard, so min_matches/k ~ the similarity
+    threshold. No cross join at any point."""
+    long = signatures.selectExpr(
+        "id",
+        "stack({}, {}) as (seed, mh)".format(
+            num_hashes,
+            ", ".join(f"'{s}', mh_{s}" for s in range(num_hashes)),
+        ),
+    )
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .where(F.col("n_matches") >= min_matches)
+    )
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, threshold: float, scale: int = 6
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for pairs sharing >= 1 shingle:
+    |A∩B| via self-equi-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
+    Quadratic only within identical-shingle buckets — at scale, run on
+    minhash candidates instead of all pairs."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+                scale,
+            ),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: for each of `bits` positions, the majority
+    vote over the document's distinct tokens of one md5 bit (the high
+    bit of hex digit i — md5 has 32 hex chars, so up to 32 independent
+    bits). Output: id + `simhash` bit-string column.
+
+    Engine-portable by construction (md5 + substring + majority sum),
+    and each bit is a map-side partial sum — single shuffle on id.
+    """
+    assert bits <= 32
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    # hex digit i in 0..15; vote +1 if >= 8 (high bit set) else -1
+    votes = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("89abcdef"), F.substring(F.col("h"), i + 1, 1)) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    bit_cols = [
+        F.when(F.col(f"v_{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return agg.select("id", F.concat(*bit_cols).alias("simhash"))
