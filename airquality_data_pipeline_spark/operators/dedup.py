@@ -57,11 +57,16 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     joined by a single space. All JVM-side array ops.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    k = F.size(toks) - F.lit(n - 1)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
+    # docs shorter than n tokens get an empty shingle set instead
+    shingles = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles)).alias("shingle"),
@@ -163,13 +168,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         ).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
-    # hex digit i in 0..15; vote +1 if >= 8 (high bit set) else -1
+    # hex char i: high bit set iff char >= '8' (ASCII: '0'-'7' < '8' <=
+    # '8','9','a'-'f') — portable single-char comparison, no hex->int cast
     votes = [
         F.sum(
-            F.when(
-                F.instr(F.lit("89abcdef"), F.substring(F.col("h"), i + 1, 1)) > 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
+            F.when(F.substring(F.col("h"), i + 1, 1) >= "8", F.lit(1)).otherwise(
+                F.lit(-1)
+            )
         ).alias(f"v_{i}")
         for i in range(bits)
     ]

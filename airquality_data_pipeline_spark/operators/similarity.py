@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star operator family (BASELINE.json): brute-force cosine top-k as
+the exactness baseline, IVF bucketing as the scale path. All vector math
+is JVM-side higher-order functions (zip_with + aggregate fold) — no
+Python in the hot path.
+
+Scale design: the query set is broadcast (it is the small side by
+construction); candidate vectors stream through executors partition-local,
+so the only shuffle is the final per-query top-k. IVF cuts the candidate
+set per query by the centroid bucket before any pairwise math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product over two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Project to (id, v: array<double>, nrm: double)."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("nrm"),
+    )
+
+
+def cosine(a_v: Column, a_n: Column, b_v: Column, b_n: Column, scale: int = 6) -> Column:
+    """Rounded cosine similarity — rounding makes ranking/thresholding
+    deterministic across engines (fold-order ULP noise is ~1e-16,
+    far below the 5e-7 grid)."""
+    return F.round(_dot(a_v, b_v) / (a_n * b_n), scale)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k nearest (cosine) for each query vector (rows matching
+    query_pred), excluding self. Ties broken by candidate id ascending."""
+    n = with_norm(emb, vec_col, id_col)
+    q = n.where(query_pred).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pairs = n.crossJoin(F.broadcast(q)).where(F.col("id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold. Brute force — at scale
+    gate the candidate set first (IVF bucket equi-join or LSH banding),
+    then run this as the verification step."""
+    n = with_norm(emb, vec_col, id_col)
+    a = n.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroid_pred: Column,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantizer: centroid seed vectors are the rows matching
+    centroid_pred (deterministic seed choice — one k-means round would
+    refine them; the bucketing mechanics are identical). Assigns every
+    vector to its max-cosine centroid via a broadcast join, adding
+    `bucket`."""
+    n = with_norm(emb, vec_col, id_col)
+    cents = n.where(centroid_pred).select(
+        F.col("id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = n.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "v",
+        "nrm",
+        "cent_id",
+        cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias("c_sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("c_sim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("id", "v", "nrm", F.col("cent_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    centroid_pred: Column,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: search only the query's IVF bucket (nprobe=1).
+    The pairwise join is an equi-join on bucket — candidate work per
+    query drops by ~n_centroids vs brute force."""
+    assigned = ivf_assign(emb, centroid_pred, vec_col, id_col)
+    q = assigned.where(query_pred).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    pairs = assigned.join(F.broadcast(q), "bucket").where(
+        F.col("id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

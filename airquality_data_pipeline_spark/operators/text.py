@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All built from JVM-side string/regex functions (regexp_count, split,
+array ops) — vectorized, codegen-friendly, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword marker sets per language (word-boundary regexes). Deliberately
+# tiny: the operator demonstrates the n-gram/stopword-scoring shape;
+# swap in real profiles (e.g. fastText-style char n-grams) for production.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|a|in|is|it|that|for)\b",
+    "es": r"\b(el|la|de|que|y|los|las|un|una|por)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "fr": r"\b(le|la|les|et|un|une|est|pour|dans|que)\b",
+}
+_LANG_ORDER = ("en", "es", "de", "fr")
+
+
+def lang_scores(text: Column) -> list[Column]:
+    low = F.lower(text)
+    return [
+        F.regexp_count(low, F.lit(LANG_MARKERS[lang])).alias(f"score_{lang}")
+        for lang in _LANG_ORDER
+    ]
+
+
+def predict_lang() -> Column:
+    """Argmax over score columns with fixed priority-order tiebreak;
+    'und' (undetermined) when every score is zero."""
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_ORDER}
+    pred = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(_LANG_ORDER):
+        others = [s[o] for o in _LANG_ORDER if o != lang]
+        cond = (s[lang] > 0) & (s[lang] >= F.greatest(*others))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred.alias("pred_lang")
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    scored = df.select(F.col(id_col), *lang_scores(F.col(text_col)))
+    return scored.select(id_col, *[f"score_{lang}" for lang in _LANG_ORDER],
+                         predict_lang())
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Length / punctuation / digit / stopword-ratio features + a
+    composite quality score in [0, 1]. Pure double arithmetic with a
+    fixed expression tree (engine-portable bit-exact)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    n_tokens = F.size(toks)
+    denom_t = F.greatest(n_tokens, F.lit(1)).cast("double")
+    denom_c = F.greatest(n_chars, F.lit(1)).cast("double")
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_stop = F.regexp_count(F.lower(t), F.lit(LANG_MARKERS["en"]))
+    avg_tok_len = (n_chars - (n_tokens - 1)).cast("double") / denom_t
+    punct_ratio = n_punct.cast("double") / denom_c
+    digit_ratio = n_digit.cast("double") / denom_c
+    stop_ratio = n_stop.cast("double") / denom_t
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.1)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        avg_tok_len.alias("avg_tok_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy: alpha runs,
+    single digits, and single punctuation marks counted separately
+    (greedy left-to-right, identical across regex engines)."""
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    bpe = F.regexp_count(F.lower(t), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (the classic 'fingerprint' clustering key —
+    robust to word reordering, whitespace, and duplication)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(canon).alias("fingerprint"),
+        F.size(F.array_distinct(toks)).alias("vocab_size"),
+    )

@@ -1,1 +1,155 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over the documents corpus: exact content hash,
+MinHash+LSH candidates, exact n-gram Jaccard, SimHash fingerprints.
+
+North-star operator family (BASELINE.json); the reference's own dedup is
+the key-based first-wins batch dedup covered by q25.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from airquality_data_pipeline_spark.queries.common import table
+from airquality_data_pipeline_spark.queries.registry import register
+
+_NUM_HASHES = 16
+_SEEDS_SQL = ", ".join(f"'{s}'" for s in range(_NUM_HASHES))
+
+# word-3-gram shingle CTE shared by the oracle SQLs (mirrors
+# operators.dedup.word_shingles: lowercase, whitespace split, distinct)
+_SHINGLES_CTE = """
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+      WHERE len(t) >= 3
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# q40: exact dedup by content digest. The fixture corpus has no exact
+# dups, so the query unions in a mutated replica (every 10th doc under a
+# shifted id) to exercise real duplicate groups.
+# --------------------------------------------------------------------------
+@register(
+    "q40_exact_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+def q40_exact_dedup(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    replica = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(replica)
+    return exact_dedup(corpus, content_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# q41: MinHash near-dup candidates — k=16 md5-string minhashes, LSH
+# banding with band size 1 (equi-join on (seed, value)), pairs sharing
+# >= 6/16 values (Jaccard ~ 0.375 estimate). No cross join anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "q41_minhash_candidates",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, s.seed, min(md5(s.seed || ':' || shingle)) AS mh
+      FROM sh, UNNEST([{_SEEDS_SQL}]) AS s(seed)
+      GROUP BY id, s.seed
+    )
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_matches
+    FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING count(*) >= 6
+    """,
+)
+def q41_minhash_candidates(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    return minhash_candidate_pairs(sigs, num_hashes=_NUM_HASHES, min_matches=6)
+
+
+# --------------------------------------------------------------------------
+# q42: exact n-gram Jaccard >= 0.5 over word-3-gram sets (the verification
+# step that runs on MinHash candidates at scale; exact-by-bucket here).
+# --------------------------------------------------------------------------
+@register(
+    "q42_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) >= 0.5
+    """,
+)
+def q42_ngram_jaccard(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    return ngram_jaccard_pairs(sh, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# q43: 32-bit SimHash fingerprint per document (majority vote over
+# distinct-token md5 bits; high bit of each hex char).
+# --------------------------------------------------------------------------
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN substring(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits)
+    )
+    bit_cases = ", ".join(
+        f"CASE WHEN v_{i} >= 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT id, md5(tok) AS h FROM toks),
+    v AS (
+      SELECT id,
+      {votes}
+      FROM hashed GROUP BY id
+    )
+    SELECT id, concat({bit_cases}) AS simhash FROM v
+    """
+
+
+@register("q43_simhash", oracle=_simhash_oracle())
+def q43_simhash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs, text_col="text", id_col="doc_id", bits=32)

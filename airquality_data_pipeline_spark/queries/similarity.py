@@ -1,1 +1,116 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over the embeddings fixture (64-d float
+vectors): brute-force cosine top-k baseline, near-dup pair mining, and
+the IVF-bucketed approximate variant (the 100 TB scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    neardup_pairs,
+)
+from airquality_data_pipeline_spark.queries.common import table
+from airquality_data_pipeline_spark.queries.registry import register
+
+# shared oracle CTE: vectors cast to double + L2 norms
+_NORM_CTE = """
+    n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# q44: exact cosine top-5 for each query vector (vec_id < 10), self
+# excluded, ties by neighbor id. Query side broadcasts; the candidate
+# scan stays partition-local.
+# --------------------------------------------------------------------------
+@register(
+    "q44_cosine_topk",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid AS query_id, n.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cos_sim
+      FROM n, q WHERE n.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q44_cosine_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_pred=F.col("id") < 10, k=5)
+
+
+# --------------------------------------------------------------------------
+# q45: embedding near-dup pairs: all (a < b) with cosine >= 0.35.
+# Brute force is the verification baseline; at scale the candidate set
+# comes from the IVF buckets (q46) or LSH banding first.
+# --------------------------------------------------------------------------
+@register(
+    "q45_embedding_neardup",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+    """,
+)
+def q45_embedding_neardup(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# q46: IVF approximate top-3 (nprobe=1): vectors bucketed to their
+# max-cosine centroid (centroids = vec_id < 8), search restricted to the
+# query's bucket — the pairwise join becomes an equi-join on bucket.
+# --------------------------------------------------------------------------
+@register(
+    "q46_ivf_topk",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, nrm, bucket FROM (
+        SELECT n.vec_id AS id, n.v, n.nrm, c.cent_id AS bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS r
+        FROM n, cents c
+      ) WHERE r = 1
+    ),
+    q AS (
+      SELECT id AS query_id, v AS qv, nrm AS qn, bucket
+      FROM assigned WHERE id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, a.id AS neighbor_id,
+             round(list_dot_product(q.qv, a.v) / (q.qn * a.nrm), 6) AS cos_sim
+      FROM assigned a JOIN q ON a.bucket = q.bucket AND a.id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q46_ivf_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, query_pred=F.col("id") < 10, centroid_pred=F.col("id") < 8, k=3
+    )

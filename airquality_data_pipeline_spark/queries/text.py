@@ -1,1 +1,156 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the documents corpus: language ID, quality
+scoring, token counting, fingerprinting, and binary-column plumbing.
+North-star operator family (BASELINE.json §north_star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_counts,
+)
+from airquality_data_pipeline_spark.queries.common import table
+from airquality_data_pipeline_spark.queries.registry import register
+
+# DuckDB regexp_count equivalent: len(regexp_extract_all(...))
+def _rc(expr: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{pattern}'))"
+
+
+# --------------------------------------------------------------------------
+# q48: heuristic language ID — per-language stopword-marker counts,
+# argmax with fixed priority tiebreak ('und' when all zero).
+# --------------------------------------------------------------------------
+_LANG_SCORES_SQL = ",\n           ".join(
+    f"{_rc('lower(text)', LANG_MARKERS[lang])} AS score_{lang}"
+    for lang in ("en", "es", "de", "fr")
+)
+
+@register(
+    "q48_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+           {_LANG_SCORES_SQL}
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           CASE
+             WHEN score_en > 0 AND score_en >= greatest(score_es, score_de, score_fr) THEN 'en'
+             WHEN score_es > 0 AND score_es >= greatest(score_en, score_de, score_fr) THEN 'es'
+             WHEN score_de > 0 AND score_de >= greatest(score_en, score_es, score_fr) THEN 'de'
+             WHEN score_fr > 0 AND score_fr >= greatest(score_en, score_es, score_de) THEN 'fr'
+             ELSE 'und'
+           END AS pred_lang
+    FROM scored
+    """,
+)
+def q48_language_id(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return language_id(docs, text_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# q49: quality features + composite score (length, punctuation, digit,
+# stopword ratios) — double arithmetic with a fixed expression tree.
+# --------------------------------------------------------------------------
+@register(
+    "q49_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             {_rc('text', '[.,;:!?]')} AS n_punct,
+             {_rc('text', '[0-9]')} AS n_digit,
+             {_rc('lower(text)', LANG_MARKERS['en'])} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE)
+             / CAST(greatest(n_tokens, 1) AS DOUBLE) AS avg_tok_len,
+           CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_calc, 1) AS DOUBLE) AS punct_ratio,
+           CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars_calc, 1) AS DOUBLE) AS digit_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+           least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+             + least((CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5.0, 1.0) * 0.3
+             + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_calc, 1) AS DOUBLE)) * 10.0, 1.0)) * 0.2
+             + (1.0 - least((CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars_calc, 1) AS DOUBLE)) * 10.0, 1.0)) * 0.1
+             AS quality
+    FROM m
+    """,
+)
+def q49_quality_score(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return quality_features(docs, text_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# q50: token counting — whitespace tokens + BPE-ish subword proxy
+# (alpha runs / single digits / single punctuation).
+# --------------------------------------------------------------------------
+_BPE_COUNT = _rc("lower(text)", "[a-z]+|[0-9]|[^a-z0-9\\s]")
+
+@register(
+    "q50_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+           {_BPE_COUNT} AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q50_token_counts(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return token_counts(docs, text_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# q51: order-insensitive document fingerprint (md5 of sorted distinct
+# token set) + vocabulary size.
+# --------------------------------------------------------------------------
+@register(
+    "q51_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+           len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS vocab_size
+    FROM documents
+    """,
+)
+def q51_fingerprint(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return fingerprint(docs, text_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# q52: binary-column plumbing — text payload as an opaque binary column
+# with byte length + digest (the multimodal column pattern; DuckDB lacks
+# md5(BLOB) so the oracle digests the identical UTF-8 text directly).
+# --------------------------------------------------------------------------
+@register(
+    "q52_binary_columns",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           source AS modality_tag
+    FROM documents
+    """,
+)
+def q52_binary_columns(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+        F.col("source").alias("modality_tag"),
+    )
