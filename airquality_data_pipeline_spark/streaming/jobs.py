@@ -1,0 +1,165 @@
+"""Streaming jobs mirroring the reference's continuous producer
+(SURVEY.md §2.8, §3.1) on Structured Streaming:
+
+  trigger           reference sleep(300) loop  -> processingTime='300 seconds'
+                    (tests use availableNow=True for bounded runs)
+  cursor dedup      per-key high-watermark     -> withWatermark +
+                    (app/main.py:209-237)         dropDuplicatesWithinWatermark
+  late data         per-key cursors, no global -> explicit watermark delay
+  windows           none in reference          -> tumbling/sliding/session aggs
+  delivery          at-least-once Kafka,       -> checkpointed sinks; cursor
+                    commit-after-emit             state commits post-sink
+
+The events fixture streams through the file source (maxFilesPerTrigger
+simulates micro-batches); a Kafka deployment swaps format('parquet') for
+format('kafka') with the same downstream plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """The file source wants a directory; stage one holding a symlink to
+    the single events parquet file (no copy)."""
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture. ts arrives as raw
+    int64 nanos (Spark 4 rejects parquet TIMESTAMP(NANOS)) and is
+    floor-converted to a micros instant."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_dir(sf_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def watermark_dedup(
+    events: DataFrame, delay: str = "30 minutes"
+) -> DataFrame:
+    """Engine-managed replacement for the reference's cursor table: drop
+    re-deliveries of the same (user, type, minute) within the watermark.
+    State is bounded by the delay — the cursor table's unbounded
+    per-key growth becomes engine-evicted state (SURVEY.md §2.8)."""
+    return (
+        events.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, size: str = "1 hour", delay: str = "30 minutes"
+) -> DataFrame:
+    """Append-mode tumbling window aggregation; windows close when the
+    watermark passes their end."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregation(
+    events: DataFrame, gap: str = "30 minutes", delay: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (dynamic gap-merged) — the streaming twin
+    of operators.windows.sessionize."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def kafka_shaped(df: DataFrame) -> DataFrame:
+    """K1 sink projection: key/value JSON exactly as the reference emits
+    (app/main.py:285). Point .writeStream.format('kafka') at it in a
+    deployment; tests use the memory sink."""
+    return df.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drain a bounded stream into an in-memory table (test/dev sink):
+    availableNow processes the full source then stops — the batch-mode
+    analog of one reference polling cycle."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_cursor_commit(
+    events: DataFrame, cursor_store: dict, delay: str = "30 minutes"
+) -> None:
+    """K3 commit-after-emit ordering inside foreachBatch: the cursor
+    merge runs only after the batch's sink write succeeds, exactly the
+    reference's `else:` branch (app/main.py:1342-1347). cursor_store is
+    any keyed store — a dict here, a JDBC/Delta MERGE in deployment."""
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        payload = batch_df.select(
+            F.to_json(F.struct(*batch_df.columns)).alias("value")
+        )
+        emitted = payload.count()  # the "emit" action; raises on failure
+        if emitted >= 0:
+            updates = (
+                batch_df.groupBy("user_id", "event_type")
+                .agg(F.max("ts").alias("last_observed_at"))
+                .collect()
+            )
+            for r in updates:
+                k = (r["user_id"], r["event_type"])
+                prev = cursor_store.get(k)
+                ts = r["last_observed_at"]
+                cursor_store[k] = ts if prev is None or ts > prev else prev
+
+    q = (
+        events.writeStream.foreachBatch(commit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the full oracle-checked catalog at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes end-to-end via a noop sink (full plan runs, nothing
+collected to the driver), after a small JVM/codegen warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from airquality_data_pipeline_spark.queries import QUERIES  # noqa: E402
+from airquality_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    # warmup: JVM, codegen, parquet footer caches
+    run_query(QUERIES["q01_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        start = time.perf_counter()
+        run_query(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""End-to-end batch cycle tests (plans/pipeline.py) + source adapters."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.plans import pipeline
+from airquality_data_pipeline_spark.sources import rest
+from airquality_data_pipeline_spark.sources.synthetic import synthetic_measurements
+
+
+def _stations(spark):
+    return spark.createDataFrame(
+        [
+            ("DEBB001", "de", "DE", "Berlin", "Mitte", 52.5, 13.4),
+            ("NL01001", "luchtmeetnet", "NL", "Amsterdam", "Centrum", 52.4, 4.9),
+        ],
+        "station_id string, source string, country string, city string, "
+        "location_name string, lat double, lon double",
+    )
+
+
+def _cursors(spark):
+    return spark.createDataFrame(
+        [("synthetic", "DEBB001", "pm25", "2024-01-01T00:30:00")],
+        "source string, station_id string, pollutant string, last_observed_at string",
+    ).select("station_id", "pollutant", F.col("last_observed_at").alias("last_observed_at"))
+
+
+def test_full_cycle(spark):
+    bronze = synthetic_measurements(spark, n=60)
+    # second "source" with ragged schema: missing lat/lon/city columns
+    ragged = bronze.limit(10).select(
+        "station_id", "pollutant", "value", "unit", "country", "timestamp",
+        F.lit("openaq").alias("source"),
+    )
+    result = pipeline.silver_measurements(
+        [bronze, ragged], _stations(spark), _cursors(spark)
+    )
+    rows = result.payload.collect()
+    assert rows
+    # enrichment: cataloged stations got coordinates
+    for r in rows:
+        if r.station_id in ("DEBB001", "NL01001"):
+            assert r.lat is not None and r.city is not None
+    # cursor filter: DEBB001/pm25 rows at or before the cursor are gone
+    for r in rows:
+        if r.station_id == "DEBB001" and r.pollutant == "pm25":
+            assert r.timestamp > "2024-01-01T00:30:00"
+    # dedup: composite key unique
+    keys = [(r.station_id, r.pollutant, r.timestamp) for r in rows]
+    assert len(keys) == len(set(keys))
+    # pending cursors exist and commit moves only forward
+    committed = pipeline.commit_cursors(_cursors(spark), result.pending_cursors)
+    c = {
+        (r.station_id, r.pollutant): r.last_observed_at
+        for r in committed.collect()
+    }
+    assert c[("DEBB001", "pm25")] >= "2024-01-01T00:30:00"
+
+
+def test_kafka_payload_shape(spark):
+    bronze = synthetic_measurements(spark, n=12)
+    out = pipeline.kafka_payload(bronze).collect()
+    for r in out:
+        body = json.loads(r.value)
+        assert body["station_id"] == r.key
+        assert "pollutant" in body and "timestamp" in body
+
+
+def test_synthetic_deterministic(spark):
+    a = synthetic_measurements(spark, n=30).collect()
+    b = synthetic_measurements(spark, n=30).collect()
+    assert a == b
+    assert all(5 <= r.value <= 55 for r in a)
+    assert {r.country for r in a} == {"DE", "NL", "PL"}
+
+
+def test_rest_fetch_paginated_budget_and_backoff():
+    rows = [{"station_id": f"s{i}", "pollutant": "pm25", "value": float(i),
+             "timestamp": f"2024-01-01T00:{i:02d}:00Z"} for i in range(55)]
+    transport = rest.fake_transport_from_rows(rows, page_size=20)
+    cfg = rest.RestSourceConfig(base_url="fake://api", max_pages=10)
+    got = list(rest.fetch_paginated(cfg, transport))
+    assert len(got) == 55
+
+    # budget enforcement
+    cfg_tight = rest.RestSourceConfig(base_url="fake://api", max_pages=10, request_budget=1)
+    try:
+        list(rest.fetch_paginated(cfg_tight, transport))
+        raise AssertionError("expected BudgetExceeded")
+    except rest.BudgetExceeded:
+        pass
+
+    # 429 retry with eventual success
+    calls = {"n": 0}
+    def flaky(url, params):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise rest.RateLimited("429")
+        return transport(url, params)
+    cfg_retry = rest.RestSourceConfig(base_url="fake://api", max_pages=1,
+                                      backoff_step_s=0.0)
+    got = list(rest.fetch_paginated(cfg_retry, flaky))
+    assert len(got) == 20 and calls["n"] == 3
