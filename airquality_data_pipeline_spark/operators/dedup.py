@@ -55,7 +55,14 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
 
     Tokenization is whitespace split; shingle = n consecutive tokens
     joined by a single space. All JVM-side array ops.
+
+    The input is fanned out to full parallelism first: a compact corpus
+    file arrives as one partition, and the tokenize+explode expansion is
+    CPU-bound — without the repartition the whole stage runs on one core
+    (same reasoning at cluster scale: expansion parallelism should track
+    cores, not input splits).
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     k = F.size(toks) - F.lit(n - 1)
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
@@ -73,21 +80,41 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+# one base hash per shingle + k modular affine transforms — the classic
+# universal-hash minhash family. P is prime and exceeds the 28-bit base
+# hash range, so each (a*h + b) mod P permutes differently (a plain
+# affine without the mod would be monotonic in h and every seed would
+# pick the same argmin). Constants are fixed so Spark and any oracle
+# implementation agree bit-for-bit.
+MINHASH_P = 268435459  # prime > 16^7 - 1
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (59770417, 13427546), (147655245, 131475314), (119835357, 74913853),
+    (55026679, 46674928), (226517557, 17063198), (15997263, 50302251),
+    (117380371, 124908867), (14246393, 106750149), (225227991, 118348156),
+    (241167271, 149352498), (3488997, 85716440), (226889381, 182670606),
+    (149181043, 83472422), (115595697, 180707823), (54873727, 49792546),
+    (203971921, 51924210),
+]
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """Per-doc MinHash signature: one column per seed, min over the
-    doc's shingles of md5(seed || shingle). Using the hex digest string
-    itself as the hash value keeps the construction engine-portable
-    (md5 is identical everywhere) while remaining a valid uniform hash
-    family. Partial (map-side) min aggregation; one shuffle on id."""
+    """Per-doc MinHash signature: ONE md5 per shingle (first 7 hex chars
+    -> 28-bit int), then num_hashes cheap (a*h+b) mod P column
+    aggregates. The base hash is materialized as its own projected
+    column first — inlining it into the aggregates would defeat CSE and
+    recompute the md5 16x per row. All min aggregates are map-side
+    partial; one shuffle on id."""
+    hashed = shingles.withColumn(
+        "_h",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("bigint"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(
-            f"mh_{seed}"
-        )
-        for seed in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
     ]
-    return shingles.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_candidate_pairs(
@@ -97,12 +124,17 @@ def minhash_candidate_pairs(
     minhash values. Implemented as an equi-join on (seed, hash value) —
     the LSH banding trick with band size 1 — then a count filter.
     E[matches]/k estimates Jaccard, so min_matches/k ~ the similarity
-    threshold. No cross join at any point."""
+    threshold. No cross join at any point.
+
+    The self-join recomputes the signature pipeline for each side;
+    measured, that is cheaper here than caching the stacked frame
+    (settled empirically — cache build + memory-store reads cost more
+    than the scan+project recompute)."""
     long = signatures.selectExpr(
         "id",
         "stack({}, {}) as (seed, mh)".format(
             num_hashes,
-            ", ".join(f"'{s}', mh_{s}" for s in range(num_hashes)),
+            ", ".join(f"{s}, mh_{s}" for s in range(num_hashes)),
         ),
     )
     a = long.alias("a")
@@ -126,7 +158,8 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over shingle sets for pairs sharing >= 1 shingle:
     |A∩B| via self-equi-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
     Quadratic only within identical-shingle buckets — at scale, run on
-    minhash candidates instead of all pairs."""
+    minhash candidates instead of all pairs. (The shingle frame feeds
+    three branches; recompute measured cheaper than caching it.)"""
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -162,6 +195,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     and each bit is a map-side partial sum — single shuffle on id.
     """
     assert bits <= 32
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(

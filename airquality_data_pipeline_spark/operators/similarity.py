@@ -29,13 +29,21 @@ def _dot(a: Column, b: Column) -> Column:
 def with_norm(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """Project to (id, v: array<double>, nrm: double)."""
+    """Project to (id, v: array<double>, nrm: double).
+
+    Fans the input out to full parallelism: embedding fixtures arrive as
+    one parquet split, and everything downstream (pairwise folds) is
+    CPU-bound — partition count must track cores, not input splits.
+    Persisted: every consumer uses it at least twice (query + candidate
+    sides of a self-join).
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     v = F.col(vec_col).cast("array<double>")
     return df.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         F.sqrt(_dot(v, v)).alias("nrm"),
-    )
+    ).persist()
 
 
 def cosine(a_v: Column, a_n: Column, b_v: Column, b_n: Column, scale: int = 6) -> Column:

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.operators.dedup import (
+    MINHASH_P,
+    MINHASH_PARAMS,
     exact_dedup,
     minhash_candidate_pairs,
     minhash_signatures,
@@ -21,7 +23,8 @@ from airquality_data_pipeline_spark.queries.common import table
 from airquality_data_pipeline_spark.queries.registry import register
 
 _NUM_HASHES = 16
-_SEEDS_SQL = ", ".join(f"'{s}'" for s in range(_NUM_HASHES))
+_A_SQL = ", ".join(str(a) for a, _ in MINHASH_PARAMS)
+_B_SQL = ", ".join(str(b) for _, b in MINHASH_PARAMS)
 
 # word-3-gram shingle CTE shared by the oracle SQLs (mirrors
 # operators.dedup.word_shingles: lowercase, whitespace split, distinct)
@@ -76,10 +79,18 @@ def q40_exact_dedup(spark, sf_dir):
     "q41_minhash_candidates",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    ),
+    params AS (
+      SELECT unnest(range({_NUM_HASHES})) AS seed,
+             unnest([{_A_SQL}]) AS a,
+             unnest([{_B_SQL}]) AS b
+    ),
     mh AS (
-      SELECT id, s.seed, min(md5(s.seed || ':' || shingle)) AS mh
-      FROM sh, UNNEST([{_SEEDS_SQL}]) AS s(seed)
-      GROUP BY id, s.seed
+      SELECT id, p.seed, min((p.a * h + p.b) % {MINHASH_P}) AS mh
+      FROM hashed, params p
+      GROUP BY id, p.seed
     )
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_matches
     FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.id < b.id
