@@ -1,0 +1,332 @@
+"""Relational coverage batch 2: as-of / range joins, pivot / unpivot,
+exact percentiles, lexicographic arg-max, sorted collect aggregates, the
+spark.sql SQL surface, and approximate aggregates (rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.operators.joins import (
+    asof_join,
+    bucketed_range_join,
+)
+from airquality_data_pipeline_spark.queries.common import (
+    dsum,
+    sql_dsum,
+    table,
+    ts_ms,
+    utc,
+)
+from airquality_data_pipeline_spark.queries.registry import register
+
+
+# --------------------------------------------------------------------------
+# q33: as-of join — for each purchase, the user's most recent prior view.
+# Right side pre-deduped per (user, ts) so tie-breaking is deterministic
+# in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q33_asof_join",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+           v.view_event_id, epoch_ms(v.ts) AS view_ts_ms
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q33_asof_join(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id", "view_ts"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_ms("ts", "ts_ms"),
+        "view_event_id",
+        ts_ms("view_ts", "view_ts_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q34: range join — purchases within 5 minutes after a click by the same
+# user, via the skew-proof bucketed equi-join.
+# --------------------------------------------------------------------------
+@register(
+    "q34_range_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 300 SECOND
+    """,
+)
+def q34_range_join(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = bucketed_range_join(
+        clicks.withColumnRenamed("user_id", "u"),
+        purchases.withColumnRenamed("p_user_id", "u"),
+        key="u",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        window_seconds=300,
+    )
+    return joined.select(
+        F.col("l.click_id").alias("click_id"),
+        F.col("r.purchase_id").alias("purchase_id"),
+        F.col("l.u").alias("user_id"),
+        F.unix_millis(F.col("l.click_ts")).alias("click_ms"),
+        F.unix_millis(F.col("r.purchase_ts")).alias("purchase_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q35: pivot — order counts + decimal-exact totals per priority x status.
+# --------------------------------------------------------------------------
+@register(
+    "q35_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", 'total_o')},
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 'total_f')},
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END", 'total_p')}
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q35_pivot(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("total_o"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("total_f"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("total_p"),
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# q36: unpivot / melt — wide per-priority metrics to (metric, value) rows.
+# --------------------------------------------------------------------------
+@register(
+    "q36_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             {sql_dsum('o_totalprice', 'sum_price')},
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'n_orders' AS metric, CAST(n_orders AS DOUBLE) AS value FROM wide
+    """,
+)
+def q36_unpivot(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        dsum("o_totalprice", "sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["sum_price", "n_orders"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------
+# q37: exact percentiles (quantity is integer-valued, so the linear
+# interpolation is exact and engine-identical).
+# --------------------------------------------------------------------------
+@register(
+    "q37_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q37_percentiles(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q38: arg-max / arg-min with deterministic lexicographic tie-breaking
+# (struct-max in Spark, list-arg_max in DuckDB).
+# --------------------------------------------------------------------------
+@register(
+    "q38_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_order,
+           max(o_totalprice) AS top_price,
+           (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS bottom_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q38_argmax(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    pk = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max(pk)["k"].alias("top_order"),
+            F.max("o_totalprice").alias("top_price"),
+            F.min(pk)["k"].alias("bottom_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q39: sorted collect aggregates — deterministic array + string forms.
+# --------------------------------------------------------------------------
+@register(
+    "q39_collect_sorted",
+    oracle="""
+    SELECT r_name,
+           list_sort(list(DISTINCT n_name)) AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_csv,
+           COUNT(DISTINCT n_name) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def q39_collect_sorted(spark, sf_dir):
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_sort(F.collect_set("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias(
+                "nations_csv"
+            ),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q53: the SQL API surface — the engine accepts plain SQL text over
+# registered views (TPC-H Q10 shape), same Catalyst plan as DataFrame.
+# --------------------------------------------------------------------------
+_Q53_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register("q53_sql_api", oracle=_Q53_SQL)
+def q53_sql_api(spark, sf_dir):
+    utc(spark)
+    for name in ("customer", "orders", "lineitem", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q53_SQL)
+
+
+# --------------------------------------------------------------------------
+# q60/q61: approximate aggregates — engine-specific sketches
+# (HyperLogLog++ / KLL), so no value-exact oracle: rows-only checks.
+# --------------------------------------------------------------------------
+@register("q60_approx_distinct")
+def q60_approx_distinct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("q61_approx_percentile")
+def q61_approx_percentile(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
+            F.percentile_approx(
+                "l_extendedprice", [0.1, 0.9], 10000
+            ).alias("p10_p90"),
+        )
+        .orderBy("l_linestatus")
+    )
