@@ -107,6 +107,51 @@ def neardup_pairs(
     )
 
 
+# Deterministic pseudo-random hyperplanes for sign-LSH: component i of
+# plane j is ((A_j * i + B_j) mod P) / P - 0.5 — integer-derived, so any
+# engine reproduces the exact same doubles. Same P as the minhash family.
+LSH_P = 268435459
+LSH_PARAMS: list[tuple[int, int]] = [
+    (59770417, 13427546), (147655245, 131475314), (119835357, 74913853),
+    (55026679, 46674928), (226517557, 17063198), (15997263, 50302251),
+    (117380371, 124908867), (14246393, 106750149), (225227991, 118348156),
+    (241167271, 149352498), (3488997, 85716440), (226889381, 182670606),
+    (149181043, 83472422), (115595697, 180707823), (54873727, 49792546),
+    (203971921, 51924210),
+]
+
+
+def hyperplane_lsh(
+    emb: DataFrame,
+    n_bits: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-LSH signature per vector: bit j = [cos-side of hyperplane j]
+    = [round(v . h_j, 6) >= 0]. Vectors with equal signatures land in
+    the same candidate bucket — the similarity analog of MinHash
+    banding, and the scale path for near-dup mining (bucket equi-join
+    instead of all-pairs). Output: (id, sig) with sig a bit-string."""
+    n = with_norm(emb, vec_col, id_col)
+    bit_cols = []
+    for j, (a, b) in enumerate(LSH_PARAMS[:n_bits]):
+        plane = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                (
+                    (F.lit(a).cast("long") * i.cast("long") + F.lit(b))
+                    % F.lit(LSH_P)
+                ).cast("double")
+                / F.lit(float(LSH_P))
+                - F.lit(0.5)
+            ),
+        )
+        proj = F.round(_dot(F.col("v"), plane), 6)
+        bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return n.select(F.col("id"), F.concat(*bit_cols).alias("sig"))
+
+
 def ivf_assign(
     emb: DataFrame,
     centroid_pred: Column,

@@ -100,6 +100,52 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def term_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus term statistics — the integer substrate of TF-IDF:
+    per-term document frequency, total term frequency, max in-doc tf.
+    Explode fans out to full parallelism; both aggregations are
+    map-side partial. The idf-weighted vectors (which need log()) build
+    on this in tfidf_vectors()."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.max("tf").alias("max_tf"),
+    )
+
+
+def tfidf_vectors(
+    df: DataFrame, text_col: str, id_col: str, min_df: int = 2
+) -> DataFrame:
+    """Sparse TF-IDF weights per (doc, term):
+    tfidf = tf * (ln((N+1)/(df+1)) + 1)  (smoothed idf).
+    log() is libm-dependent, so this operator is checked rows-only —
+    the exact-integer substrate is oracle-checked via term_stats."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq.where(F.col("df") >= min_df)), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+        .select("id", "term", "tf", "df", "tfidf")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (the classic 'fingerprint' clustering key —

@@ -17,6 +17,7 @@ from airquality_data_pipeline_spark.operators.merge import (
     coalesce_merge,
     retention_filter,
 )
+from airquality_data_pipeline_spark.operators.skew import salted_sum
 from airquality_data_pipeline_spark.operators.windows import sessionize
 from airquality_data_pipeline_spark.queries.common import (
     dsum,
@@ -355,6 +356,31 @@ def q31_tumbling_window(spark, sf_dir):
             "n_events",
             "sum_value",
         )
+    )
+
+
+@register(
+    "q55_salted_agg",
+    oracle=f"""
+    SELECT event_type,
+           {sql_dsum('value', 'sum_value')},
+           COUNT(*) AS sum_value_count
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q55_salted_agg(spark, sf_dir):
+    """Skew-proof two-phase salted aggregation — result identical to a
+    plain GROUP BY (the oracle), physically resistant to one event_type
+    dominating the stream (operators/skew.py)."""
+    ev = table(spark, sf_dir, "events")
+    return salted_sum(
+        ev,
+        keys=["event_type"],
+        value=F.col("value"),
+        alias="sum_value",
+        salt_src="event_id",
+        n_salts=8,
     )
 
 

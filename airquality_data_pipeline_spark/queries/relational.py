@@ -260,13 +260,20 @@ def q06_forecast_revenue(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+    )
     """,
 )
 def q07_anti_join_no_orders(spark, sf_dir):
+    utc(spark)
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    early = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp")
+    )
+    return cust.join(early, cust.c_custkey == early.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 

@@ -8,7 +8,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.operators.similarity import (
+    LSH_P,
+    LSH_PARAMS,
     cosine_topk,
+    hyperplane_lsh,
     ivf_topk,
     neardup_pairs,
 )
@@ -114,3 +117,39 @@ def q46_ivf_topk(spark, sf_dir):
     return ivf_topk(
         emb, query_pred=F.col("id") < 10, centroid_pred=F.col("id") < 8, k=3
     )
+
+
+# --------------------------------------------------------------------------
+# q47: sign-LSH signatures (random-hyperplane, deterministic
+# integer-derived planes) — the bucket key for near-dup candidate
+# generation at scale (equi-join on sig instead of all pairs).
+# --------------------------------------------------------------------------
+_LSH_A = ", ".join(str(a) for a, _ in LSH_PARAMS)
+_LSH_B = ", ".join(str(b) for _, b in LSH_PARAMS)
+
+
+@register(
+    "q47_vector_lsh",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    params AS (
+      SELECT unnest(range(16)) AS j,
+             unnest([{_LSH_A}]) AS a,
+             unnest([{_LSH_B}]) AS b
+    ),
+    proj AS (
+      SELECT n.vec_id AS id, p.j,
+             round(list_dot_product(n.v,
+               list_transform(range(64),
+                 i -> (CAST((p.a * i + p.b) % {LSH_P} AS DOUBLE) / {LSH_P} - 0.5))
+             ), 6) AS d
+      FROM n, params p
+    )
+    SELECT id,
+           string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+    FROM proj GROUP BY id
+    """,
+)
+def q47_vector_lsh(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh(emb, n_bits=16, dim=64)

@@ -12,6 +12,8 @@ from airquality_data_pipeline_spark.operators.text import (
     fingerprint,
     language_id,
     quality_features,
+    term_stats,
+    tfidf_vectors,
     token_counts,
 )
 from airquality_data_pipeline_spark.queries.common import table
@@ -154,3 +156,35 @@ def q52_binary_columns(spark, sf_dir):
         F.md5(payload).alias("digest"),
         F.col("source").alias("modality_tag"),
     )
+
+
+# --------------------------------------------------------------------------
+# q54: corpus term statistics — the exact-integer substrate of TF-IDF
+# (df / total tf / max tf per term).
+# --------------------------------------------------------------------------
+@register(
+    "q54_term_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term)
+    SELECT term, count(*) AS df, sum(tf) AS total_tf, max(tf) AS max_tf
+    FROM tf GROUP BY term
+    """,
+)
+def q54_term_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return term_stats(docs, text_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# q62: smoothed TF-IDF weights (rows-only: log() is libm-dependent and
+# not bit-portable across engines; q54 pins the integer substrate).
+# --------------------------------------------------------------------------
+@register("q62_tfidf")
+def q62_tfidf(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return tfidf_vectors(docs, text_col="text", id_col="doc_id", min_df=2)

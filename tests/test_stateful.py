@@ -1,0 +1,72 @@
+"""Cross-micro-batch state test for the applyInPandasWithState cursor
+operator: two staged files -> two micro-batches; the second batch must be
+filtered by cursors advanced in the first."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.queries.common import table, utc
+from airquality_data_pipeline_spark.streaming import jobs
+from airquality_data_pipeline_spark.streaming.stateful import cursor_filter_stream
+
+
+def _stage_two_batches(spark, sf_dir) -> str:
+    """Split events by time into two parquet files in a temp dir.
+    File order = lexicographic = batch order under maxFilesPerTrigger=1."""
+    out = tempfile.mkdtemp(prefix="stateful_src_")
+    ev = table(spark, sf_dir, "events")
+    cut = "2024-01-15 00:00:00"
+    first = ev.where(F.col("ts") < F.lit(cut).cast("timestamp"))
+    second = ev.where(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    for i, df in enumerate((first, second)):
+        tmp = f"{out}/_stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(f"{tmp}/{part}", f"{out}/batch_{i}.parquet")
+    return out
+
+
+def test_cursor_state_across_batches(spark, sf_dir):
+    utc(spark)
+    src = _stage_two_batches(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"cursor_{uuid.uuid4().hex[:8]}"
+    jobs.run_to_memory(cursor_filter_stream(stream), name)
+    got = spark.sql(f"SELECT * FROM {name}")
+
+    # batch semantics truth: batch1 passes wholly (no prior state);
+    # batch2 rows pass iff newer than batch1's per-key max
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    b1 = ev.where(F.col("ts") < cut)
+    b2 = ev.where(F.col("ts") >= cut)
+    cursors = b1.groupBy("user_id", "event_type").agg(F.max("ts").alias("c"))
+    b2_pass = (
+        b2.join(cursors, ["user_id", "event_type"], "left")
+        .where(F.col("c").isNull() | (F.col("ts") > F.col("c")))
+    )
+    expected = b1.count() + b2_pass.count()
+    assert got.count() == expected
+
+    # per-key max of output equals overall per-key max (cursors advanced)
+    out_max = {
+        (r.user_id, r.event_type): r.m
+        for r in got.groupBy("user_id", "event_type").agg(F.max("ts").alias("m")).collect()
+    }
+    truth = {
+        (r.user_id, r.event_type): r.m
+        for r in ev.groupBy("user_id", "event_type").agg(F.max("ts").alias("m")).collect()
+    }
+    assert out_max == truth
