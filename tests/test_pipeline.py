@@ -105,3 +105,36 @@ def test_rest_fetch_paginated_budget_and_backoff():
                                       backoff_step_s=0.0)
     got = list(rest.fetch_paginated(cfg_retry, flaky))
     assert len(got) == 20 and calls["n"] == 3
+
+
+def test_one_shot_jobs(spark):
+    from airquality_data_pipeline_spark.plans import jobs
+    from pyspark.sql import functions as F
+
+    stations = _stations(spark)
+    cursors = _cursors(spark)
+    wire, result = jobs.synthetic_cycle_job(spark, stations, cursors, n=40)
+    assert wire.count() > 0 and set(wire.columns) == {"key", "value"}
+    assert result.pending_cursors.count() > 0
+
+    # catalog refresh keeps old values where incoming is null
+    incoming = stations.select(
+        "station_id",
+        F.lit("refreshed").alias("source"),
+        F.lit(None).cast("string").alias("country"),
+        F.col("city"),
+        F.col("location_name"),
+        F.col("lat"),
+        F.col("lon"),
+    )
+    merged = jobs.refresh_catalog_job(stations, incoming)
+    rows = {r.station_id: r for r in merged.collect()}
+    assert all(r.country is not None for r in rows.values())
+    assert all(r.source == "refreshed" for r in rows.values())
+
+    # housekeeping keeps only the trailing window
+    ev = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-20",), ("2024-01-21",)], "observed_at string"
+    ).select(F.col("observed_at").cast("timestamp").alias("observed_at"))
+    kept = jobs.housekeeping_job(ev, keep_days=7).collect()
+    assert len(kept) == 2
