@@ -159,12 +159,22 @@ def ngram_jaccard_pairs(
     |A∩B| via self-equi-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
     Quadratic only within identical-shingle buckets — at scale, run on
     minhash candidates instead of all pairs. (The shingle frame feeds
-    three branches; recompute measured cheaper than caching it.)"""
+    three branches; recompute measured cheaper than caching it.)
+
+    The join key is a 60-bit md5-derived hash of the shingle, not the
+    string: an 8-byte shuffle key instead of a ~20-byte string. Any
+    engine derives the identical hash, so a collision (P ~ n²/2^61)
+    merges the same two shingles everywhere — results stay engine-equal
+    by construction."""
+    shingles = shingles.withColumn(
+        "_sh",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint"),
+    )
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -113,10 +113,14 @@ def q41_minhash_candidates(spark, sf_dir):
     "q42_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh
+      FROM sh
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM hashed GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b, n_inter,

@@ -70,3 +70,65 @@ def test_cursor_state_across_batches(spark, sf_dir):
         for r in ev.groupBy("user_id", "event_type").agg(F.max("ts").alias("m")).collect()
     }
     assert out_max == truth
+
+
+def test_cursor_state_survives_restart(spark, sf_dir):
+    """Kill/restart with a checkpoint: batch 1 processes, the query
+    stops, batch 2 lands, a NEW query with the same checkpoint resumes —
+    state must carry over (no reprocessing, cursors advanced)."""
+    utc(spark)
+    src = tempfile.mkdtemp(prefix="restart_src_")
+    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def stage(df, name):
+        tmp = f"{src}/_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(f"{tmp}/{part}", f"{src}/{name}.parquet")
+
+    stage(ev.where(F.col("ts") < cut), "batch_0")
+
+    sink = tempfile.mkdtemp(prefix="restart_sink_")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            cursor_filter_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == ev.where(F.col("ts") < cut).count()
+
+    # second run: new file, same checkpoint -> resumes, doesn't replay
+    stage(ev.where(F.col("ts") >= cut), "batch_1")
+    run_once()
+    total = spark.read.parquet(sink).count()
+
+    cursors = (
+        ev.where(F.col("ts") < cut)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("ts").alias("c"))
+    )
+    b2_pass = (
+        ev.where(F.col("ts") >= cut)
+        .join(cursors, ["user_id", "event_type"], "left")
+        .where(F.col("c").isNull() | (F.col("ts") > F.col("c")))
+        .count()
+    )
+    # exactly-once file sink: batch 1 NOT replayed, batch 2 filtered by
+    # the cursors recovered from the checkpointed state store
+    assert total == n_first + b2_pass
