@@ -168,3 +168,38 @@ def _simhash_oracle(bits: int = 32) -> str:
 def q43_simhash(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return simhash(docs, text_col="text", id_col="doc_id", bits=32)
+
+
+# --------------------------------------------------------------------------
+# q63: pyspark.ml MinHashLSH pipeline (Tokenizer -> HashingTF ->
+# MinHashLSH.approxSimilarityJoin) — the library alternative to the
+# hand-rolled q41. Rows-only: the ml hash family is seeded JVM-side and
+# not reproducible in SQL. Runs on a 1-in-10 sample: approxSimilarityJoin
+# materializes exploded hash buckets and is the demonstrative (not the
+# scale) path here — q41's banding form is the production route.
+# --------------------------------------------------------------------------
+@register("q63_ml_minhash_lsh")
+def q63_ml_minhash_lsh(spark, sf_dir):
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16)
+    feat = tf.transform(tok.transform(docs))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8,
+                     seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )

@@ -38,8 +38,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
-    # warmup: JVM, codegen, parquet footer caches
-    run_query(QUERIES["q01_pricing_summary"](spark, sf_dir))
+    # warmup: JVM/JIT, codegen, parquet footer caches — one query per
+    # input family (fact scan, text/regex+md5 path, vector-fold path)
+    for warm in ("q01_pricing_summary", "q51_fingerprint", "q44_cosine_topk"):
+        run_query(QUERIES[warm](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
