@@ -301,6 +301,39 @@ def q53_sql_api(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q56: array higher-order functions — size / slice / element arithmetic /
+# lambda filter / transform+max — over the embedding vectors (the
+# nested-type surface, SURVEY.md §2.9: ArrayType columns end-to-end).
+# --------------------------------------------------------------------------
+@register(
+    "q56_array_functions",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           len(v) AS n_dims,
+           len(list_filter(v, x -> x > 0)) AS n_pos,
+           list_max(list_transform(v, x -> abs(x))) AS max_abs,
+           v[1] + v[2] + v[3] AS head_sum,
+           v[1:3] AS head_slice
+    FROM e
+    """,
+)
+def q56_array_functions(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.array_max(F.transform(v, F.abs)).alias("max_abs"),
+        (F.element_at(v, 1) + F.element_at(v, 2) + F.element_at(v, 3)).alias(
+            "head_sum"
+        ),
+        F.slice(v, 1, 3).alias("head_slice"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q60/q61: approximate aggregates — engine-specific sketches
 # (HyperLogLog++ / KLL), so no value-exact oracle: rows-only checks.
 # --------------------------------------------------------------------------

@@ -41,6 +41,40 @@ def get_spark(
     return spark
 
 
+def cluster_conf(
+    executors: int = 1000, cores_per_executor: int = 4
+) -> dict[str, str]:
+    """Recommended conf for a real multi-executor deployment of this
+    engine (the local factory above covers local[N] testing). Pass as
+    extra_conf to get_spark or to spark-submit --conf.
+
+    Rationale per key:
+      - shuffle.partitions ~ 2-3x total cores; AQE coalesces DOWN from
+        here at runtime, so err high — undersized partitions spill.
+      - maxPartitionBytes 256m: 100 TB scan => ~400k input splits; fewer,
+        larger splits keep the scheduler and shuffle tracking sane.
+      - advisoryPartitionSizeInBytes governs AQE's coalesce/skew-split
+        target; 128m balances task overhead vs spill risk.
+      - autoBroadcastJoinThreshold 64m: dimension tables (stations,
+        cursors, query vectors) broadcast; fact-fact joins never do.
+      - shuffle spill compression + zstd: shuffle volume dominates at
+        this scale.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.files.maxPartitionBytes": "268435456",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "134217728",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            total_cores * 4
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": "67108864",
+        "spark.io.compression.codec": "zstd",
+        "spark.shuffle.compress": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }
+
+
 def ensure_utc(spark: SparkSession) -> None:
     """Pin session timezone to UTC (runtime-settable).
 

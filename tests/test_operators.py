@@ -84,3 +84,12 @@ def test_word_shingles_short_docs_empty(spark):
     counts = {r.id: r["count"] for r in got}
     assert 1 not in counts and 3 not in counts  # < n tokens -> no shingles
     assert counts[2] == 2
+
+
+def test_cluster_conf_shape():
+    from airquality_data_pipeline_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=4)
+    assert conf["spark.sql.shuffle.partitions"] == "8000"
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
+    assert all(isinstance(v, str) for v in conf.values())
