@@ -36,6 +36,25 @@ class CycleResult:
     pending_cursors: DataFrame  # max ts per key, to commit post-emit
 
 
+def isolated_bronze(
+    sources: dict[str, object],
+) -> tuple[list[DataFrame], dict[str, str]]:
+    """Per-source fault isolation (reference app/main.py:1219-1248,
+    1266-1318: one country failing never kills the cycle). Each entry is
+    a zero-arg callable producing that source's bronze frame; failures
+    are collected, survivors proceed. Build-time errors (fetch, parse,
+    schema) are caught here; for action-time isolation run each source
+    as its own query/foreachBatch, which this structure permits."""
+    frames: list[DataFrame] = []
+    errors: dict[str, str] = {}
+    for name, build in sources.items():
+        try:
+            frames.append(build())
+        except Exception as exc:  # noqa: BLE001 - isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"
+    return frames, errors
+
+
 def canonical_union(frames: list[DataFrame]) -> DataFrame:
     """P1: merge heterogeneous per-source frames; missing columns
     null-fill (synthetic/OpenAQ rows lack lat/lon, SURVEY.md §1.2)."""

@@ -12,7 +12,9 @@ from airquality_data_pipeline_spark.operators.joins import (
     bucketed_range_join,
 )
 from airquality_data_pipeline_spark.queries.common import (
+    davg,
     dsum,
+    sql_davg,
     sql_dsum,
     table,
     ts_ms,
@@ -330,6 +332,96 @@ def q56_array_functions(spark, sf_dir):
             "head_sum"
         ),
         F.slice(v, 1, 3).alias("head_slice"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q57: HAVING — post-aggregation predicate (frequent-buyer segments).
+# --------------------------------------------------------------------------
+@register(
+    "q57_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_spend')}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def q57_having(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+# --------------------------------------------------------------------------
+# q58: correlated scalar subquery (TPC-H Q17 shape) — line items below
+# 20% of their part's average quantity. Spark decorrelates to a join on
+# the per-part aggregate; expressed directly as that join (identical
+# plan, explicit decimal-exact threshold).
+# --------------------------------------------------------------------------
+@register(
+    "q58_below_avg_quantity",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             {sql_davg('l_quantity', 'avg_qty')}
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_quantity,
+           p.avg_qty
+    FROM lineitem l JOIN part_avg p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < 0.2 * p.avg_qty
+    """,
+)
+def q58_below_avg_quantity(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity", "avg_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# q59: distribution histogram (TPC-H Q13 shape) — two-level aggregation
+# with a left join so zero-order customers count.
+# --------------------------------------------------------------------------
+@register(
+    "q59_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q59_order_distribution(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
 
 

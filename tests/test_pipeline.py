@@ -138,3 +138,24 @@ def test_one_shot_jobs(spark):
     ).select(F.col("observed_at").cast("timestamp").alias("observed_at"))
     kept = jobs.housekeeping_job(ev, keep_days=7).collect()
     assert len(kept) == 2
+
+
+def test_fault_isolation(spark):
+    from airquality_data_pipeline_spark.plans import pipeline as P
+
+    def broken():
+        raise RuntimeError("api down")
+
+    frames, errors = P.isolated_bronze(
+        {
+            "de": lambda: synthetic_measurements(spark, n=10),
+            "luchtmeetnet": broken,
+            "gios": lambda: synthetic_measurements(spark, n=5),
+        }
+    )
+    assert len(frames) == 2
+    assert set(errors) == {"luchtmeetnet"}
+    assert "api down" in errors["luchtmeetnet"]
+    # surviving sources still produce a full cycle
+    result = P.silver_measurements(frames, _stations(spark), _cursors(spark))
+    assert result.payload.count() > 0

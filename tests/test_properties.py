@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis): operator invariants checked
+against pure-Python models on randomized small inputs. Spark round-trips
+are slow, so examples are few but adversarially shrunk."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.operators.cursor import (
+    greatest_merge,
+    incremental_filter,
+)
+from airquality_data_pipeline_spark.operators.dedup import first_wins_dedup
+from airquality_data_pipeline_spark.operators.windows import sessionize
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keys = st.sampled_from(["k1", "k2", "k3", None])
+ts_vals = st.one_of(st.integers(min_value=0, max_value=50), st.none())
+
+
+@given(
+    batch=st.lists(st.tuples(keys, ts_vals), max_size=25),
+    cursors=st.dictionaries(
+        st.sampled_from(["k1", "k2", "k3"]), st.integers(0, 50), max_size=3
+    ),
+)
+@SETTINGS
+def test_incremental_filter_matches_model(spark, batch, cursors):
+    bdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(batch)],
+        "row_id long, station_id string, ts long",
+    ).withColumn("pollutant", F.lit("pm25"))
+    cdf = spark.createDataFrame(
+        [(k, "pm25", v) for k, v in cursors.items()] or [],
+        "station_id string, pollutant string, last_observed_at long",
+    )
+    out, updates = incremental_filter(
+        bdf, cdf, keys=("station_id", "pollutant"), ts_col="ts"
+    )
+    got = {r.row_id for r in out.collect()}
+    expected = {
+        i
+        for i, (k, t) in enumerate(batch)
+        if k is None or t is None  # malformed passthrough
+        or k not in cursors
+        or t > cursors[k]
+    }
+    assert got == expected
+
+    got_updates = {r.station_id: r.last_observed_at for r in updates.collect()}
+    model_updates: dict[str, int] = {}
+    for i, (k, t) in enumerate(batch):
+        if k is not None and t is not None and (k not in cursors or t > cursors[k]):
+            model_updates[k] = max(model_updates.get(k, t), t)
+    assert got_updates == model_updates
+
+
+@given(
+    old=st.dictionaries(st.sampled_from(["a", "b", "c"]), st.integers(0, 99), max_size=3),
+    new=st.dictionaries(st.sampled_from(["a", "b", "c"]), st.integers(0, 99), max_size=3),
+)
+@SETTINGS
+def test_greatest_merge_is_pointwise_max(spark, old, new):
+    mk = lambda d: spark.createDataFrame(
+        [(k, "p", v) for k, v in d.items()] or [],
+        "station_id string, pollutant string, last_observed_at long",
+    )
+    merged = greatest_merge(mk(old), mk(new), keys=("station_id", "pollutant"))
+    got = {r.station_id: r.last_observed_at for r in merged.collect()}
+    expected = {
+        k: max(x for x in (old.get(k), new.get(k)) if x is not None)
+        for k in set(old) | set(new)
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 5), st.integers(0, 99)),
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_first_wins_dedup_keeps_min_order(spark, rows):
+    df = spark.createDataFrame(
+        [(k, b, o) for (k, b, o) in rows], "k string, bucket int, ord long"
+    ).dropDuplicates(["k", "bucket", "ord"])
+    kept = first_wins_dedup(df, keys=["k", "bucket"], order_by=["ord"]).collect()
+    model: dict[tuple, int] = {}
+    for k, b, o in {(k, b, o) for (k, b, o) in rows}:
+        key = (k, b)
+        model[key] = o if key not in model else min(model[key], o)
+    assert {(r.k, r.bucket): r.ord for r in kept} == model
+
+
+@given(
+    ts_lists=st.lists(st.integers(0, 3000), min_size=1, max_size=25),
+    gap=st.integers(1, 60),
+)
+@SETTINGS
+def test_sessionize_gap_invariant(spark, ts_lists, gap):
+    rows = [(1, i, t) for i, t in enumerate(sorted(set(ts_lists)))]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, secs long").select(
+        "user_id", "event_id", F.timestamp_seconds("secs").alias("ts")
+    )
+    out = sessionize(df, key="user_id", ts_col="ts", gap_seconds=gap,
+                     order_tiebreak="event_id").collect()
+    by_session: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r.ts):
+        by_session.setdefault(r.session_id, []).append(r.ts)
+    sessions = [by_session[s] for s in sorted(by_session)]
+    # within a session every gap <= gap_seconds; across boundaries > gap
+    for ts in sessions:
+        for a, b in zip(ts, ts[1:]):
+            assert (b - a).total_seconds() <= gap
+    for prev, nxt in zip(sessions, sessions[1:]):
+        assert (nxt[0] - prev[-1]).total_seconds() > gap
