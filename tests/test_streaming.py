@@ -94,3 +94,33 @@ def test_foreach_batch_commit_after_emit(spark, sf_dir):
     )
     truth = {(r.user_id, r.event_type): r.m for r in batch.collect()}
     assert store == truth
+
+
+def test_sessionize_equals_session_window(spark, sf_dir):
+    """The batch gaps-and-islands operator (q30) and Spark's native
+    session_window must produce identical sessions for a constant gap."""
+    from airquality_data_pipeline_spark.operators.windows import sessionize
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    gi = (
+        sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("last"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"),
+                F.col("w.end").alias("end"), "n")
+    )
+    gi_set = {(r.user_id, r.start, r.n) for r in gi.collect()}
+    sw_set = {(r.user_id, r.start, r.n) for r in sw.collect()}
+    assert gi_set == sw_set
+    # session_window end = last event + gap
+    last_by_start = {(r.user_id, r.start): r.last for r in gi.collect()}
+    for r in sw.collect():
+        last = last_by_start[(r.user_id, r.start)]
+        assert (r.end - last).total_seconds() == 1800
