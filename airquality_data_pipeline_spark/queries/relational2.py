@@ -426,6 +426,73 @@ def q59_order_distribution(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q64: ranking-function family — ntile / percent_rank / cume_dist /
+# dense_rank under a deterministic total order.
+# --------------------------------------------------------------------------
+@register(
+    "q64_ranking_extras",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           dense_rank() OVER w AS drank
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q64_ranking_extras(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q65: null-safe equality join (<=> / IS NOT DISTINCT FROM) — null keys
+# match null keys, unlike ordinary equi-joins.
+# --------------------------------------------------------------------------
+@register(
+    "q65_nullsafe_join",
+    oracle="""
+    WITH l AS (
+      SELECT DISTINCT nullif(user_id, 7) AS k FROM events
+    ), r AS (
+      SELECT nullif(user_id, 7) AS k, count(*) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY nullif(user_id, 7)
+    )
+    SELECT l.k AS user_key, COALESCE(r.n_errors, 0) AS n_errors
+    FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def q65_nullsafe_join(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").withColumn(
+        "k", F.expr("nullif(user_id, 7)")
+    )
+    left = ev.select("k").distinct()
+    right = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .withColumnRenamed("k", "rk")
+    )
+    return left.join(right, left.k.eqNullSafe(right.rk), "left").select(
+        left.k.alias("user_key"),
+        F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q60/q61: approximate aggregates — engine-specific sketches
 # (HyperLogLog++ / KLL), so no value-exact oracle: rows-only checks.
 # --------------------------------------------------------------------------
