@@ -171,6 +171,53 @@ def q43_simhash(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q67: near-dup clustering by identical MinHash signature — the cheap
+# one-pass grouping that collapses strong near-dups (J ~ 1) without any
+# pairwise work; keeper = min doc id per cluster.
+# --------------------------------------------------------------------------
+_SIG_COLS = ", ".join(f"mh_{i}" for i in range(_NUM_HASHES))
+
+
+@register(
+    "q67_signature_clusters",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    ),
+    params AS (
+      SELECT unnest(range({_NUM_HASHES})) AS seed,
+             unnest([{_A_SQL}]) AS a,
+             unnest([{_B_SQL}]) AS b
+    ),
+    mh_long AS (
+      SELECT id, p.seed, min((p.a * h + p.b) % {MINHASH_P}) AS mh
+      FROM hashed, params p GROUP BY id, p.seed
+    ),
+    sig AS (
+      SELECT id, string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed) AS sig
+      FROM mh_long GROUP BY id
+    )
+    SELECT min(id) AS keeper_id, count(*) AS n_docs
+    FROM sig GROUP BY sig HAVING count(*) >= 2
+    """,
+)
+def q67_signature_clusters(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    sig_key = F.concat_ws(
+        ":", *[F.col(f"mh_{i}").cast("string") for i in range(_NUM_HASHES)]
+    )
+    return (
+        sigs.groupBy(sig_key.alias("sig"))
+        .agg(F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("keeper_id", "n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
 # q63: pyspark.ml MinHashLSH pipeline (Tokenizer -> HashingTF ->
 # MinHashLSH.approxSimilarityJoin) — the library alternative to the
 # hand-rolled q41. Rows-only: the ml hash family is seeded JVM-side and

@@ -153,3 +153,40 @@ _LSH_B = ", ".join(str(b) for _, b in LSH_PARAMS)
 def q47_vector_lsh(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return hyperplane_lsh(emb, n_bits=16, dim=64)
+
+
+# --------------------------------------------------------------------------
+# q66: per-vector int8 quantization — the storage path for embedding
+# columns at 100 TB (4 bytes -> 1 byte per dim + 2 floats of scale
+# metadata). Pure element-wise HOF arithmetic, engine-identical.
+# --------------------------------------------------------------------------
+@register(
+    "q66_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+    )
+    SELECT vec_id, mn, mx,
+           list_transform(v,
+             x -> CAST(round(((x - mn) / (mx - mn)) * 255) AS INTEGER)
+           ) AS q8
+    FROM s
+    """,
+)
+def q66_embedding_quantize(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    s = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    )
+    q8 = F.transform(
+        F.col("v"),
+        lambda x: F.round(((x - F.col("mn")) / (F.col("mx") - F.col("mn"))) * 255, 0)
+        .cast("int"),
+    )
+    return s.select("vec_id", "mn", "mx", q8.alias("q8"))
