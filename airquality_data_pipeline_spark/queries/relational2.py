@@ -493,6 +493,38 @@ def q65_nullsafe_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q68: bitwise aggregates (order-independent, engine-exact).
+# --------------------------------------------------------------------------
+@register(
+    "q68_bit_aggs",
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id) AS all_and,
+           bit_or(event_id) AS all_or,
+           bit_xor(event_id) AS all_xor,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 200) AS any_large
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q68_bit_aggs(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("event_id").alias("all_and"),
+            F.bit_or("event_id").alias("all_or"),
+            F.bit_xor("event_id").alias("all_xor"),
+            F.bool_and(F.col("value") > 0).alias("all_positive"),
+            F.bool_or(F.col("value") > 200).alias("any_large"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # q60/q61: approximate aggregates — engine-specific sketches
 # (HyperLogLog++ / KLL), so no value-exact oracle: rows-only checks.
 # --------------------------------------------------------------------------

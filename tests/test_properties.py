@@ -122,3 +122,45 @@ def test_sessionize_gap_invariant(spark, ts_lists, gap):
             assert (b - a).total_seconds() <= gap
     for prev, nxt in zip(sessions, sessions[1:]):
         assert (nxt[0] - prev[-1]).total_seconds() > gap
+
+
+def test_asof_join_matches_duckdb_on_random_data(spark, duck):
+    """Randomized adversarial check of asof_join vs DuckDB ASOF JOIN:
+    duplicate timestamps on the left, right rows after all lefts, keys
+    with no right rows at all. Right side unique per (key, ts) so both
+    engines' tie resolution coincides."""
+    import random
+
+    rng = random.Random(7)
+    keys = ["a", "b", "c", "d"]
+    left = [
+        (i, rng.choice(keys), rng.randrange(0, 100))
+        for i in range(120)
+    ]
+    right_set = {(k, t) for k in keys[:3] for t in rng.sample(range(0, 100), 20)}
+    right = [(k, t, 1000 + i) for i, (k, t) in enumerate(sorted(right_set))]
+
+    ldf = spark.createDataFrame(left, "lid long, k string, t long")
+    rdf = spark.createDataFrame(right, "k string, t long, rid long")
+    from airquality_data_pipeline_spark.operators.joins import asof_join
+
+    got = asof_join(
+        ldf, rdf, key="k", left_ts="t", right_ts="t",
+        right_cols=["rid"], suffix="_r",
+    ).select("lid", "k", "t", "rid_r")
+
+    duck.execute("DROP TABLE IF EXISTS _l"); duck.execute("DROP TABLE IF EXISTS _r")
+    duck.execute("CREATE TABLE _l(lid BIGINT, k VARCHAR, t BIGINT)")
+    duck.executemany("INSERT INTO _l VALUES (?, ?, ?)", left)
+    duck.execute("CREATE TABLE _r(k VARCHAR, t BIGINT, rid BIGINT)")
+    duck.executemany("INSERT INTO _r VALUES (?, ?, ?)", right)
+    from tests.oracle_utils import compare
+
+    problems = compare(
+        got,
+        duck,
+        """SELECT l.lid, l.k, l.t, r.rid AS rid_r
+           FROM _l l ASOF LEFT JOIN _r r ON l.k = r.k AND l.t >= r.t""",
+    )
+    duck.execute("DROP TABLE _l"); duck.execute("DROP TABLE _r")
+    assert not problems, problems
