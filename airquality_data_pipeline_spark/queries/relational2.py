@@ -493,6 +493,51 @@ def q65_nullsafe_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q69: posexplode — positional unnest of array columns (the ordinal
+# twin of the explode used throughout the parsers).
+# --------------------------------------------------------------------------
+@register(
+    "q69_posexplode",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:4] AS v FROM embeddings
+      WHERE vec_id < 50
+    )
+    SELECT vec_id, g.i - 1 AS pos, v[g.i] AS val
+    FROM e, UNNEST(generate_series(1, len(v))) AS g(i)
+    """,
+)
+def q69_posexplode(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    v = F.slice(F.col("embedding").cast("array<double>"), 1, 4)
+    return emb.select("vec_id", F.posexplode(v).alias("pos", "val"))
+
+
+# --------------------------------------------------------------------------
+# q70: regexp group extraction (both engines return '' on no match).
+# --------------------------------------------------------------------------
+@register(
+    "q70_regexp_groups",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS first_word,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+)
+def q70_regexp_groups(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q68: bitwise aggregates (order-independent, engine-exact).
 # --------------------------------------------------------------------------
 @register(
