@@ -19,6 +19,7 @@ from airquality_data_pipeline_spark.operators.dedup import (
     simhash,
     word_shingles,
 )
+from airquality_data_pipeline_spark.operators.graph import connected_components
 from airquality_data_pipeline_spark.queries.common import table
 from airquality_data_pipeline_spark.queries.registry import register
 
@@ -215,6 +216,61 @@ def q67_signature_clusters(spark, sf_dir):
         .where(F.col("n_docs") >= 2)
         .select("keeper_id", "n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# q71: near-dup CLUSTERS — connected components over the MinHash
+# candidate edges (pairwise similarity is not transitive; dedup needs
+# the closure). Iterative min-label propagation on the Spark side; the
+# oracle computes the same closure with a recursive CTE.
+# --------------------------------------------------------------------------
+_EDGES_CTE = f"""
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    ),
+    params AS (
+      SELECT unnest(range({_NUM_HASHES})) AS seed,
+             unnest([{_A_SQL}]) AS a,
+             unnest([{_B_SQL}]) AS b
+    ),
+    mh AS (
+      SELECT id, p.seed, min((p.a * h + p.b) % {MINHASH_P}) AS mh
+      FROM hashed, params p GROUP BY id, p.seed
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.id < b.id
+      GROUP BY a.id, b.id HAVING count(*) >= 6
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    )
+"""
+
+
+@register(
+    "q71_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_EDGES_CTE},
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    )
+    SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+    """,
+)
+def q71_neardup_components(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    edges = minhash_candidate_pairs(sigs, num_hashes=_NUM_HASHES, min_matches=6)
+    comps = connected_components(
+        docs.select(F.col("doc_id")), edges, id_col="doc_id"
+    )
+    return comps.select(F.col("id").alias("doc_id"), "component")
 
 
 # --------------------------------------------------------------------------
