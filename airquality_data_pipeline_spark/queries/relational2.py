@@ -493,6 +493,75 @@ def q65_nullsafe_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q72: correlated min (TPC-H Q2 shape) — the cheapest line item per
+# part, ties kept. Spark decorrelates to a per-part min + equality join.
+# --------------------------------------------------------------------------
+@register(
+    "q72_correlated_min",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, l.l_orderkey, l.l_linenumber,
+           l.l_extendedprice
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 45
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q72_correlated_min(spark, sf_dir):
+    part = table(spark, sf_dir, "part").where(F.col("p_size") >= 45)
+    li = table(spark, sf_dir, "lineitem")
+    per_part_min = li.groupBy(F.col("l_partkey").alias("mpk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(
+            per_part_min,
+            (F.col("l_partkey") == F.col("mpk"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("p_partkey", "p_name", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# q73: EXISTS + NOT EXISTS on the same fact (TPC-H Q21 shape) —
+# semi-join and anti-join stacked on one plan.
+# --------------------------------------------------------------------------
+@register(
+    "q73_multi_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_quantity > 49
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_discount > 0.08
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q73_multi_exists(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = li.where(F.col("l_quantity") > 49).select("l_orderkey")
+    discounted = li.where(F.col("l_discount") > 0.08).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(discounted, orders.o_orderkey == discounted.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # q69: posexplode — positional unnest of array columns (the ordinal
 # twin of the explode used throughout the parsers).
 # --------------------------------------------------------------------------
