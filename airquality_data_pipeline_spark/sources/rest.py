@@ -55,11 +55,12 @@ def fetch_paginated(
     cfg: RestSourceConfig,
     transport: Transport,
     params: dict | None = None,
+    first_page: int = 1,
 ) -> Iterator[dict]:
     """Paginated fetch loop with request budget + incremental backoff —
     the executor-side core of the DataSource. Yields raw row dicts."""
     spent = 0
-    for page in range(1, cfg.max_pages + 1):
+    for page in range(first_page, cfg.max_pages + 1):
         if spent >= cfg.request_budget:
             raise BudgetExceeded(f"request budget {cfg.request_budget} exhausted")
         body = None
@@ -95,35 +96,60 @@ if _HAS_DATASOURCE_API:
 
     class RestMeasurementsReader(DataSourceReader):
         """Plans one partition per page shard so pages fetch in
-        parallel, each shard respecting its slice of the budget."""
+        parallel, each shard fetching only its own page range.
+
+        The whole Python DataSource (planning included) runs in worker
+        processes, so a driver-side registry cannot be seen here. The
+        transport arrives through the string-only options channel as
+        either:
+          - 'transport_pickle': base64(cloudpickle(fn)) — see
+            transport_option(); closures (recorded fixtures) ship fine;
+          - 'transport_factory': 'module:attr' imported at read time —
+            for live deployments (e.g. a requests-backed factory)."""
 
         def __init__(self, options: dict):
             self.options = options
+            pickled = options.get("transport_pickle", "")
+            factory = options.get("transport_factory", "")
+            if pickled:
+                import base64
+
+                from pyspark import cloudpickle
+
+                self.transport = cloudpickle.loads(base64.b64decode(pickled))
+            elif factory:
+                import importlib
+
+                mod_name, attr = factory.split(":")
+                self.transport = getattr(importlib.import_module(mod_name), attr)()
+            else:
+                raise NotImplementedError(
+                    "offline environment: pass option('transport_pickle', "
+                    "rest.transport_option(fn)) or option('transport_factory', "
+                    "'module:attr')"
+                )
 
         def partitions(self):
             max_pages = int(self.options.get("max_pages", "10"))
             shards = int(self.options.get("num_shards", "4"))
             per = max(max_pages // shards, 1)
-            return [
+            parts = [
                 _PagePartition(i * per + 1, min((i + 1) * per, max_pages))
                 for i in range(shards)
                 if i * per + 1 <= max_pages
             ]
+            # remainder pages go to the last shard
+            if parts and parts[-1].last_page < max_pages:
+                parts[-1].last_page = max_pages
+            return parts
 
         def read(self, partition):
-            transport_name = self.options.get("transport", "")
-            if not transport_name:
-                raise NotImplementedError(
-                    "offline environment: register a transport via "
-                    "rest.TRANSPORTS and pass option('transport', name)"
-                )
-            transport = TRANSPORTS[transport_name]
             cfg = RestSourceConfig(
                 base_url=self.options.get("base_url", ""),
                 max_pages=partition.last_page,
             )
             for row in fetch_paginated(
-                cfg, transport, {"_first_page": partition.first_page}
+                cfg, self.transport, first_page=partition.first_page
             ):
                 yield (
                     row.get("station_id"),
@@ -147,8 +173,14 @@ if _HAS_DATASOURCE_API:
             return RestMeasurementsReader(self.options)
 
 
-# test/live transport registry (executor-importable by name)
-TRANSPORTS: dict[str, Transport] = {}
+def transport_option(fn: Transport) -> str:
+    """Serialize a transport callable for the string-only DataSource
+    options channel (cloudpickle + base64)."""
+    import base64
+
+    from pyspark import cloudpickle
+
+    return base64.b64encode(cloudpickle.dumps(fn)).decode("ascii")
 
 
 def fake_transport_from_rows(rows: list[dict], page_size: int = 50) -> Transport:

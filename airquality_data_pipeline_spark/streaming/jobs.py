@@ -87,6 +87,28 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    size: str = "2 hours",
+    slide: str = "1 hour",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Overlapping sliding windows (each event lands in size/slide
+    windows); append mode closes a window when the watermark passes
+    its end — the streaming twin of batch q32."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_aggregation(
     events: DataFrame, gap: str = "30 minutes", delay: str = "30 minutes"
 ) -> DataFrame:

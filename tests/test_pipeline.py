@@ -181,3 +181,28 @@ def test_settings_from_env():
     assert s2.sleep_seconds == 60 and s2.live_api and s2.disable_nl
     assert not s2.pl_only_auto
     assert s2.kafka_topic == "aq.test" and s2.retention_days == 3
+
+
+def test_rest_datasource_end_to_end(spark):
+    """The custom Python DataSource through the real read path:
+    spark.read.format('rest_measurements') with a pickled fake transport,
+    3 page shards fetching in parallel, no page overlap."""
+    rows = [
+        {"station_id": f"s{i}", "pollutant": "pm25", "value": float(i),
+         "timestamp": f"2024-01-01T00:{i % 60:02d}:00Z"}
+        for i in range(55)
+    ]
+    transport = rest.fake_transport_from_rows(rows, page_size=10)
+    spark.dataSource.register(rest.RestMeasurementsSource)
+    df = (
+        spark.read.format("rest_measurements")
+        .option("transport_pickle", rest.transport_option(transport))
+        .option("base_url", "fake://api")
+        .option("max_pages", "6")
+        .option("num_shards", "3")
+        .load()
+    )
+    got = df.collect()
+    assert len(got) == 55  # every page exactly once across shards
+    assert {r.station_id for r in got} == {f"s{i}" for i in range(55)}
+    assert all(r.pollutant == "pm25" for r in got)

@@ -124,3 +124,19 @@ def test_sessionize_equals_session_window(spark, sf_dir):
     for r in sw.collect():
         last = last_by_start[(r.user_id, r.start)]
         assert (r.end - last).total_seconds() == 1800
+
+
+def test_sliding_counts_match_batch(spark, sf_dir):
+    utc(spark)
+    stream = jobs.read_events_stream(spark, sf_dir)
+    got = _drain(spark, jobs.sliding_counts(stream))
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got_rows = {r.window_start: r.n_events for r in got.collect()}
+    batch_rows = {r.w.start: r.n_events for r in batch.collect()}
+    assert got_rows
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
