@@ -493,6 +493,49 @@ def q65_nullsafe_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q74: date/interval arithmetic — day differences, interval shifts,
+# ISO-week truncation (all integer/instant-exact cross-engine).
+# --------------------------------------------------------------------------
+@register(
+    "q74_date_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           date_diff('day', o_orderdate, l_shipdate) AS ship_lag_days,
+           epoch_ms(o_orderdate + INTERVAL 30 DAY) AS due_ms,
+           epoch_ms(date_trunc('week', l_shipdate)) AS ship_week_ms,
+           year(l_shipdate) AS ship_year,
+           month(l_shipdate) AS ship_month,
+           dayofweek(l_shipdate) + 1 AS ship_dow
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey <= 50
+    """,
+)
+def q74_date_arithmetic(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+                "ship_lag_days"
+            ),
+            F.unix_millis(
+                (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("timestamp")
+            ).alias("due_ms"),
+            F.unix_millis(
+                F.date_trunc("week", F.col("l_shipdate")).cast("timestamp")
+            ).alias("ship_week_ms"),
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+            F.dayofweek("l_shipdate").alias("ship_dow"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q72: correlated min (TPC-H Q2 shape) — the cheapest line item per
 # part, ties kept. Spark decorrelates to a per-part min + equality join.
 # --------------------------------------------------------------------------
