@@ -493,6 +493,41 @@ def q65_nullsafe_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q75: edit distance — levenshtein between every pair of event types
+# (identical definition in both engines) + padding/translate/repeat
+# string surface.
+# --------------------------------------------------------------------------
+@register(
+    "q75_edit_distance",
+    oracle="""
+    WITH t AS (SELECT DISTINCT event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           levenshtein(a.event_type, b.event_type) AS edit_dist,
+           lpad(a.event_type, 10, '.') AS padded,
+           translate(a.event_type, 'aeiou', 'AEIOU') AS vowels_up,
+           repeat(left(a.event_type, 2), 2) AS doubled
+    FROM t a JOIN t b ON a.event_type < b.event_type
+    """,
+)
+def q75_edit_distance(spark, sf_dir):
+    types = table(spark, sf_dir, "events").select("event_type").distinct()
+    a = types.select(F.col("event_type").alias("type_a"))
+    b = types.select(F.col("event_type").alias("type_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.levenshtein("type_a", "type_b").alias("edit_dist"),
+            F.lpad("type_a", 10, ".").alias("padded"),
+            F.translate("type_a", "aeiou", "AEIOU").alias("vowels_up"),
+            F.repeat(F.substring("type_a", 1, 2), 2).alias("doubled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q74: date/interval arithmetic — day differences, interval shifts,
 # ISO-week truncation (all integer/instant-exact cross-engine).
 # --------------------------------------------------------------------------
