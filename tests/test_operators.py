@@ -93,3 +93,19 @@ def test_cluster_conf_shape():
     assert conf["spark.sql.shuffle.partitions"] == "8000"
     assert int(conf["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
     assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_udtf_tokenize(spark, sf_dir):
+    from airquality_data_pipeline_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "documents").limit(5).createOrReplaceTempView("docs5")
+    got = spark.sql(
+        "SELECT doc_id, t.token, t.idx, t.token_len "
+        "FROM docs5, LATERAL tokenize(text) t"
+    ).collect()
+    assert got
+    # ordinal + length invariants vs a plain split
+    first = [r for r in got if r.doc_id == got[0].doc_id]
+    assert [r.idx for r in first] == list(range(len(first)))
+    assert all(r.token_len == len(r.token) for r in first)
