@@ -493,6 +493,52 @@ def q65_nullsafe_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q76: null semantics in aggregation — SQL-standard null handling must
+# match exactly: aggregates skip nulls, all-null groups yield NULL,
+# count(col) vs count(*) vs count(distinct) differ.
+# --------------------------------------------------------------------------
+@register(
+    "q76_null_aggregates",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN value > 100 THEN NULL ELSE value END AS v,
+             nullif(user_id % 5, 0) AS grp
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(v) AS n_nonnull,
+           COUNT(DISTINCT grp) AS n_groups_nonnull,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           min(v) AS min_v,
+           max(grp) AS max_grp
+    FROM t GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q76_null_aggregates(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.when(F.col("value") > 100, F.lit(None)).otherwise(F.col("value")).alias("v"),
+        F.expr("nullif(user_id % 5, 0)").alias("grp"),
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_nonnull"),
+            F.countDistinct("grp").alias("n_groups_nonnull"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("grp").alias("max_grp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # q75: edit distance — levenshtein between every pair of event types
 # (identical definition in both engines) + padding/translate/repeat
 # string surface.
