@@ -493,6 +493,47 @@ def q65_nullsafe_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q77: RANGE window frame — rolling 1-hour per-user aggregates keyed on
+# the ORDER BY *value* (epoch millis), peers included per SQL standard.
+# --------------------------------------------------------------------------
+@register(
+    "q77_range_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_ms(ts)
+      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q77_range_frame(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    ev = ev.withColumn("ts_ms", F.unix_millis(F.col("ts")))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-3600000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q76: null semantics in aggregation — SQL-standard null handling must
 # match exactly: aggregates skip nulls, all-null groups yield NULL,
 # count(col) vs count(*) vs count(distinct) differ.

@@ -206,3 +206,21 @@ def test_rest_datasource_end_to_end(spark):
     assert len(got) == 55  # every page exactly once across shards
     assert {r.station_id for r in got} == {f"s{i}" for i in range(55)}
     assert all(r.pollutant == "pm25" for r in got)
+
+
+def test_kafka_wire_roundtrip(spark):
+    """K1 both directions: producer side serializes to_json(struct(*));
+    the consumer side must recover the canonical record exactly with
+    from_json on the declared schema."""
+    from pyspark.sql import functions as F
+
+    from airquality_data_pipeline_spark.io import MEASUREMENT_SCHEMA
+
+    bronze = synthetic_measurements(spark, n=25)
+    wire = pipeline.kafka_payload(bronze)
+    decoded = wire.select(
+        F.from_json(F.col("value"), MEASUREMENT_SCHEMA).alias("m")
+    ).select("m.*")
+    orig = sorted(map(tuple, bronze.collect()))
+    back = sorted(map(tuple, decoded.collect()))
+    assert orig == back
