@@ -208,6 +208,69 @@ def test_rest_datasource_end_to_end(spark):
     assert all(r.pollutant == "pm25" for r in got)
 
 
+def test_rest_requests_transport_live_http(spark):
+    """Roadmap gap 1 closed: the requests-backed transport_factory
+    drives the DataSource over real HTTP (local server), including a
+    one-shot 429 that must be absorbed by the backoff loop
+    (reference app/main.py:472-481)."""
+    import http.server
+    import json as _json
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    rows = [
+        {"station_id": f"h{i}", "pollutant": "no2", "value": float(i),
+         "timestamp": "2024-03-01T06:00:00Z"}
+        for i in range(40)
+    ]
+    page_size, hits = 10, {"p2_429": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            page = int(parse_qs(urlparse(self.path).query).get("page", ["1"])[0])
+            if page == 2 and hits["p2_429"] == 0:
+                hits["p2_429"] += 1
+                self.send_response(429)
+                self.end_headers()
+                return
+            start = (page - 1) * page_size
+            body = _json.dumps(
+                {"data": rows[start : start + page_size], "last_page": 4}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spark.dataSource.register(rest.RestMeasurementsSource)
+        df = (
+            spark.read.format("rest_measurements")
+            .option(
+                "transport_factory",
+                "airquality_data_pipeline_spark.sources.rest:"
+                "requests_transport_factory",
+            )
+            .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}/m")
+            .option("max_pages", "4")
+            .option("num_shards", "2")
+            .option("backoff_step_s", "0.05")
+            .load()
+        )
+        got = df.collect()
+        assert len(got) == 40
+        assert {r.station_id for r in got} == {f"h{i}" for i in range(40)}
+        assert hits["p2_429"] == 1  # the 429 was served once and retried
+    finally:
+        srv.shutdown()
+
+
 def test_kafka_wire_roundtrip(spark):
     """K1 both directions: producer side serializes to_json(struct(*));
     the consumer side must recover the canonical record exactly with
