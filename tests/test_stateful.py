@@ -132,3 +132,64 @@ def test_cursor_state_survives_restart(spark, sf_dir):
     # exactly-once file sink: batch 1 NOT replayed, batch 2 filtered by
     # the cursors recovered from the checkpointed state store
     assert total == n_first + b2_pass
+
+
+def test_cursor_state_on_rocksdb(spark, sf_dir):
+    """The same cursor operator on the RocksDB state store provider
+    (jobs.rocksdb_state_conf): correctness must be identical to the
+    default provider, and the state-operator metrics must prove RocksDB
+    actually backed the state (custom rocksdb* metrics present) with one
+    state row per distinct (user_id, event_type) key."""
+    utc(spark)
+    src = _stage_two_batches(spark, sf_dir)
+    saved = {
+        k: spark.conf.get(k, None) for k in jobs.rocksdb_state_conf()
+    }
+    for k, v in jobs.rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = (
+            cursor_filter_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progresses, "no state operator progress recorded"
+        last_state = progresses[-1]["stateOperators"][0]
+        metrics = last_state.get("customMetrics", {})
+        assert any("rocksdb" in m.lower() for m in metrics), metrics
+
+        ev = table(spark, sf_dir, "events")
+        n_keys = ev.select("user_id", "event_type").distinct().count()
+        assert last_state["numRowsTotal"] == n_keys
+
+        # correctness identical to the default-provider test
+        cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+        b1 = ev.where(F.col("ts") < cut)
+        cursors = b1.groupBy("user_id", "event_type").agg(F.max("ts").alias("c"))
+        b2_pass = (
+            ev.where(F.col("ts") >= cut)
+            .join(cursors, ["user_id", "event_type"], "left")
+            .where(F.col("c").isNull() | (F.col("ts") > F.col("c")))
+            .count()
+        )
+        assert spark.sql(f"SELECT * FROM {name}").count() == b1.count() + b2_pass
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
