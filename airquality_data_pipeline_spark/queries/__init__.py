@@ -12,6 +12,7 @@ from airquality_data_pipeline_spark.queries.registry import ORACLE, QUERIES
 from airquality_data_pipeline_spark.queries import relational  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import relational2  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import relational3  # noqa: E402,F401
+from airquality_data_pipeline_spark.queries import advanced  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import pipeline  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import dedup  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import similarity  # noqa: E402,F401

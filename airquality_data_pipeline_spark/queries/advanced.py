@@ -1,0 +1,229 @@
+"""Advanced coverage batch: LLM-training-data preprocessing (document
+chunking, deterministic dataset splits) and sensor-series analytics
+(time-weighted average, gap-fill + LOCF — the air-quality domain's
+bread-and-butter ops the reference never had, SURVEY.md §2.5 "not
+present" rows).
+
+Everything is built from sequence/explode/window/hash primitives so the
+plans stay JVM-side and shuffle only on the natural keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.queries.common import (
+    dec,
+    table,
+    ts_ms,
+    utc,
+)
+from airquality_data_pipeline_spark.queries.registry import register
+
+
+# --------------------------------------------------------------------------
+# q85: sliding-window document chunking — fixed-size char chunks with
+# overlap (stride < size), the standard LLM-corpus preprocessing step.
+# sequence+explode generates chunk starts executor-side; each document's
+# chunks stay in its partition (no shuffle beyond the scan).
+# --------------------------------------------------------------------------
+_CHUNK, _STRIDE = 200, 150
+
+
+@register(
+    "q85_doc_chunking",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(s.i AS INT) AS chunk_idx,
+           CAST(1 + s.i * {_STRIDE} AS INT) AS start_pos,
+           substr(d.text, 1 + s.i * {_STRIDE}, {_CHUNK}) AS chunk,
+           length(substr(d.text, 1 + s.i * {_STRIDE}, {_CHUNK})) AS chunk_len
+    FROM documents d, LATERAL (
+      SELECT unnest(generate_series(
+        0, CAST(floor((length(d.text) - 1) / {_STRIDE}) AS BIGINT))) AS i
+    ) s
+    """,
+)
+def q85_doc_chunking(spark, sf_dir):
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.length("text") - F.lit(1)) / F.lit(_STRIDE))
+    out = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("i"),
+    )
+    start = (F.lit(1) + F.col("i") * F.lit(_STRIDE)).cast("int")
+    chunk = F.substring(F.col("text"), start, F.lit(_CHUNK))
+    return out.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        start.alias("start_pos"),
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q86: deterministic train/val/test split — md5-bucket assignment, the
+# reproducible (engine- and run-independent) alternative to random
+# sampling for dataset curation. Pure per-row hashing: embarrassingly
+# parallel, no shuffle at all.
+# --------------------------------------------------------------------------
+@register(
+    "q86_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q86_hash_split(spark, sf_dir):
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q87: time-weighted average — each reading weighted by how long it was
+# current (lead(ts) - ts); the correct mean for irregularly-sampled
+# sensor series. Last reading per key has no duration and is excluded.
+# One shuffle on user_id shared by the window and the aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q87_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, epoch_ms(ts) AS t, value,
+             lead(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ) - epoch_ms(ts) AS dur
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(dur) AS n_intervals,
+           SUM(dur) AS total_ms,
+           -- weight in EXACT decimal arithmetic: quantize only the small
+           -- double (value), multiply by the integer duration in decimal
+           -- domain. DuckDB's double->decimal/decimal->double casts go
+           -- through float math and mis-round past ~17 significant
+           -- digits, so wide products must never round through double;
+           -- the final cast hops through VARCHAR (correctly rounded).
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * dur) AS VARCHAR)
+                AS DOUBLE) / SUM(dur) AS twa
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q87_time_weighted_avg(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").withColumn("t", F.unix_millis("ts"))
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    d = ev.select(
+        "user_id",
+        "value",
+        (F.lead("t").over(w) - F.col("t")).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count("dur").alias("n_intervals"),
+        F.sum("dur").alias("total_ms"),
+        (
+            F.sum(dec("value") * F.col("dur")).cast("double")
+            / F.sum("dur")
+        ).alias("twa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q88: gap-fill + LOCF — hourly spine per key (sequence of hours between
+# each user's first and last reading) left-joined with observed hourly
+# means, gaps filled by last-observation-carried-forward (IGNORE NULLS
+# running last). The canonical air-quality "sensor went quiet" repair.
+# Spine generation is executor-side; the join shuffles on (user, hour)
+# once, and the fill is a window over the same partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "q88_gapfill_locf",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value
+      FROM events WHERE user_id < 8
+    ), bounds AS (
+      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM ev GROUP BY user_id
+    ), spine AS (
+      SELECT b.user_id, s.h
+      FROM bounds b, LATERAL (
+        SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      ) s
+    ), hourly AS (
+      SELECT user_id, h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+               AS observed
+      FROM ev GROUP BY user_id, h
+    )
+    SELECT s.user_id, epoch_ms(s.h) AS hour_ms, o.observed,
+           last_value(o.observed IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled
+    FROM spine s LEFT JOIN hourly o
+      ON s.user_id = o.user_id AND s.h = o.h
+    """,
+)
+def q88_gapfill_locf(spark, sf_dir):
+    utc(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 8)
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        (F.sum(dec("value")).cast("double") / F.count("value")).alias(
+            "observed"
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            ts_ms("h", "hour_ms"),
+            "observed",
+            F.last("observed", ignorenulls=True).over(w).alias("filled"),
+        )
+    )

@@ -15,6 +15,12 @@ the catalog:
   * Timestamps in outputs become epoch-millis bigints
     (Spark unix_millis == DuckDB epoch_ms; both instant-based).
   * Every computed column is aliased identically on both sides.
+  * Decimal sums wider than ~17 significant digits: DuckDB's
+    CAST(DECIMAL AS DOUBLE) computes int_value * 10^-scale in floating
+    point and is NOT correctly rounded (e.g. 150009782104.930001 ->
+    ...93002), while Spark/Python round correctly. On the DuckDB side
+    hop through VARCHAR (CAST(CAST(x AS VARCHAR) AS DOUBLE) is
+    correctly rounded); sums below 17 digits are unaffected.
 """
 
 from __future__ import annotations
