@@ -309,3 +309,72 @@ def q84_month_spine(spark, sf_dir):
         "o_orderpriority",
         F.date_format("m", "yyyy-MM-dd").alias("month_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# q89: multiset set-ops — EXCEPT ALL / INTERSECT ALL preserve duplicate
+# counts (bag semantics), unlike the distinct set-ops in q14. Spark
+# implements both as a single aggregate on the value columns with
+# count-difference replication — one shuffle, no join.
+# --------------------------------------------------------------------------
+@register(
+    "q89_multiset_ops",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS p, CAST(year(o_orderdate) AS INT) AS y
+      FROM orders WHERE o_totalprice > 150000
+    ), b AS (
+      SELECT o_orderpriority, CAST(year(o_orderdate) AS INT)
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT 'except' AS tag, * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect', * FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    """,
+)
+def q89_multiset_ops(spark, sf_dir):
+    utc(spark)
+    orders = table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderpriority").alias("p"),
+        F.year("o_orderdate").cast("int").alias("y"),
+    )
+    b = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("p"),
+        F.year("o_orderdate").cast("int").alias("y"),
+    )
+    return a.exceptAll(b).select(F.lit("except").alias("tag"), "p", "y").unionAll(
+        a.intersectAll(b).select(F.lit("intersect").alias("tag"), "p", "y")
+    )
+
+
+# --------------------------------------------------------------------------
+# q90: NULLS FIRST ordering + LIMIT/OFFSET pagination — a deterministic
+# page (unique tiebreak key) out of a nullable sort. At scale LIMIT+
+# OFFSET is a global top-(offset+limit) single-partition tail: fine for
+# page-sized k, the documented anti-pattern for deep paging (key-set
+# pagination is the 100 TB answer).
+# --------------------------------------------------------------------------
+@register(
+    "q90_nulls_order_pagination",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+    ORDER BY bal ASC NULLS FIRST, c_custkey
+    LIMIT 50 OFFSET 20
+    """,
+)
+def q90_nulls_order_pagination(spark, sf_dir):
+    utc(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return (
+        cust.orderBy(F.col("bal").asc_nulls_first(), "c_custkey")
+        .offset(20)
+        .limit(50)
+    )
