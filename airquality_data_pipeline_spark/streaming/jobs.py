@@ -207,3 +207,46 @@ def foreach_batch_cursor_commit(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_join(
+    events: DataFrame,
+    lookback: str = "2 hours",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's views from the preceding `lookback`. Both sides carry
+    watermarks, and the time-range predicate bounds the join state: the
+    engine evicts buffered views once the purchase-side watermark passes
+    view_ts + lookback (unbounded-state stream joins are rejected by
+    Spark without these two ingredients).
+
+    The reference has no join of streams (SURVEY.md §2.3 "not present");
+    this is the streaming twin of the q33/q34 as-of/range joins.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", delay)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", delay)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            f"p_user = v_user AND view_ts >= buy_ts - INTERVAL {lookback} "
+            "AND view_ts <= buy_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "p_user", "buy_ts", "view_ts", "view_value")

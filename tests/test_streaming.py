@@ -140,3 +140,47 @@ def test_sliding_counts_match_batch(spark, sf_dir):
     assert got_rows
     for k, v in got_rows.items():
         assert batch_rows[k] == v
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream join (purchases x prior views, 2 h lookback, both
+    sides watermarked) must produce exactly the batch join's matches
+    when the whole source fits in the run (availableNow)."""
+    import uuid
+
+    from airquality_data_pipeline_spark.queries.common import table, utc
+
+    utc(spark)
+    stream = jobs.read_events_stream(spark, sf_dir)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    jobs.run_to_memory(jobs.stream_stream_join(stream), name)
+    got = spark.sql(f"SELECT * FROM {name}")
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("buy_ts"),
+    )
+    expected = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND view_ts >= buy_ts - INTERVAL 2 HOURS "
+            "AND view_ts <= buy_ts"
+        ),
+        "inner",
+    )
+    assert got.count() == expected.count()
+    # spot-check multiset equality on a projection
+    a = sorted(
+        (r.purchase_id, r.view_value) for r in got.collect()
+    )
+    b = sorted(
+        (r.purchase_id, r.view_value) for r in expected.collect()
+    )
+    assert a == b
