@@ -378,3 +378,39 @@ def q90_nulls_order_pagination(spark, sf_dir):
         .offset(20)
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# q91: running DISTINCT count per key — Spark windows don't accept
+# COUNT(DISTINCT) directly; size(collect_set() OVER w) is the idiomatic
+# equivalent (set state is bounded by event-type cardinality, so the
+# window buffer stays tiny even on unbounded frames).
+# --------------------------------------------------------------------------
+@register(
+    "q91_running_distinct",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_types_so_far
+    FROM events WHERE user_id < 25
+    """,
+)
+def q91_running_distinct(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 25)
+    base = ev.select(
+        "event_id", "user_id", "event_type", ts_ms("ts", "ts_ms")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
+    )
