@@ -227,3 +227,102 @@ def q88_gapfill_locf(spark, sf_dir):
             F.last("observed", ignorenulls=True).over(w).alias("filled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q92: discrete percentiles via cume_dist — the smallest value whose
+# cumulative fraction reaches p (an actual data value, unlike the
+# interpolated q37). One window + one aggregate, single shuffle on the
+# group key.
+# --------------------------------------------------------------------------
+@register(
+    "q92_discrete_percentiles",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity,
+             cume_dist() OVER (
+               PARTITION BY l_returnflag ORDER BY l_quantity
+             ) AS cd
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cd >= 0.5 THEN l_quantity END) AS p50_disc,
+           MIN(CASE WHEN cd >= 0.9 THEN l_quantity END) AS p90_disc,
+           MIN(CASE WHEN cd >= 0.99 THEN l_quantity END) AS p99_disc
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q92_discrete_percentiles(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    c = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+    def disc(p, alias):
+        return F.min(
+            F.when(F.col("cd") >= p, F.col("l_quantity"))
+        ).alias(alias)
+
+    return c.groupBy("l_returnflag").agg(
+        disc(0.5, "p50_disc"), disc(0.9, "p90_disc"), disc(0.99, "p99_disc")
+    )
+
+
+# --------------------------------------------------------------------------
+# q93: snapshot diff (CDC tagging) — full-outer join of two dimension
+# snapshots on the key, classifying every row as insert / delete /
+# update; the batch twin of the reference's catalog upsert (K2,
+# app/main.py:633-648) that makes the change set itself queryable.
+# Shuffles once on the key; at scale this IS the MERGE source.
+# --------------------------------------------------------------------------
+@register(
+    "q93_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey AS k, c_acctbal AS v FROM customer
+      WHERE c_custkey % 5 != 0
+    ), new AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10
+                  ELSE c_acctbal END AS v
+      FROM customer WHERE c_custkey % 7 != 0
+    )
+    SELECT COALESCE(o.k, n.k) AS k, o.v AS old_v, n.v AS new_v,
+           CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                ELSE 'update' END AS op
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.v != n.v
+    """,
+)
+def q93_snapshot_diff(spark, sf_dir):
+    utc(spark)
+    cust = table(spark, sf_dir, "customer")
+    old = cust.where(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v")
+    )
+    new = cust.where(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 10)
+        .otherwise(F.col("c_acctbal"))
+        .alias("v"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+        F.col("o.v").alias("old_v"),
+        F.col("n.v").alias("new_v"),
+        F.when(F.col("o.k").isNull(), "insert")
+        .when(F.col("n.k").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+    ).where(
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.v") != F.col("n.v"))
+    )
