@@ -27,23 +27,32 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def with_norm(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    persist: bool = False,
 ) -> DataFrame:
     """Project to (id, v: array<double>, nrm: double).
 
     Fans the input out to full parallelism: embedding fixtures arrive as
     one parquet split, and everything downstream (pairwise folds) is
     CPU-bound — partition count must track cores, not input splits.
-    Persisted: every consumer uses it at least twice (query + candidate
-    sides of a self-join).
+
+    Caching is opt-in (persist=True) and the CALLER owns the lifetime
+    (must unpersist): the default used to persist unconditionally, which
+    leaked one cached frame per similarity query into the shared session
+    (r1 ADVICE). Catalog queries run each plan once, so recomputing the
+    projection costs one extra scan of a frame the small side of which
+    is broadcast anyway.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     v = F.col(vec_col).cast("array<double>")
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         F.sqrt(_dot(v, v)).alias("nrm"),
-    ).persist()
+    )
+    return out.persist() if persist else out
 
 
 def cosine(a_v: Column, a_n: Column, b_v: Column, b_n: Column, scale: int = 6) -> Column:
@@ -121,6 +130,33 @@ LSH_PARAMS: list[tuple[int, int]] = [
 ]
 
 
+def _sig_from_normed(n: DataFrame, n_bits: int, dim: int) -> DataFrame:
+    """(id, v, nrm) -> (id, sig): sign-LSH bit-string signature."""
+    def _plane_component(a: int, b: int):
+        # closure factory: Spark inspects lambda arity, so the (a, b)
+        # constants must be captured by closure, not default args
+        def component(i: Column) -> Column:
+            return (
+                (
+                    (F.lit(a).cast("long") * i.cast("long") + F.lit(b))
+                    % F.lit(LSH_P)
+                ).cast("double")
+                / F.lit(float(LSH_P))
+                - F.lit(0.5)
+            )
+
+        return component
+
+    bit_cols = []
+    for a, b in LSH_PARAMS[:n_bits]:
+        plane = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)), _plane_component(a, b)
+        )
+        proj = F.round(_dot(F.col("v"), plane), 6)
+        bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return n.select(F.col("id"), F.concat(*bit_cols).alias("sig"))
+
+
 def hyperplane_lsh(
     emb: DataFrame,
     n_bits: int = 16,
@@ -133,23 +169,73 @@ def hyperplane_lsh(
     the same candidate bucket — the similarity analog of MinHash
     banding, and the scale path for near-dup mining (bucket equi-join
     instead of all-pairs). Output: (id, sig) with sig a bit-string."""
+    return _sig_from_normed(with_norm(emb, vec_col, id_col), n_bits, dim)
+
+
+def lsh_gated_neardup(
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs at scale: sign-LSH banding generates candidates
+    (pairs sharing ANY band of the signature — an equi-join on
+    (band_idx, band_value)), then EXACT cosine verifies candidates
+    against the threshold. No cross join anywhere: candidate volume is
+    bounded by bucket sizes, and verification touches candidates only.
+
+    This is the 100 TB form of `neardup_pairs` (which stays the
+    brute-force ground-truth twin for recall measurement): all-pairs
+    scoring is O(n²) and dead at scale, while banding keeps every stage
+    an equi-join. band_bits trades recall for candidate volume (more,
+    shorter bands -> higher recall, more candidates).
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold.
+    """
+    assert n_bits % band_bits == 0, "n_bits must split evenly into bands"
+    n_bands = n_bits // band_bits
     n = with_norm(emb, vec_col, id_col)
-    bit_cols = []
-    for j, (a, b) in enumerate(LSH_PARAMS[:n_bits]):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                (
-                    (F.lit(a).cast("long") * i.cast("long") + F.lit(b))
-                    % F.lit(LSH_P)
-                ).cast("double")
-                / F.lit(float(LSH_P))
-                - F.lit(0.5)
-            ),
+    sigs = _sig_from_normed(n, n_bits, dim)
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.substring("sig", j * band_bits + 1, band_bits).alias("bv"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("c"),
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.id") < F.col("c.id")),
         )
-        proj = F.round(_dot(F.col("v"), plane), 6)
-        bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return n.select(F.col("id"), F.concat(*bit_cols).alias("sig"))
+        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .distinct()
+    )
+    x = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    y = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
 
 
 def ivf_assign(

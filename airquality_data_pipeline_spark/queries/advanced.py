@@ -124,7 +124,8 @@ def q86_hash_split(spark, sf_dir):
     )
     SELECT user_id,
            COUNT(dur) AS n_intervals,
-           SUM(dur) AS total_ms,
+           -- DuckDB SUM(BIGINT) -> HUGEINT; cast back to match Spark int64
+           CAST(SUM(dur) AS BIGINT) AS total_ms,
            -- weight in EXACT decimal arithmetic: quantize only the small
            -- double (value), multiply by the integer duration in decimal
            -- domain. DuckDB's double->decimal/decimal->double casts go

@@ -301,10 +301,10 @@ def q29_ragged_union(spark, sf_dir):
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-      SELECT *, SUM(new_sess) OVER (
+      SELECT *, CAST(SUM(new_sess) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS session_id
+      ) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

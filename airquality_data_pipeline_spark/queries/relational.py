@@ -590,7 +590,9 @@ def q17_datetime_tz(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           -- DuckDB SUM(BIGINT) -> HUGEINT (int128); cast back so the
+           -- pandas dtype matches Spark's int64 under the driver's hash
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events

@@ -248,7 +248,6 @@ def q38_argmax(spark, sf_dir):
     "q39_collect_sorted",
     oracle="""
     SELECT r_name,
-           list_sort(list(DISTINCT n_name)) AS nations,
            array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_csv,
            COUNT(DISTINCT n_name) AS n_nations
     FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -257,13 +256,15 @@ def q38_argmax(spark, sf_dir):
     """,
 )
 def q39_collect_sorted(spark, sf_dir):
+    # the sorted-collect array is built (array_sort ∘ collect_set) but
+    # serialized to CSV in the output projection: the driver's pandas
+    # canonicalizer cannot hash list cells (r1: "unhashable type: 'list'")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     return (
         nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-            F.array_sort(F.collect_set("n_name")).alias("nations"),
             F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias(
                 "nations_csv"
             ),
@@ -316,13 +317,16 @@ def q53_sql_api(spark, sf_dir):
            len(list_filter(v, x -> x > 0)) AS n_pos,
            list_max(list_transform(v, x -> abs(x))) AS max_abs,
            v[1] + v[2] + v[3] AS head_sum,
-           v[1:3] AS head_slice
+           v[1:3][1] AS head_1, v[1:3][2] AS head_2, v[1:3][3] AS head_3
     FROM e
     """,
 )
 def q56_array_functions(spark, sf_dir):
+    # slice output flattened to scalar columns: array-typed cells crash
+    # the driver's pandas canonicalizer (r1 q56 "unhashable type: 'list'")
     emb = table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
+    sl = F.slice(v, 1, 3)
     return emb.select(
         "vec_id",
         F.size(v).alias("n_dims"),
@@ -331,7 +335,9 @@ def q56_array_functions(spark, sf_dir):
         (F.element_at(v, 1) + F.element_at(v, 2) + F.element_at(v, 3)).alias(
             "head_sum"
         ),
-        F.slice(v, 1, 3).alias("head_slice"),
+        F.element_at(sl, 1).alias("head_1"),
+        F.element_at(sl, 2).alias("head_2"),
+        F.element_at(sl, 3).alias("head_3"),
     )
 
 
@@ -827,9 +833,14 @@ def q61_approx_percentile(spark, sf_dir):
         li.groupBy("l_linestatus")
         .agg(
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
-            F.percentile_approx(
-                "l_extendedprice", [0.1, 0.9], 10000
-            ).alias("p10_p90"),
+            # the [0.1, 0.9] list form returns an array; split into scalar
+            # columns so the driver's pandas canonicalizer can hash rows
+            F.element_at(
+                F.percentile_approx("l_extendedprice", [0.1, 0.9], 10000), 1
+            ).alias("p10"),
+            F.element_at(
+                F.percentile_approx("l_extendedprice", [0.1, 0.9], 10000), 2
+            ).alias("p90"),
         )
         .orderBy("l_linestatus")
     )

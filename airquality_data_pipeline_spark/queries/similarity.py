@@ -13,7 +13,7 @@ from airquality_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     hyperplane_lsh,
     ivf_topk,
-    neardup_pairs,
+    lsh_gated_neardup,
 )
 from airquality_data_pipeline_spark.queries.common import table
 from airquality_data_pipeline_spark.queries.registry import register
@@ -26,6 +26,10 @@ _NORM_CTE = """
       FROM embeddings
     )
 """
+
+# deterministic sign-LSH hyperplane parameters, shared with the oracle SQL
+_LSH_A = ", ".join(str(a) for a, _ in LSH_PARAMS)
+_LSH_B = ", ".join(str(b) for _, b in LSH_PARAMS)
 
 
 # --------------------------------------------------------------------------
@@ -56,23 +60,56 @@ def q44_cosine_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q45: embedding near-dup pairs: all (a < b) with cosine >= 0.35.
-# Brute force is the verification baseline; at scale the candidate set
-# comes from the IVF buckets (q46) or LSH banding first.
+# q45: embedding near-dup pairs via the SCALE composition: sign-LSH
+# banding (4 bands x 4 bits) generates candidates as an equi-join on
+# (band, band_value); exact cosine then verifies candidates >= 0.35.
+# No cross join in the plan — candidate volume is bucket-bounded, which
+# is the shape that survives 100 TB. The brute-force all-pairs form
+# (operators.similarity.neardup_pairs) stays as the ground-truth twin
+# for recall measurement in tests.
 # --------------------------------------------------------------------------
 @register(
     "q45_embedding_neardup",
     oracle=f"""
-    WITH {_NORM_CTE}
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+    WITH {_NORM_CTE},
+    params AS (
+      SELECT unnest(range(16)) AS j,
+             unnest([{_LSH_A}]) AS a,
+             unnest([{_LSH_B}]) AS b
+    ),
+    proj AS (
+      SELECT n.vec_id AS id, p.j,
+             round(list_dot_product(n.v,
+               list_transform(range(64),
+                 i -> (CAST((p.a * i + p.b) % {LSH_P} AS DOUBLE) / {LSH_P} - 0.5))
+             ), 6) AS d
+      FROM n, params p
+    ),
+    sigs AS (
+      SELECT id,
+             string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+      FROM proj GROUP BY id
+    ),
+    bands AS (
+      SELECT id, bj.band, substring(sig, bj.band * 4 + 1, 4) AS bv
+      FROM sigs, (SELECT unnest(range(4)) AS band) bj
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.bv = c.bv AND a.id < c.id
+    )
+    SELECT cand.id_a, cand.id_b,
+           round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos_sim
+    FROM cand
+    JOIN n x ON cand.id_a = x.vec_id
+    JOIN n y ON cand.id_b = y.vec_id
+    WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.35
     """,
 )
 def q45_embedding_neardup(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
-    return neardup_pairs(emb, threshold=0.35)
+    return lsh_gated_neardup(emb, threshold=0.35, n_bits=16, band_bits=4)
 
 
 # --------------------------------------------------------------------------
@@ -124,10 +161,6 @@ def q46_ivf_topk(spark, sf_dir):
 # integer-derived planes) — the bucket key for near-dup candidate
 # generation at scale (equi-join on sig instead of all pairs).
 # --------------------------------------------------------------------------
-_LSH_A = ", ".join(str(a) for a, _ in LSH_PARAMS)
-_LSH_B = ", ".join(str(b) for _, b in LSH_PARAMS)
-
-
 @register(
     "q47_vector_lsh",
     oracle=f"""
@@ -169,13 +202,15 @@ def q47_vector_lsh(spark, sf_dir):
       SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
     )
     SELECT vec_id, mn, mx,
-           list_transform(v,
+           array_to_string(list_transform(v,
              x -> CAST(round(((x - mn) / (mx - mn)) * 255) AS INTEGER)
-           ) AS q8
+           ), ',') AS q8_csv
     FROM s
     """,
 )
 def q66_embedding_quantize(spark, sf_dir):
+    # int8 codes serialized to CSV in the output projection (int->string
+    # is engine-exact); raw array cells crash the driver's canonicalizer
     emb = table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     s = emb.select(
@@ -189,4 +224,5 @@ def q66_embedding_quantize(spark, sf_dir):
         lambda x: F.round(((x - F.col("mn")) / (F.col("mx") - F.col("mn"))) * 255, 0)
         .cast("int"),
     )
-    return s.select("vec_id", "mn", "mx", q8.alias("q8"))
+    q8_csv = F.array_join(F.transform(q8, lambda x: x.cast("string")), ",")
+    return s.select("vec_id", "mn", "mx", q8_csv.alias("q8_csv"))

@@ -171,7 +171,8 @@ def q52_binary_columns(spark, sf_dir):
       FROM documents
     ),
     tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term)
-    SELECT term, count(*) AS df, sum(tf) AS total_tf, max(tf) AS max_tf
+    -- CAST: DuckDB SUM(BIGINT) -> HUGEINT (float64 in pandas) vs Spark int64
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf, max(tf) AS max_tf
     FROM tf GROUP BY term
     """,
 )

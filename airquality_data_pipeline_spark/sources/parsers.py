@@ -26,18 +26,30 @@ from airquality_data_pipeline_spark.functions.strings import coerce_coord
 def parse_de_station_rows(df: DataFrame, json_col: str = "raw") -> DataFrame:
     """DE catalog rows: positional array OR keyed object, one JSON text
     per row. Both candidate parses run; coalesce picks whichever shape
-    matched (from_json is permissive -> null on mismatch)."""
+    matched (from_json is permissive -> null on mismatch).
+
+    The reference's dict branch reads latitude/longitude keys
+    (app/main.py:391-394); lat/lon are accepted as lenient aliases. The
+    display name falls back to the city when absent (main.py:408:
+    ``location_name = name or city``)."""
     as_list = F.from_json(F.col(json_col), "array<string>")
     as_obj = F.from_json(
         F.col(json_col),
-        "struct<id:string, name:string, city:string, lat:string, lon:string>",
+        "struct<id:string, name:string, city:string,"
+        " latitude:string, longitude:string, lat:string, lon:string>",
     )
+    name = F.coalesce(as_obj["name"], F.element_at(as_list, 3))
+    city = F.coalesce(as_obj["city"], F.element_at(as_list, 4))
     return df.select(
         F.coalesce(as_obj["id"], F.element_at(as_list, 1)).alias("station_id"),
-        F.coalesce(as_obj["name"], F.element_at(as_list, 3)).alias("location_name"),
-        F.coalesce(as_obj["city"], F.element_at(as_list, 4)).alias("city"),
-        coerce_coord(F.coalesce(as_obj["lat"], F.element_at(as_list, 9))).alias("lat"),
-        coerce_coord(F.coalesce(as_obj["lon"], F.element_at(as_list, 8))).alias("lon"),
+        F.coalesce(name, city).alias("location_name"),
+        city.alias("city"),
+        coerce_coord(
+            F.coalesce(as_obj["latitude"], as_obj["lat"], F.element_at(as_list, 9))
+        ).alias("lat"),
+        coerce_coord(
+            F.coalesce(as_obj["longitude"], as_obj["lon"], F.element_at(as_list, 8))
+        ).alias("lon"),
     ).where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
 
 

@@ -48,7 +48,9 @@ class RestSourceConfig:
 
 
 class BudgetExceeded(RuntimeError):
-    pass
+    """Kept for API compatibility; fetch_paginated no longer raises it —
+    budget exhaustion returns partial results like the reference
+    (app/main.py:465-470 logs and returns what it has)."""
 
 
 def fetch_paginated(
@@ -58,23 +60,31 @@ def fetch_paginated(
     first_page: int = 1,
 ) -> Iterator[dict]:
     """Paginated fetch loop with request budget + incremental backoff —
-    the executor-side core of the DataSource. Yields raw row dicts."""
+    the executor-side core of the DataSource. Yields raw row dicts.
+
+    Budget semantics match the reference (app/main.py:465-470): when the
+    request budget runs out, iteration STOPS and already-fetched rows
+    stand — raising here would fail the Spark task and discard them.
+    Every transport attempt (including 429-rejected ones) counts against
+    the budget, mirroring the reference's per-request counter."""
     spent = 0
     for page in range(first_page, cfg.max_pages + 1):
         if spent >= cfg.request_budget:
-            raise BudgetExceeded(f"request budget {cfg.request_budget} exhausted")
+            return  # partial results; reference logs-and-returns here
         body = None
         for attempt in range(cfg.max_retries + 1):
             try:
+                spent += 1
                 body = transport(
                     cfg.base_url, {**(params or {}), cfg.page_param: page}
                 )
-                spent += 1
                 break
             except RateLimited:
+                if attempt >= cfg.max_retries:
+                    raise RateLimited(f"retries exhausted on page {page}")
+                if spent >= cfg.request_budget:
+                    return  # budget gone mid-retry: keep what we have
                 time.sleep(cfg.backoff_step_s * (attempt + 1))
-        if body is None:
-            raise RateLimited(f"retries exhausted on page {page}")
         rows = body.get("data", [])
         yield from rows
         if cfg.inter_request_sleep_s:

@@ -37,28 +37,55 @@ CREATE TABLE IF NOT EXISTS ingestion_cursors (
 )
 """
 
-# COALESCE-merge: never overwrite a non-null value with null
-STATIONS_UPSERT = """
+# Dialect-parameterized conflict SQL. The canonical target is Postgres
+# (the reference's psycopg executemany strings, app/main.py:636-644 and
+# :258-268, reproduced verbatim in structure); SQLite is the executable
+# stand-in in this environment — same ON CONFLICT dialect, with two
+# mechanical substitutions: %s placeholders -> ? and GREATEST -> MAX
+# (SQLite's scalar max() is the 2-arg GREATEST analog).
+_DIALECTS = {
+    "postgres": {"ph": "%s", "greatest": "GREATEST"},
+    "sqlite": {"ph": "?", "greatest": "MAX"},
+}
+
+
+def stations_upsert_sql(dialect: str = "sqlite") -> str:
+    """K2 COALESCE-merge: never overwrite a non-null value with null.
+    Matches reference app/main.py:636-644: on conflict only country,
+    city, location_name, lat, lon are updated — source is deliberately
+    left as first-written."""
+    d = _DIALECTS[dialect]
+    ph = ", ".join([d["ph"]] * 7)
+    return f"""
 INSERT INTO stations (station_id, source, country, city, location_name, lat, lon)
-VALUES (?, ?, ?, ?, ?, ?, ?)
+VALUES ({ph})
 ON CONFLICT (station_id) DO UPDATE SET
-  source        = COALESCE(excluded.source, stations.source),
-  country       = COALESCE(excluded.country, stations.country),
-  city          = COALESCE(excluded.city, stations.city),
-  location_name = COALESCE(excluded.location_name, stations.location_name),
-  lat           = COALESCE(excluded.lat, stations.lat),
-  lon           = COALESCE(excluded.lon, stations.lon)
+  country       = COALESCE(EXCLUDED.country, stations.country),
+  city          = COALESCE(EXCLUDED.city, stations.city),
+  location_name = COALESCE(EXCLUDED.location_name, stations.location_name),
+  lat           = COALESCE(EXCLUDED.lat, stations.lat),
+  lon           = COALESCE(EXCLUDED.lon, stations.lon)
 """
 
-# GREATEST-merge: cursors only ever advance (ISO-8601 text compares
-# lexicographically = chronologically)
-CURSORS_UPSERT = """
+
+def cursors_upsert_sql(dialect: str = "sqlite") -> str:
+    """K3 GREATEST-merge: cursors only ever advance (ISO-8601 text
+    compares lexicographically = chronologically). Matches reference
+    app/main.py:258-268."""
+    d = _DIALECTS[dialect]
+    ph = ", ".join([d["ph"]] * 4)
+    return f"""
 INSERT INTO ingestion_cursors (source, station_id, pollutant, last_observed_at)
-VALUES (?, ?, ?, ?)
+VALUES ({ph})
 ON CONFLICT (source, station_id, pollutant) DO UPDATE SET
-  last_observed_at = MAX(ingestion_cursors.last_observed_at,
-                         excluded.last_observed_at)
+  last_observed_at = {d["greatest"]}(ingestion_cursors.last_observed_at,
+                                     EXCLUDED.last_observed_at)
 """
+
+
+# executable (SQLite) forms used by the foreachBatch sinks below
+STATIONS_UPSERT = stations_upsert_sql("sqlite")
+CURSORS_UPSERT = cursors_upsert_sql("sqlite")
 
 
 def upsert_catalog_batch(

@@ -55,17 +55,28 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # r1 post-mortem: the 90-entry queries map made the headline JSON line
+    # long enough to be truncated in the driver's stdout capture
+    # ("parsed": null in BENCH_r01.json). Emit a SHORT first line the
+    # driver can always parse; the full per-query map goes to a sidecar
+    # file and a second stdout line for human inspection.
+    queries_file = str(Path(REPO_ROOT) / "bench_queries.json")
+    with open(queries_file, "w") as f:
+        json.dump(timings, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "n_queries": len(timings),
+                "queries_file": queries_file,
             }
-        )
+        ),
+        flush=True,
     )
+    print(json.dumps({"queries": timings}), flush=True)
 
 
 if __name__ == "__main__":

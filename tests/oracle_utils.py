@@ -53,6 +53,38 @@ def duck_rows(con, sql):
     return cur.fetchall(), cols
 
 
+def _dtype_problems(spark_df, duck_con, oracle_sql_text):
+    """Replicate the driver's pandas-level sensitivity: it converts both
+    results to pandas and value-hashes them, so (a) list/array cells crash
+    its canonicalizer ("unhashable type: 'list'") and (b) dtype-kind drift
+    (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64/object vs Spark int64)
+    hash-mismatches even when Python-level values are equal."""
+    s_pdf = spark_df.toPandas()
+    d_pdf = duck_con.execute(oracle_sql_text).df()
+    d_by_lower = {c.lower(): c for c in d_pdf.columns}
+    problems = []
+    for c in s_pdf.columns:
+        dc = d_by_lower.get(c.lower())
+        if dc is None:
+            continue  # schema mismatch reported elsewhere
+        for eng, series in (("spark", s_pdf[c]), ("duck", d_pdf[dc])):
+            if series.dtype.kind == "O" and any(
+                isinstance(v, (list, tuple, dict, set)) or hasattr(v, "__array__")
+                for v in series.head(50)
+            ):
+                problems.append(
+                    f"column {c}: {eng} side has unhashable container values "
+                    "(driver canonicalizer crash) — serialize to string/scalars"
+                )
+        sk, dk = s_pdf[c].dtype.kind, d_pdf[dc].dtype.kind
+        if sk != dk:
+            problems.append(
+                f"column {c}: pandas dtype kind mismatch spark={s_pdf[c].dtype} "
+                f"duck={d_pdf[dc].dtype} (driver value-hash will differ)"
+            )
+    return problems
+
+
 def compare(spark_df, duck_con, oracle_sql_text):
     s_rows, s_cols = spark_rows(spark_df)
     d_rows, d_cols = duck_rows(duck_con, oracle_sql_text)
@@ -60,6 +92,7 @@ def compare(spark_df, duck_con, oracle_sql_text):
     if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, d_cols)):
         problems.append(f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
+    problems.extend(_dtype_problems(spark_df, duck_con, oracle_sql_text))
     if len(s_rows) != len(d_rows):
         problems.append(f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}")
     s_norm = _normalize(s_rows, [c.lower() for c in s_cols])

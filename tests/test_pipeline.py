@@ -86,13 +86,11 @@ def test_rest_fetch_paginated_budget_and_backoff():
     got = list(rest.fetch_paginated(cfg, transport))
     assert len(got) == 55
 
-    # budget enforcement
+    # budget enforcement: partial results, not an exception (reference
+    # app/main.py:465-470 returns what it has when the limit is hit)
     cfg_tight = rest.RestSourceConfig(base_url="fake://api", max_pages=10, request_budget=1)
-    try:
-        list(rest.fetch_paginated(cfg_tight, transport))
-        raise AssertionError("expected BudgetExceeded")
-    except rest.BudgetExceeded:
-        pass
+    got_partial = list(rest.fetch_paginated(cfg_tight, transport))
+    assert len(got_partial) == 20  # exactly one page fetched, then stop
 
     # 429 retry with eventual success
     calls = {"n": 0}
@@ -105,6 +103,27 @@ def test_rest_fetch_paginated_budget_and_backoff():
                                       backoff_step_s=0.0)
     got = list(rest.fetch_paginated(cfg_retry, flaky))
     assert len(got) == 20 and calls["n"] == 3
+
+    # failed 429 attempts consume budget: 3-request budget admits the two
+    # rejected attempts plus one success on page 1, then stops before p2
+    calls["n"] = 0
+    cfg_flaky_budget = rest.RestSourceConfig(
+        base_url="fake://api", max_pages=10, request_budget=3, backoff_step_s=0.0
+    )
+    got = list(rest.fetch_paginated(cfg_flaky_budget, flaky))
+    assert len(got) == 20 and calls["n"] == 3
+
+    # retries exhausted still raises (permanent 429 wall)
+    def always_429(url, params):
+        raise rest.RateLimited("429")
+    cfg_wall = rest.RestSourceConfig(base_url="fake://api", max_pages=1,
+                                     max_retries=2, backoff_step_s=0.0,
+                                     request_budget=100)
+    try:
+        list(rest.fetch_paginated(cfg_wall, always_429))
+        raise AssertionError("expected RateLimited")
+    except rest.RateLimited:
+        pass
 
 
 def test_one_shot_jobs(spark):

@@ -83,3 +83,29 @@ def test_two_cycle_roundtrip(spark):
     second = one_cycle()
     assert first > 0
     assert second == 0  # everything already covered by committed cursors
+
+
+def test_postgres_dialect_sql_text():
+    """Pin the EXACT Postgres SQL a deployment would execute (the
+    reference's psycopg strings, app/main.py:636-644 / :258-268): psycopg
+    %s placeholders, GREATEST (not SQLite MAX), same conflict targets,
+    and source deliberately absent from the stations update set."""
+    pg_stations = sinks.stations_upsert_sql("postgres")
+    assert "VALUES (%s, %s, %s, %s, %s, %s, %s)" in pg_stations
+    assert "ON CONFLICT (station_id) DO UPDATE SET" in pg_stations
+    for col in ("country", "city", "location_name", "lat", "lon"):
+        assert f"{col}" in pg_stations and f"EXCLUDED.{col}" in pg_stations
+    assert "EXCLUDED.source" not in pg_stations  # ref leaves source as-is
+
+    pg_cursors = sinks.cursors_upsert_sql("postgres")
+    assert "VALUES (%s, %s, %s, %s)" in pg_cursors
+    assert "ON CONFLICT (source, station_id, pollutant) DO UPDATE SET" in pg_cursors
+    assert "GREATEST(ingestion_cursors.last_observed_at" in pg_cursors
+    assert "MAX(" not in pg_cursors
+
+    # the executable SQLite twins differ ONLY by the two mechanical
+    # substitutions — proving the tested path runs the reference SQL
+    assert sinks.stations_upsert_sql("sqlite") == pg_stations.replace("%s", "?")
+    assert sinks.cursors_upsert_sql("sqlite") == pg_cursors.replace(
+        "%s", "?"
+    ).replace("GREATEST", "MAX")
