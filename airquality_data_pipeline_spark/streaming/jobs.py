@@ -138,6 +138,64 @@ def kafka_shaped(df: DataFrame) -> DataFrame:
     )
 
 
+def kafka_writer_config(
+    topic: str,
+    bootstrap_servers: str,
+    sasl_username: str | None = None,
+    sasl_password: str | None = None,
+    security_protocol: str = "SASL_SSL",
+    sasl_mechanism: str = "PLAIN",
+) -> dict[str, str]:
+    """K1: the EXACT .writeStream.format('kafka') options a deployment
+    sets — the Structured Streaming translation of the reference's
+    kafka-python producer (app/main.py:280-304):
+
+      reference KafkaProducer kwarg      -> Spark writer option
+      bootstrap_servers (comma list)     -> kafka.bootstrap.servers
+      security_protocol ('SASL_SSL')     -> kafka.security.protocol
+      sasl_mechanism ('PLAIN')           -> kafka.sasl.mechanism
+      sasl_plain_username/password       -> kafka.sasl.jaas.config
+      value_serializer=json.dumps        -> kafka_shaped() value column
+      per-record future.get(timeout=10)  -> kafka.acks=all + task commit
+                                            (app/main.py:1174-1180; Spark
+                                            flushes and waits at task
+                                            commit = same at-least-once)
+
+    The payload schema contract is kafka_shaped(): key string, value
+    string (JSON body). Executing this sink needs the
+    spark-sql-kafka-0-10 connector jar + a broker, neither present in
+    this environment — the options and wire format are pinned by
+    tests/test_streaming.py so a deployment only adds the jar:
+
+      spark.readStream... -> kafka_shaped(df).writeStream
+        .format("kafka").options(**kafka_writer_config(...))
+        .option("checkpointLocation", ...).start()
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        # reference waits on every record's future -> full-ack durability
+        "kafka.acks": "all",
+    }
+    if sasl_username and sasl_password:
+        # reference upgrades PLAINTEXT to SASL_SSL when creds are present
+        # (app/main.py:289-291)
+        if security_protocol.upper() == "PLAINTEXT":
+            security_protocol = "SASL_SSL"
+        opts.update(
+            {
+                "kafka.security.protocol": security_protocol,
+                "kafka.sasl.mechanism": sasl_mechanism,
+                "kafka.sasl.jaas.config": (
+                    "org.apache.kafka.common.security.plain.PlainLoginModule "
+                    f'required username="{sasl_username}" '
+                    f'password="{sasl_password}";'
+                ),
+            }
+        )
+    return opts
+
+
 def rocksdb_state_conf() -> dict[str, str]:
     """State-store config for production-scale stateful streaming.
 

@@ -82,6 +82,39 @@ def test_kafka_shaped_payload(spark, sf_dir):
         assert {"event_id", "user_id", "event_type"} <= set(body)
 
 
+def test_kafka_writer_config_pins_reference_producer(spark, sf_dir):
+    """No connector jar/broker in this environment, so pin the exact
+    production writer: every reference KafkaProducer kwarg
+    (app/main.py:283-299) must map to its Spark kafka-sink option, and
+    the payload schema must be the connector's required (key, value)
+    string contract."""
+    # plaintext (no creds): minimal option set
+    plain = jobs.kafka_writer_config("airq", "b1:9092,b2:9092")
+    assert plain == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "topic": "airq",
+        "kafka.acks": "all",
+    }
+
+    # SASL creds present: reference upgrades PLAINTEXT -> SASL_SSL
+    sasl = jobs.kafka_writer_config(
+        "airq", "b1:9092", sasl_username="u", sasl_password="p",
+        security_protocol="PLAINTEXT",
+    )
+    assert sasl["kafka.security.protocol"] == "SASL_SSL"
+    assert sasl["kafka.sasl.mechanism"] == "PLAIN"
+    assert (
+        sasl["kafka.sasl.jaas.config"]
+        == "org.apache.kafka.common.security.plain.PlainLoginModule "
+        'required username="u" password="p";'
+    )
+
+    # wire contract: the kafka sink requires key/value (string|binary)
+    utc(spark)
+    shaped = jobs.kafka_shaped(jobs.read_events_stream(spark, sf_dir))
+    assert dict(shaped.dtypes) == {"key": "string", "value": "string"}
+
+
 def test_foreach_batch_commit_after_emit(spark, sf_dir):
     utc(spark)
     stream = jobs.read_events_stream(spark, sf_dir)
