@@ -157,3 +157,71 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(canon).alias("fingerprint"),
         F.size(F.array_distinct(toks)).alias("vocab_size"),
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Within-document n-gram repetition: total vs distinct word
+    n-grams and the duplicate ratio — the standard repetition quality
+    filter for LLM corpora (a doc whose n-grams repeat heavily is
+    boilerplate/spam; cf. Gopher/MassiveText repetition rules).
+
+    Pure per-row array arithmetic: no shuffle at any scale.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.size(toks) - F.lit(n - 1)
+    shingles = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(shingles)
+    distinct = F.size(F.array_distinct(shingles))
+    dup_ratio = F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct_ngrams"),
+        dup_ratio.alias("dup_ratio"),
+    )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, min_df: int = 10
+) -> DataFrame:
+    """Corpus-wide boilerplate contamination per document: an n-gram
+    appearing in >= min_df distinct documents is 'boilerplate'
+    (navigation chrome, license headers, templates — the C4/RefinedWeb
+    line-dedup signal at n-gram granularity); each document reports how
+    many of its distinct n-grams are boilerplate and the ratio.
+
+    Scale shape: shingle doc-frequencies are one map-side-partial
+    groupBy on the shingle; the join back to per-doc shingles reuses
+    that hash partitioning; the per-doc rollup is a second partial agg.
+    No broadcast of the (large) shingle-frequency side is attempted.
+    """
+    from airquality_data_pipeline_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_boiler"),
+            F.round(
+                F.sum((F.col("df") >= min_df).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )

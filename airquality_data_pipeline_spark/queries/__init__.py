@@ -80,6 +80,11 @@ _PRIORITY = [
     "q39_collect_sorted",
     "q56_array_functions",
     "q61_approx_percentile",
+    # new in r2 (LLM-pipeline ops) — never driver-checked
+    "q94_stratified_sample",
+    "q95_repetition_filter",
+    "q96_canonical_docs",
+    "q97_boilerplate_ngrams",
 ]
 
 

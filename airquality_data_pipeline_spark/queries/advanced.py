@@ -327,3 +327,37 @@ def q93_snapshot_diff(spark, sf_dir):
         | F.col("n.k").isNull()
         | (F.col("o.v") != F.col("n.v"))
     )
+
+
+# --------------------------------------------------------------------------
+# q94: deterministic stratified sampling — per-language keep quotas via
+# md5 bucketing (downsample the dominant language, keep the tail), the
+# reproducible corpus-rebalancing step of an LLM data pipeline. Same
+# zero-shuffle hash idiom as q86; the quota map is a CASE expression.
+# --------------------------------------------------------------------------
+@register(
+    "q94_stratified_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS INT) AS bucket
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+    """,
+)
+def q94_stratified_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    quota = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(60))
+    return (
+        docs.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
+        .where(F.col("bucket") < quota)
+    )

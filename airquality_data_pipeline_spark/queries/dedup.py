@@ -306,3 +306,87 @@ def q63_ml_minhash_lsh(spark, sf_dir):
             F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q96: canonical document per near-dup cluster — the step after
+# clustering in an LLM dedup pipeline: among docs sharing a MinHash
+# signature (q67's clusters), keep the HIGHEST-QUALITY one (quality
+# from q49's fixed scoring tree), ties broken by lowest doc id.
+# argmax via max(struct(quality, -id)): one extra broadcast-sized join
+# against the quality features, same single groupBy as q67.
+# --------------------------------------------------------------------------
+_QUALITY_SQL = """
+    q AS (
+      SELECT doc_id,
+             least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+             + least((CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it|that|for)\\b')) AS DOUBLE)
+                      / CAST(greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS DOUBLE)) * 5.0, 1.0) * 0.3
+             + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                             / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0)) * 0.2
+             + (1.0 - least((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                             / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0)) * 0.1
+               AS quality
+      FROM documents
+    )
+"""
+
+
+@register(
+    "q96_canonical_docs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    ),
+    params AS (
+      SELECT unnest(range({_NUM_HASHES})) AS seed,
+             unnest([{_A_SQL}]) AS a,
+             unnest([{_B_SQL}]) AS b
+    ),
+    mh_long AS (
+      SELECT id, p.seed, min((p.a * h + p.b) % {MINHASH_P}) AS mh
+      FROM hashed, params p GROUP BY id, p.seed
+    ),
+    sig AS (
+      SELECT id, string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed) AS sig
+      FROM mh_long GROUP BY id
+    ),
+    {_QUALITY_SQL}
+    SELECT (max(struct_pack(qq := quality, nid := -id))).nid * -1 AS canonical_id,
+           count(*) AS n_docs,
+           round((max(struct_pack(qq := quality, nid := -id))).qq, 6)
+             AS canonical_quality
+    FROM sig JOIN q ON sig.id = q.doc_id
+    GROUP BY sig HAVING count(*) >= 2
+    """,
+)
+def q96_canonical_docs(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.text import quality_features
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    sig_key = F.concat_ws(
+        ":", *[F.col(f"mh_{i}").cast("string") for i in range(_NUM_HASHES)]
+    )
+    quality = quality_features(docs, text_col="text", id_col="doc_id").select(
+        F.col("doc_id").alias("id"), "quality"
+    )
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("qq"), (F.lit(0) - F.col("id")).alias("nid")
+        )
+    )
+    return (
+        sigs.select("id", sig_key.alias("sig"))
+        .join(quality, "id")
+        .groupBy("sig")
+        .agg(
+            (best["nid"] * F.lit(-1)).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(best["qq"], 6).alias("canonical_quality"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select("canonical_id", "n_docs", "canonical_quality")
+    )

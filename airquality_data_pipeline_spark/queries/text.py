@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.operators.text import (
     LANG_MARKERS,
+    boilerplate_ngram_stats,
     fingerprint,
     language_id,
     quality_features,
+    repetition_features,
     term_stats,
     tfidf_vectors,
     token_counts,
@@ -189,3 +191,79 @@ def q54_term_stats(spark, sf_dir):
 def q62_tfidf(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return tfidf_vectors(docs, text_col="text", id_col="doc_id", min_df=2)
+
+
+# --------------------------------------------------------------------------
+# q95: within-document n-gram repetition filter — the Gopher-style
+# repetition quality rule: total vs distinct word 3-grams per doc and
+# the duplicate ratio, plus the keep/drop verdict at a 0.5 ratio.
+# Pure per-row array arithmetic: zero shuffle at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "q95_repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+2], ' '))
+                  ELSE [] END AS sh
+      FROM t
+    )
+    SELECT doc_id,
+           len(sh) AS n_ngrams,
+           len(list_distinct(sh)) AS n_distinct_ngrams,
+           CASE WHEN len(sh) > 0
+                THEN round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                                 / CAST(len(sh) AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_ratio,
+           CASE WHEN len(sh) > 0
+                THEN round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                                 / CAST(len(sh) AS DOUBLE), 6)
+                ELSE 0.0 END <= 0.5 AS keep
+    FROM g
+    """,
+)
+def q95_repetition_filter(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    feats = repetition_features(docs, text_col="text", id_col="doc_id", n=3)
+    return feats.withColumn("keep", F.col("dup_ratio") <= 0.5)
+
+
+# --------------------------------------------------------------------------
+# q97: corpus-wide boilerplate n-grams — a 3-gram present in >= 10
+# distinct documents is boilerplate (template/navigation text); each doc
+# reports its contamination count + ratio (the C4/RefinedWeb shared-text
+# removal signal at n-gram granularity).
+# --------------------------------------------------------------------------
+@register(
+    "q97_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT id, count(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           round(CAST(SUM(CASE WHEN df >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+    FROM sh JOIN dfreq USING (shingle)
+    GROUP BY id
+    """,
+)
+def q97_boilerplate_ngrams(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(
+        docs, text_col="text", id_col="doc_id", n=3, min_df=10
+    )

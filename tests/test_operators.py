@@ -109,3 +109,48 @@ def test_udtf_tokenize(spark, sf_dir):
     first = [r for r in got if r.doc_id == got[0].doc_id]
     assert [r.idx for r in first] == list(range(len(first)))
     assert all(r.token_len == len(r.token) for r in first)
+
+
+def test_repetition_features_edges(spark):
+    from airquality_data_pipeline_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 3-grams, 3 distinct -> dup
+            (2, "one two three four"),  # 2 distinct 3-grams, no repeats
+            (3, "x y"),                 # shorter than n -> zero ngrams
+            (4, ""),                    # empty text
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r for r in repetition_features(df, "text", "id").collect()}
+    assert (got[1].n_ngrams, got[1].n_distinct_ngrams) == (7, 3)
+    assert got[1].dup_ratio == round(1 - 3 / 7, 6)
+    assert got[2].dup_ratio == 0.0
+    assert (got[3].n_ngrams, got[3].dup_ratio) == (0, 0.0)
+    assert got[4].n_ngrams == 0
+
+
+def test_boilerplate_ngram_stats(spark):
+    from airquality_data_pipeline_spark.operators.text import (
+        boilerplate_ngram_stats,
+    )
+
+    # "common phrase here" appears in all 3 docs -> boilerplate at
+    # min_df=3; each doc also has a unique 3-gram
+    df = spark.createDataFrame(
+        [
+            (1, "common phrase here alpha beta gamma"),
+            (2, "common phrase here delta epsilon zeta"),
+            (3, "common phrase here eta theta iota"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: r
+        for r in boilerplate_ngram_stats(df, "text", "id", n=3, min_df=3).collect()
+    }
+    for i in (1, 2, 3):
+        assert got[i].n_shingles == 4  # 6 tokens -> 4 3-grams
+        assert got[i].n_boiler == 1    # only the shared leading 3-gram
+        assert got[i].boiler_ratio == 0.25
