@@ -275,36 +275,59 @@ def q71_neardup_components(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # q63: pyspark.ml MinHashLSH pipeline (Tokenizer -> HashingTF ->
-# MinHashLSH.approxSimilarityJoin) — the library alternative to the
-# hand-rolled q41. Rows-only: the ml hash family is seeded JVM-side and
-# not reproducible in SQL. Runs on a 1-in-10 sample: approxSimilarityJoin
-# materializes exploded hash buckets and is the demonstrative (not the
-# scale) path here — q41's banding form is the production route.
+# MinHashLSH.transform) — the library alternative to the hand-rolled
+# q41. Rows-only: the ml hash family is seeded JVM-side and not
+# reproducible in SQL.
+#
+# r2: candidate generation is OUR banding equi-join over the model's
+# hash values ((table_idx, hash) as the bucket key) on the FULL corpus —
+# r1 used model.approxSimilarityJoin, which materializes exploded hash
+# buckets through a join it plans itself (215 s at sf0.1 unsampled,
+# hence a 1-in-10 sample). Same library signatures, same candidate
+# semantics (pairs agreeing on >= 1 hash table), but the join is an
+# explicit equi-join Catalyst shuffles on the bucket key — the q41
+# shape, so no sampling needed.
 # --------------------------------------------------------------------------
 @register("q63_ml_minhash_lsh")
 def q63_ml_minhash_lsh(spark, sf_dir):
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+    from pyspark.ml.functions import vector_to_array
 
-    docs = (
-        table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 10 == 0)
-        .select("doc_id", "text")
-    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     tok = Tokenizer(inputCol="text", outputCol="words")
-    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16)
-    feat = tf.transform(tok.transform(docs))
+    # 3-gram shingles, matching q41: single tokens are degenerate on a
+    # small-vocabulary corpus (every doc contains nearly every word, so
+    # token-level MinHash makes ALL pairs candidates)
+    ng = NGram(n=3, inputCol="words", outputCol="shingles")
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 16
+    )
+    feat = tf.transform(ng.transform(tok.transform(docs)))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8,
                      seed=42)
     model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
+    hashed = model.transform(feat).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.col("hashes"),
+                lambda v: vector_to_array(v)[0].cast("long"),
+            )
+        ).alias("table_idx", "h"),
+    )
     return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_tables"))
     )
 
 
