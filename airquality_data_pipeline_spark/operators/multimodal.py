@@ -140,3 +140,45 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(op, schema=out_schema)
+
+
+def resize_image(df: DataFrame, height: int = 4, width: int = 4) -> DataFrame:
+    """Image-resize stub over mapInPandas: produce a fixed (height x
+    width) grid per payload — the deterministic fake maps evenly-spaced
+    byte windows to their mean (a real deployment swaps the window-mean
+    for PIL's `Image.resize` after decode; schema, batching and output
+    shape are identical). Output: item_id, grid (height*width floats,
+    row-major), n_bytes."""
+    out_schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType(), False),
+            T.StructField("grid", T.ArrayType(T.FloatType()), True),
+            T.StructField("n_bytes", T.IntegerType(), True),
+        ]
+    )
+    cells = height * width
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grids = []
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) == 0:
+                    grids.append([0.0] * cells)
+                    continue
+                step = max(len(payload) // cells, 1)
+                grid = []
+                for i in range(cells):
+                    window = payload[i * step:(i + 1) * step] or payload[-1:]
+                    grid.append(sum(window) / float(len(window)))
+                grids.append(grid)
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "grid": grids,
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(op, schema=out_schema)

@@ -85,6 +85,7 @@ _PRIORITY = [
     "q95_repetition_filter",
     "q96_canonical_docs",
     "q97_boilerplate_ngrams",
+    "q98_sequence_packing",
 ]
 
 

@@ -361,3 +361,74 @@ def q94_stratified_sample(spark, sf_dir):
         docs.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
         .where(F.col("bucket") < quota)
     )
+
+
+# --------------------------------------------------------------------------
+# q98: sequence packing — assign documents to fixed-token-budget bins
+# (the concat-then-chunk pretraining batch construction). Global greedy
+# packing is inherently sequential, so the scale design packs WITHIN
+# md5-derived buckets: each bucket is an independent stream ordered by
+# doc id, packed by cumulative-token floor — embarrassingly parallel
+# across buckets (one shuffle on the bucket key), deterministic, and
+# reproducible on any engine.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+_PACK_BUCKETS = 32
+
+
+@register(
+    "q98_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_PACK_BUCKETS} AS bucket,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, CAST(bucket AS INT) AS bucket, n_tokens,
+             -- CAST: DuckDB windowed SUM(BIGINT) -> HUGEINT vs Spark int64
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tokens_before
+      FROM t
+    )
+    SELECT doc_id, bucket, n_tokens, tokens_before,
+           -- // : DuckDB's / on integers is FLOAT division (and CAST
+           -- rounds-to-nearest, not floor)
+           tokens_before // {_PACK_BUDGET} AS bin_id
+    FROM c
+    """,
+)
+def q98_sequence_packing(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _PACK_BUCKETS
+    ).cast("int")
+    t = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "doc_id", bucket.alias("bucket"), n_tokens.alias("n_tokens")
+    ).withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return c.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "tokens_before",
+        F.floor(F.col("tokens_before") / F.lit(_PACK_BUDGET)).alias("bin_id"),
+    )

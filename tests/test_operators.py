@@ -154,3 +154,17 @@ def test_boilerplate_ngram_stats(spark):
         assert got[i].n_shingles == 4  # 6 tokens -> 4 3-grams
         assert got[i].n_boiler == 1    # only the shared leading 3-gram
         assert got[i].boiler_ratio == 0.25
+
+
+def test_multimodal_resize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(20)
+    corpus = multimodal.synthesize_corpus(docs)
+    got = multimodal.resize_image(corpus, height=4, width=4).collect()
+    assert len(got) == 20
+    for r in got:
+        assert len(r.grid) == 16
+        assert all(0.0 <= v <= 255.0 for v in r.grid)
+        assert r.n_bytes > 0
+    # deterministic across runs
+    again = multimodal.resize_image(corpus, height=4, width=4).collect()
+    assert sorted(map(str, got)) == sorted(map(str, again))
