@@ -17,8 +17,31 @@ in the hot path) so they survive 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.functions.expr import let
+
+
+def shingle_array(toks: Column, n: int) -> Column:
+    """Word n-gram array from a BOUND token array.
+
+    `toks` must be a lambda variable or plain attribute — pass a
+    computed expression (e.g. split(...)) through functions.expr.let
+    first, or the per-position lambda re-runs it for every shingle
+    (O(k^2) splits per document; measured 14x slowdown at sf0.1).
+
+    Guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
+    docs shorter than n tokens get an empty shingle set instead.
+    """
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def first_wins_dedup(
@@ -64,16 +87,9 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    k = F.size(toks) - F.lit(n - 1)
-    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
-    # docs shorter than n tokens get an empty shingle set instead
-    shingles = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # bind the split once per row — referencing it inside the shingle
+    # lambda would re-split per position (see shingle_array docstring)
+    shingles = let(toks, lambda w: shingle_array(w, n))
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles)).alias("shingle"),

@@ -167,26 +167,37 @@ def repetition_features(
     filter for LLM corpora (a doc whose n-grams repeat heavily is
     boilerplate/spam; cf. Gopher/MassiveText repetition rules).
 
-    Pure per-row array arithmetic: no shuffle at any scale.
+    Pure per-row array arithmetic: no shuffle at any scale. The token
+    split and shingle array are bound with let() (evaluated once per
+    row) and the two counts exit through a Generate boundary so the
+    ratio columns read attributes — the naive inlined form re-built the
+    shingle array per output column and re-split per shingle position
+    (measured 10.7 s -> 0.6 s at sf0.1).
     """
+    from airquality_data_pipeline_spark.functions.expr import let, materialize
+    from airquality_data_pipeline_spark.operators.dedup import shingle_array
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    k = F.size(toks) - F.lit(n - 1)
-    shingles = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    stats = let(
+        toks,
+        lambda w: let(
+            shingle_array(w, n),
+            lambda s: F.struct(
+                F.size(s).alias("t"),
+                F.size(F.array_distinct(s)).alias("d"),
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(shingles)
-    distinct = F.size(F.array_distinct(shingles))
+    )
+    bound = materialize(df, [id_col], stats, "_s")
+    total = F.col("_s.t")
+    distinct = F.col("_s.d")
     dup_ratio = F.when(
         total > 0,
         F.round(
             F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
         ),
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return bound.select(
         F.col(id_col),
         total.alias("n_ngrams"),
         distinct.alias("n_distinct_ngrams"),

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from airquality_data_pipeline_spark.functions.expr import materialize
 from airquality_data_pipeline_spark.operators.similarity import (
     LSH_P,
     LSH_PARAMS,
@@ -213,16 +214,27 @@ def q66_embedding_quantize(spark, sf_dir):
     # is engine-exact); raw array cells crash the driver's canonicalizer
     emb = table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    s = emb.select(
-        "vec_id",
-        v.alias("v"),
-        F.array_min(v).alias("mn"),
-        F.array_max(v).alias("mx"),
+    # (v, mn, mx) exit through a Generate boundary: ProjectCollapsing
+    # would otherwise inline array_min/array_max into the per-element
+    # lambda and re-scan the vector for every dimension (O(d^2))
+    bound = materialize(
+        emb,
+        ["vec_id"],
+        F.struct(
+            v.alias("v"), F.array_min(v).alias("mn"), F.array_max(v).alias("mx")
+        ),
+        "_e",
     )
-    q8 = F.transform(
-        F.col("v"),
-        lambda x: F.round(((x - F.col("mn")) / (F.col("mx") - F.col("mn"))) * 255, 0)
-        .cast("int"),
+    mn, mx = F.col("_e.mn"), F.col("_e.mx")
+    q8_csv = F.array_join(
+        F.transform(
+            F.col("_e.v"),
+            lambda x: F.round(((x - mn) / (mx - mn)) * 255, 0)
+            .cast("int")
+            .cast("string"),
+        ),
+        ",",
     )
-    q8_csv = F.array_join(F.transform(q8, lambda x: x.cast("string")), ",")
-    return s.select("vec_id", "mn", "mx", q8_csv.alias("q8_csv"))
+    return bound.select(
+        "vec_id", mn.alias("mn"), mx.alias("mx"), q8_csv.alias("q8_csv")
+    )
