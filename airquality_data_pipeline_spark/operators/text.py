@@ -205,6 +205,56 @@ def repetition_features(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct word n-grams also occur anywhere in the benchmark set
+    (the n-gram-collision test-set-leak check used when curating LLM
+    training corpora; n=8..13 is the usual window).
+
+    Scale shape: both sides shingle with one narrow explode each; the
+    benchmark's distinct-shingle set is tiny relative to the corpus
+    (benchmarks are fixed-size), so Spark broadcasts it and the train
+    side never shuffles before the per-doc count; docs shorter than n
+    tokens have no n-grams and are reported with zero counts via the
+    right join back to the doc list.
+    """
+    from airquality_data_pipeline_spark.operators.dedup import word_shingles
+
+    train_sh = word_shingles(train, text_col=text_col, id_col=id_col, n=n)
+    bench_sh = (
+        word_shingles(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    # left-join marks shingles present in the benchmark; a semi-join
+    # would lose the total-count denominator
+    hits = train_sh.join(
+        bench_sh.withColumn("_hit", F.lit(True)), "shingle", "left"
+    )
+    per_doc = hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0)).alias("n_contaminated"),
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def boilerplate_ngram_stats(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, min_df: int = 10
 ) -> DataFrame:

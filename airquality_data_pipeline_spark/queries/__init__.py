@@ -86,6 +86,7 @@ _PRIORITY = [
     "q96_canonical_docs",
     "q97_boilerplate_ngrams",
     "q98_sequence_packing",
+    "q99_decontamination",
 ]
 
 

@@ -12,6 +12,7 @@ from airquality_data_pipeline_spark.operators.text import (
     boilerplate_ngram_stats,
     fingerprint,
     language_id,
+    ngram_contamination,
     quality_features,
     repetition_features,
     term_stats,
@@ -266,4 +267,127 @@ def q97_boilerplate_ngrams(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return boilerplate_ngram_stats(
         docs, text_col="text", id_col="doc_id", n=3, min_df=10
+    )
+
+
+# --------------------------------------------------------------------------
+# q99: benchmark decontamination — per TRAIN document (md5 bucket < 80,
+# the q86 split), how many of its distinct 8-grams also occur in the
+# held-out TEST split (bucket >= 90). The n-gram-collision test-set-leak
+# check used when curating LLM corpora. Benchmark shingle set is small
+# and broadcasts; train side aggregates without an extra shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q99_decontamination",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, bucket,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM b WHERE bucket < 80 OR bucket >= 90
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, bucket,
+             array_to_string(t[i:i+7], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)
+      WHERE len(t) >= 8
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 90),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_ngrams,
+             CAST(SUM(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM sh s LEFT JOIN bench USING (shingle)
+      WHERE s.bucket < 80
+      GROUP BY s.doc_id
+    )
+    SELECT b.doc_id AS id,
+           CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           coalesce(p.n_contaminated, 0) > 0 AS contaminated
+    FROM b LEFT JOIN per_doc p USING (doc_id)
+    WHERE b.bucket < 80
+    """,
+)
+def q99_decontamination(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = docs.withColumn("_bucket", bucket)
+    train = tagged.where(F.col("_bucket") < 80)
+    bench = tagged.where(F.col("_bucket") >= 90)
+    return ngram_contamination(
+        train, bench, text_col="text", id_col="doc_id", n=8
+    )
+
+
+# --------------------------------------------------------------------------
+# q100: temperature-weighted language sampling — the multilingual
+# corpus-balancing rule (sample language l proportional to p_l^alpha,
+# alpha=0.3 upsamples the tail; cf. multilingual LM data recipes). Two
+# tiny aggregates over a 5-row frame; the token-count scan is the only
+# real work. Decimal quantization keeps the weight normalization
+# order-independent and engine-exact.
+# --------------------------------------------------------------------------
+@register(
+    "q100_language_sampling",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT *,
+             CAST(round(pow(CAST(n_tokens AS DOUBLE)
+                            / SUM(CAST(n_tokens AS DOUBLE)) OVER (),
+                            0.3), 6) AS DECIMAL(18,6)) AS pw
+      FROM per_lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(CAST(pw AS DOUBLE)
+                 / CAST(SUM(pw) OVER () AS DOUBLE), 6) AS sample_weight
+    FROM w
+    """,
+)
+def q100_language_sampling(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    ws = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).cast("long").alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum(
+        F.col("n_tokens").cast("double")
+    ).over(everything)
+    # round the power through decimal so the normalizing sum is exact
+    # (order-independent) on both engines; divide as double at the end
+    pw = F.round(F.pow(p, F.lit(0.3)), 6).cast("decimal(18,6)")
+    return per_lang.withColumn("_pw", pw).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("_pw").cast("double")
+            / F.sum("_pw").over(everything).cast("double"),
+            6,
+        ).alias("sample_weight"),
     )

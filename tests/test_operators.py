@@ -168,3 +168,30 @@ def test_multimodal_resize(spark, sf_dir):
     # deterministic across runs
     again = multimodal.resize_image(corpus, height=4, width=4).collect()
     assert sorted(map(str, got)) == sorted(map(str, again))
+
+
+def test_ngram_contamination_planted(spark):
+    from airquality_data_pipeline_spark.operators.text import ngram_contamination
+
+    leak = "alpha beta gamma delta"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing tail"),  # contains the leak
+            (2, "totally unrelated training text here"),
+            (3, "xs"),  # shorter than n -> zero ngrams, still reported
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark prompt {leak} answer")], "doc_id long, text string"
+    )
+    got = {
+        r.id: r
+        for r in ngram_contamination(
+            train, bench, text_col="text", id_col="doc_id", n=4
+        ).collect()
+    }
+    assert got[1].contaminated and got[1].n_contaminated == 1
+    assert got[1].n_ngrams == 5  # 8 tokens -> 5 distinct 4-grams
+    assert not got[2].contaminated and got[2].n_contaminated == 0
+    assert (got[3].n_ngrams, got[3].contaminated) == (0, False)
