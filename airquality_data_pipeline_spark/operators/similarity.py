@@ -281,7 +281,70 @@ def ivf_assign(
     return (
         scored.withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
-        .select("id", "v", "nrm", F.col("cent_id").alias("bucket"))
+        .select(
+            "id",
+            "v",
+            "nrm",
+            F.col("cent_id").alias("bucket"),
+            F.col("c_sim").alias("cent_sim"),
+        )
+    )
+
+
+def kmeans_step(
+    emb: DataFrame,
+    centroid_pred: Column,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd iteration over the IVF assignment: per cluster, the
+    member count, the mean member-to-centroid cosine (the inertia
+    proxy), and the L2 norm of the NEW centroid (the element-wise mean
+    vector) — the refinement loop that turns the deterministic IVF seeds
+    into real k-means centroids; iterate by feeding the new centroids
+    back in.
+
+    Scale shape: assignment is a broadcast join (centroid set is tiny by
+    construction); the mean vector is computed via posexplode ->
+    groupBy(bucket, dim) with map-side partial decimal sums — one
+    shuffle of (bucket, dim, partial) rows, independent of corpus size
+    per reducer key. Cross-engine exactness: per-element values quantize
+    to DECIMAL(18,6) before the order-dependent sum; the mean rounds to
+    6 decimals and re-enters DECIMAL so its square and the 64-term
+    norm-squared sum are exact decimal arithmetic on both engines
+    (doubles only at the final sqrt, which IEEE 754 rounds correctly).
+    """
+    assigned = ivf_assign(emb, centroid_pred, vec_col, id_col)
+    stats = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.col("cent_sim").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cent_sim"),
+    )
+    dims = assigned.select("bucket", F.posexplode("v").alias("dim", "val"))
+    mean_dim = dims.groupBy("bucket", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    m = F.round("mean_val", 6).cast("decimal(18,6)")
+    norms = (
+        mean_dim.select("bucket", (m * m).alias("sq"))
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.sqrt(F.sum("sq").cast("decimal(18,8)").cast("double")), 6
+            ).alias("new_centroid_norm")
+        )
+    )
+    return stats.join(norms, "bucket").select(
+        F.col("bucket").alias("cluster"),
+        "n_vectors",
+        "mean_cent_sim",
+        "new_centroid_norm",
     )
 
 

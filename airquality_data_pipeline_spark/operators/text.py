@@ -255,6 +255,99 @@ def ngram_contamination(
     )
 
 
+# PII scrub rules, applied SEQUENTIALLY (each count runs on the text as
+# redacted by the previous rules, so the three counts partition the
+# matches unambiguously). Patterns are deliberately in the common subset
+# of Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every training-corpus
+    pipeline runs before release: emails, IPv4 addresses, and phone-like
+    digit runs are counted and replaced with typed placeholder tokens.
+
+    Pure per-row regexp work (regexp_count / regexp_replace chains, no
+    UDF): embarrassingly parallel, zero shuffle at any scale. The
+    redacted text is returned as an md5 digest + length so the output
+    stays narrow (the full redacted column would be the same width as
+    the corpus; callers wanting it take `redact_text` instead)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, _repl in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, _repl)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.length(cur).alias("n_chars_redacted"),
+        F.md5(cur).alias("redacted_digest"),
+    )
+
+
+def redact_text(text: Column) -> Column:
+    """The full redacted text column (same rule chain as pii_scrub)."""
+    cur = text
+    for _name, pat, repl in PII_RULES:
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur
+
+
+def chunk_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    base: int = 131,
+    mod: int = 2147483647,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting: the text is cut into
+    fixed-size character chunks and each chunk gets a Rabin-Karp
+    polynomial hash h = fold(h*base + codepoint) mod p — the classic
+    content-defined fingerprint for partial-overlap detection (two docs
+    sharing a run of >= chunk_size chars at the same alignment share a
+    chunk hash).
+
+    All per-row higher-order-function work (transform/filter/aggregate
+    folds, JVM-side): the only wide operation a consumer adds is the
+    groupBy on chunk_hash, which shuffles hash-distributed 16-byte rows
+    — the cheapest possible key at 100 TB. Empty documents produce zero
+    chunks. Integer arithmetic stays in long: h < 2^31, h*131 < 2^38.
+    """
+    t = F.col(text_col)
+    n_chunks = (F.floor((F.length(t) - 1) / F.lit(chunk_size)) + 1).cast("int")
+    chunks = F.when(
+        F.length(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.substring(t, i * chunk_size + 1, chunk_size),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    codes = F.transform(
+        F.filter(F.split(F.col("chunk"), ""), lambda c: c != F.lit("")),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    rolled = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+    return exploded.select(
+        "id",
+        "chunk_idx",
+        rolled.alias("chunk_hash"),
+        F.length("chunk").alias("chunk_len"),
+    )
+
+
 def boilerplate_ngram_stats(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, min_df: int = 10
 ) -> DataFrame:

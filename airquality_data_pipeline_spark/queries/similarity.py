@@ -238,3 +238,63 @@ def q66_embedding_quantize(spark, sf_dir):
     return bound.select(
         "vec_id", mn.alias("mn"), mx.alias("mx"), q8_csv.alias("q8_csv")
     )
+
+
+# --------------------------------------------------------------------------
+# q104: one k-means (Lloyd) refinement step over the IVF seeds — per
+# cluster: member count, mean member-to-centroid cosine (inertia proxy),
+# and the L2 norm of the refined centroid (element-wise mean). The
+# assignment is a broadcast join; the mean vector is one
+# (bucket, dim)-keyed partial aggregate — the shape that iterates at
+# 100 TB. Decimal quantization keeps the order-dependent sums exact on
+# both engines; doubles only at the final IEEE-exact sqrt.
+# --------------------------------------------------------------------------
+from airquality_data_pipeline_spark.operators.similarity import kmeans_step  # noqa: E402
+
+
+@register(
+    "q104_kmeans_refine",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, bucket, c_sim FROM (
+        SELECT n.vec_id AS id, n.v, c.cent_id AS bucket,
+               round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS c_sim,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS r
+        FROM n, cents c
+      ) WHERE r = 1
+    ),
+    stats AS (
+      SELECT bucket, count(*) AS n_vectors,
+             round(CAST(SUM(CAST(c_sim AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS mean_cent_sim
+      FROM assigned GROUP BY bucket
+    ),
+    dims AS (
+      SELECT bucket, i - 1 AS dim, v[i] AS val
+      FROM assigned, UNNEST(generate_series(1, len(v))) AS g(i)
+    ),
+    md AS (
+      SELECT bucket, dim,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_val
+      FROM dims GROUP BY bucket, dim
+    ),
+    nm AS (
+      SELECT bucket,
+             round(sqrt(CAST(CAST(SUM(m * m) AS DECIMAL(18,8)) AS DOUBLE)), 6)
+               AS new_centroid_norm
+      FROM (SELECT bucket, CAST(round(mean_val, 6) AS DECIMAL(18,6)) AS m FROM md)
+      GROUP BY bucket
+    )
+    SELECT stats.bucket AS cluster, n_vectors, mean_cent_sim, new_centroid_norm
+    FROM stats JOIN nm USING (bucket)
+    """,
+)
+def q104_kmeans_refine(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_step(emb, centroid_pred=F.col("id") < 8)

@@ -391,3 +391,403 @@ def q100_language_sampling(spark, sf_dir):
             6,
         ).alias("sample_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# q101: PII scrub — emails / IPv4 / phone-like runs counted and redacted
+# with typed placeholders (sequential rule chain, each count on the text
+# as redacted by the previous rules). PII is planted deterministically
+# from doc_id so the detection paths actually fire on the fixture.
+# Per-row regexp work only: zero shuffle at any scale.
+# --------------------------------------------------------------------------
+from airquality_data_pipeline_spark.operators.text import (  # noqa: E402
+    PII_RULES,
+    chunk_fingerprints,
+    pii_scrub,
+)
+
+_PII_E, _PII_I, _PII_P = (r[1] for r in PII_RULES)
+
+@register(
+    "q101_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 0100 321' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     ELSE '' END
+             AS t0
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, t0,
+                  regexp_replace(t0, '{_PII_E}', '<EMAIL>', 'g') AS t1
+           FROM planted),
+    s2 AS (SELECT *, regexp_replace(t1, '{_PII_I}', '<IP>', 'g') AS t2 FROM s1),
+    s3 AS (SELECT *, regexp_replace(t2, '{_PII_P}', '<PHONE>', 'g') AS t3 FROM s2)
+    SELECT doc_id,
+           len(regexp_extract_all(t0, '{_PII_E}')) AS n_email,
+           len(regexp_extract_all(t1, '{_PII_I}')) AS n_ip,
+           len(regexp_extract_all(t2, '{_PII_P}')) AS n_phone,
+           length(t3) AS n_chars_redacted,
+           md5(t3) AS redacted_digest
+    FROM s3
+    """,
+)
+def q101_pii_scrub(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call +1 555 0100 321"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0.0."), (F.col("doc_id") % 256).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(
+        docs.select("doc_id", planted.alias("text")),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# q102: rolling-hash chunk fingerprints — Rabin-Karp polynomial hash per
+# 64-char chunk; per doc, how many of its chunks also appear (same hash)
+# in at least one other document: the partial-overlap / shared-passage
+# signal that exact-doc dedup misses. The only shuffle keys are the
+# 8-byte chunk hash and the doc id.
+# --------------------------------------------------------------------------
+@register(
+    "q102_chunk_fingerprints",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx, substring(text, i*64+1, 64) AS chunk
+      FROM d, UNNEST(generate_series(0, CAST((length(text)-1) // 64 AS INT))) AS g(i)
+    ),
+    h AS (
+      SELECT doc_id, chunk_idx,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(chunk, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS chunk_hash
+      FROM ch
+    ),
+    freq AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS nd FROM h GROUP BY chunk_hash
+    )
+    SELECT h.doc_id AS id,
+           count(*) AS n_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS shared_ratio
+    FROM h JOIN freq USING (chunk_hash)
+    GROUP BY h.doc_id
+    """,
+)
+def q102_chunk_fingerprints(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    ch = chunk_fingerprints(docs, text_col="text", id_col="doc_id", chunk_size=64)
+    freq = ch.groupBy("chunk_hash").agg(F.countDistinct("id").alias("nd"))
+    shared = F.sum((F.col("nd") >= 2).cast("long"))
+    return (
+        ch.join(freq, "chunk_hash")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.alias("n_shared"),
+            F.round(
+                shared.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("shared_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q103: end-to-end corpus curation — the flagship LLM-data-pipeline
+# composition: every document gets a verdict from the first matching
+# rule (exact_dup -> too_short -> repetitive -> low_quality ->
+# contaminated -> kept), composing the oracle-checked building blocks
+# q40/q49/q95/q99 over a train/held-out split. Every stage is per-row
+# array/regex arithmetic or a key-partitioned window/join — the plan is
+# a handful of doc_id-keyed shuffles regardless of corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q103_curation_pipeline",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    ),
+    train AS (SELECT doc_id, text FROM b WHERE bucket < 95),
+    m AS (
+      SELECT doc_id,
+             length(text) AS nc,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS np,
+             len(regexp_extract_all(text, '[0-9]')) AS ndg,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS ns
+      FROM train
+    ),
+    qual AS (
+      SELECT doc_id, n_tokens,
+             least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+               + least((CAST(ns AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5.0, 1.0) * 0.3
+               + (1.0 - least((CAST(np AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE)) * 10.0, 1.0)) * 0.2
+               + (1.0 - least((CAST(ndg AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE)) * 10.0, 1.0)) * 0.1
+               AS quality
+      FROM m
+    ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN len(sh) > 0
+                  THEN round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                                   / CAST(len(sh) AS DOUBLE), 6)
+                  ELSE 0.0 END AS dup_ratio
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+                    ELSE [] END AS sh
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM train)
+      )
+    ),
+    rk AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM train
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, bucket, array_to_string(t[i:i+7], ' ') AS shingle
+      FROM (SELECT doc_id, bucket,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM b) toks,
+           UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)
+      WHERE len(t) >= 8
+    ),
+    benchsh AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 95),
+    cont AS (
+      SELECT s.doc_id,
+             SUM(CASE WHEN benchsh.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+               AS contaminated
+      FROM sh s LEFT JOIN benchsh USING (shingle)
+      WHERE s.bucket < 95
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_tokens, quality, dup_ratio, verdict,
+           verdict = 'kept' AS kept
+    FROM (
+      SELECT q.doc_id, q.n_tokens, q.quality, r.dup_ratio,
+             CASE WHEN rk.rn > 1 THEN 'exact_dup'
+                  WHEN q.n_tokens < 15 THEN 'too_short'
+                  WHEN r.dup_ratio > 0.05 THEN 'repetitive'
+                  WHEN q.quality < 0.6 THEN 'low_quality'
+                  WHEN coalesce(cont.contaminated, false) THEN 'contaminated'
+                  ELSE 'kept' END AS verdict
+      FROM qual q
+      JOIN rep r USING (doc_id)
+      JOIN rk USING (doc_id)
+      LEFT JOIN cont USING (doc_id)
+    )
+    """,
+)
+def q103_curation_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = docs.withColumn("_bucket", bucket)
+    train = tagged.where(F.col("_bucket") < 95)
+    bench = tagged.where(F.col("_bucket") >= 95)
+    qf = quality_features(train, text_col="text", id_col="doc_id").select(
+        "doc_id", "n_tokens", "quality"
+    )
+    rep = repetition_features(train, text_col="text", id_col="doc_id", n=3).select(
+        "doc_id", "dup_ratio"
+    )
+    rk = train.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("rn"),
+    )
+    cont = ngram_contamination(
+        train, bench, text_col="text", id_col="doc_id", n=8
+    ).select(F.col("id").alias("doc_id"), "contaminated")
+    verdict = (
+        F.when(F.col("rn") > 1, F.lit("exact_dup"))
+        .when(F.col("n_tokens") < 15, F.lit("too_short"))
+        .when(F.col("dup_ratio") > 0.05, F.lit("repetitive"))
+        .when(F.col("quality") < 0.6, F.lit("low_quality"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        qf.join(rep, "doc_id")
+        .join(rk, "doc_id")
+        .join(cont, "doc_id")
+        .withColumn("verdict", verdict)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            "dup_ratio",
+            "verdict",
+            (F.col("verdict") == "kept").alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q105: length-band filtering — keep documents whose whitespace token
+# count sits within the per-language discrete [p05, p95] band (the
+# outlier-length trim step of corpus curation; discrete percentiles via
+# cume_dist are engine-exact, no interpolation). The threshold frame is
+# 5 rows and broadcasts; the doc scan never shuffles for the verdict.
+# --------------------------------------------------------------------------
+@register(
+    "q105_length_filter",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    cd AS (
+      SELECT *, cume_dist() OVER (PARTITION BY lang ORDER BY n_tokens) AS c
+      FROM base
+    ),
+    th AS (
+      SELECT lang,
+             MIN(CASE WHEN c >= 0.05 THEN n_tokens END) AS lo,
+             MIN(CASE WHEN c >= 0.95 THEN n_tokens END) AS hi
+      FROM cd GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang, b.n_tokens, th.lo, th.hi,
+           b.n_tokens >= th.lo AND b.n_tokens <= th.hi AS keep
+    FROM base b JOIN th USING (lang)
+    """,
+)
+def q105_length_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    nt = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    base = docs.select("doc_id", "lang", nt.alias("n_tokens"))
+    cd = base.withColumn(
+        "c", F.cume_dist().over(Window.partitionBy("lang").orderBy("n_tokens"))
+    )
+    th = cd.groupBy("lang").agg(
+        F.min(F.when(F.col("c") >= 0.05, F.col("n_tokens"))).alias("lo"),
+        F.min(F.when(F.col("c") >= 0.95, F.col("n_tokens"))).alias("hi"),
+    )
+    return base.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "lo",
+        "hi",
+        ((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi"))).alias(
+            "keep"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q106: per-source corpus mix — docs, tokens, mean quality, and each
+# source's token share of the corpus (the domain-mixing table a data
+# recipe starts from). One map-side-partial aggregate; the share
+# normalization is a window over the 20-row aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q106_source_mix",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             length(text) AS nc,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS np,
+             len(regexp_extract_all(text, '[0-9]')) AS ndg,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS ns
+      FROM documents
+    ),
+    q AS (
+      SELECT source, n_tokens,
+             least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+               + least((CAST(ns AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5.0, 1.0) * 0.3
+               + (1.0 - least((CAST(np AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE)) * 10.0, 1.0)) * 0.2
+               + (1.0 - least((CAST(ndg AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE)) * 10.0, 1.0)) * 0.1
+               AS quality
+      FROM m
+    ),
+    agg AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS mean_quality
+      FROM q GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, mean_quality,
+           round(CAST(n_tokens AS DOUBLE)
+                 / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+    FROM agg
+    """,
+)
+def q106_source_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    qf = quality_features(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "n_tokens", "quality"
+    )
+    agg = (
+        docs.select("doc_id", "source")
+        .join(qf, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+        )
+    )
+    share = F.round(
+        F.col("n_tokens").cast("double")
+        / F.sum("n_tokens").over(Window.partitionBy()).cast("double"),
+        6,
+    )
+    return agg.select(
+        "source", "n_docs", "n_tokens", "mean_quality", share.alias("token_share")
+    )

@@ -195,3 +195,80 @@ def test_ngram_contamination_planted(spark):
     assert got[1].n_ngrams == 5  # 8 tokens -> 5 distinct 4-grams
     assert not got[2].contaminated and got[2].n_contaminated == 0
     assert (got[3].n_ngrams, got[3].contaminated) == (0, False)
+
+
+def test_pii_scrub_planted(spark):
+    import hashlib
+
+    from airquality_data_pipeline_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@foo.io and admin@x.co then host 10.0.0.1 ok"),
+            (2, "call +1 555 0100 321 now"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df, "text", "doc_id").collect()}
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone) == (2, 1, 0)
+    assert (got[2].n_email, got[2].n_ip, got[2].n_phone) == (0, 0, 1)
+    assert (got[3].n_email, got[3].n_ip, got[3].n_phone) == (0, 0, 0)
+    redacted1 = "mail <EMAIL> and <EMAIL> then host <IP> ok"
+    assert got[1].redacted_digest == hashlib.md5(redacted1.encode()).hexdigest()
+    assert got[1].n_chars_redacted == len(redacted1)
+    assert got[2].redacted_digest == hashlib.md5(
+        b"call <PHONE> now"
+    ).hexdigest()
+
+
+def test_chunk_fingerprints_shared_chunks(spark):
+    from airquality_data_pipeline_spark.operators.text import chunk_fingerprints
+
+    shared = "S" * 64  # one full chunk, identical across docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, shared + "tail one"),
+            (2, shared + "different tail"),
+            (3, "something else entirely"),
+            (4, ""),  # empty doc -> zero chunks
+        ],
+        "doc_id long, text string",
+    )
+    ch = chunk_fingerprints(df, "text", "doc_id", chunk_size=64)
+    rows = ch.collect()
+    assert not [r for r in rows if r.id == 4]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, {})[r.chunk_idx] = r.chunk_hash
+    # identical aligned chunk -> identical rolling hash
+    assert by_doc[1][0] == by_doc[2][0]
+    # differing tails -> different hashes
+    assert by_doc[1][1] != by_doc[2][1]
+    assert by_doc[3][0] not in (by_doc[1][0], by_doc[1][1])
+    # reference value: fold of (acc*131 + code) % (2^31 - 1) over 'S'*64
+    acc = 0
+    for c in shared:
+        acc = (acc * 131 + ord(c)) % 2147483647
+    assert by_doc[1][0] == acc
+
+
+def test_kmeans_step_separated_clusters(spark):
+    from airquality_data_pipeline_spark.operators.similarity import kmeans_step
+
+    # two orthogonal directions; ids 0 and 1 are the seed centroids
+    axis_a = [1.0, 0.0, 0.0, 0.0]
+    axis_b = [0.0, 1.0, 0.0, 0.0]
+    near = lambda v, eps: [x + eps for x in v]
+    rows = [
+        (0, axis_a), (1, axis_b),
+        (2, near(axis_a, 0.01)), (3, near(axis_a, 0.02)),
+        (4, near(axis_b, 0.01)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.cluster: r for r in
+           kmeans_step(emb, centroid_pred=F.col("id") < 2).collect()}
+    assert got[0].n_vectors == 3 and got[1].n_vectors == 2
+    for r in got.values():
+        assert r.mean_cent_sim > 0.99
+        assert 0.9 < r.new_centroid_norm <= 1.05
