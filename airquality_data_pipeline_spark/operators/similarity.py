@@ -315,32 +315,35 @@ def kmeans_step(
     (doubles only at the final sqrt, which IEEE 754 rounds correctly).
     """
     assigned = ivf_assign(emb, centroid_pred, vec_col, id_col)
-    stats = assigned.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.round(
-            F.sum(F.col("cent_sim").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean_cent_sim"),
+    # single pass over the assignment: referencing `assigned` from two
+    # aggregation branches re-runs the (expensive) assignment subtree —
+    # per-branch column pruning makes the exchanges non-identical, so
+    # ReuseExchange cannot deduplicate them. Instead the per-member
+    # stats ride along the exploded dims (cent_sim repeats per dim;
+    # map-side combine collapses the fan-out before the exchange) and
+    # the bucket-level stats read the dim-0 rows of the same aggregate.
+    dims = assigned.select(
+        "bucket", F.posexplode("v").alias("dim", "val"), "cent_sim"
     )
-    dims = assigned.select("bucket", F.posexplode("v").alias("dim", "val"))
-    mean_dim = dims.groupBy("bucket", "dim").agg(
+    per_dim = dims.groupBy("bucket", "dim").agg(
         (
             F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
-        ).alias("mean_val")
+        ).alias("mean_val"),
+        F.sum(F.col("cent_sim").cast("decimal(18,6)")).alias("sum_sim"),
+        F.count(F.lit(1)).alias("n"),
     )
     m = F.round("mean_val", 6).cast("decimal(18,6)")
-    norms = (
-        mean_dim.select("bucket", (m * m).alias("sq"))
-        .groupBy("bucket")
-        .agg(
-            F.round(
-                F.sqrt(F.sum("sq").cast("decimal(18,8)").cast("double")), 6
-            ).alias("new_centroid_norm")
-        )
-    )
-    return stats.join(norms, "bucket").select(
+    at0 = lambda c: F.max(F.when(F.col("dim") == 0, c))  # noqa: E731
+    return per_dim.groupBy("bucket").agg(
+        at0(F.col("n")).alias("n_vectors"),
+        F.round(at0(F.col("sum_sim")).cast("double") / at0(F.col("n")), 6).alias(
+            "mean_cent_sim"
+        ),
+        F.round(
+            F.sqrt(F.sum(m * m).cast("decimal(18,8)").cast("double")), 6
+        ).alias("new_centroid_norm"),
+    ).select(
         F.col("bucket").alias("cluster"),
         "n_vectors",
         "mean_cent_sim",

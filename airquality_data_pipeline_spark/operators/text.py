@@ -49,10 +49,19 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                          predict_lang())
 
 
-def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: list[str] | None = None,
+) -> DataFrame:
     """Length / punctuation / digit / stopword-ratio features + a
     composite quality score in [0, 1]. Pure double arithmetic with a
-    fixed expression tree (engine-portable bit-exact)."""
+    fixed expression tree (engine-portable bit-exact).
+
+    keep: extra input columns carried through the projection — lets a
+    pipeline compose several per-row feature operators in ONE scan
+    instead of joining parallel scans on the id (q103)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = F.split(F.lower(F.trim(t)), r"\s+")
@@ -81,6 +90,7 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         digit_ratio.alias("digit_ratio"),
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
+        *(keep or []),
     )
 
 
@@ -160,7 +170,11 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def repetition_features(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Within-document n-gram repetition: total vs distinct word
     n-grams and the duplicate ratio — the standard repetition quality
@@ -188,7 +202,7 @@ def repetition_features(
             ),
         ),
     )
-    bound = materialize(df, [id_col], stats, "_s")
+    bound = materialize(df, [id_col, *(keep or [])], stats, "_s")
     total = F.col("_s.t")
     distinct = F.col("_s.d")
     dup_ratio = F.when(
@@ -202,6 +216,7 @@ def repetition_features(
         total.alias("n_ngrams"),
         distinct.alias("n_distinct_ngrams"),
         dup_ratio.alias("dup_ratio"),
+        *(keep or []),
     )
 
 

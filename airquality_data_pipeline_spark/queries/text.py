@@ -625,12 +625,17 @@ def q103_curation_pipeline(spark, sf_dir):
     tagged = docs.withColumn("_bucket", bucket)
     train = tagged.where(F.col("_bucket") < 95)
     bench = tagged.where(F.col("_bucket") >= 95)
-    qf = quality_features(train, text_col="text", id_col="doc_id").select(
-        "doc_id", "n_tokens", "quality"
-    )
-    rep = repetition_features(train, text_col="text", id_col="doc_id", n=3).select(
-        "doc_id", "dup_ratio"
-    )
+    # both feature families are per-row projections: compose them in ONE
+    # scan via the keep-passthrough instead of joining parallel scans
+    feats = repetition_features(
+        quality_features(train, text_col="text", id_col="doc_id", keep=["text"]),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        keep=["n_tokens", "quality"],
+    ).select("doc_id", "n_tokens", "quality", "dup_ratio")
+    # exact-dup rank shuffles a NARROW (digest, id) projection, not the
+    # feature rows — text never crosses an exchange
     rk = train.select(
         "doc_id",
         F.row_number()
@@ -649,8 +654,7 @@ def q103_curation_pipeline(spark, sf_dir):
         .otherwise(F.lit("kept"))
     )
     return (
-        qf.join(rep, "doc_id")
-        .join(rk, "doc_id")
+        feats.join(rk, "doc_id")
         .join(cont, "doc_id")
         .withColumn("verdict", verdict)
         .select(
@@ -766,13 +770,11 @@ def q106_source_mix(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    qf = quality_features(docs, text_col="text", id_col="doc_id").select(
-        "doc_id", "n_tokens", "quality"
-    )
+    qf = quality_features(
+        docs, text_col="text", id_col="doc_id", keep=["source"]
+    ).select("doc_id", "source", "n_tokens", "quality")
     agg = (
-        docs.select("doc_id", "source")
-        .join(qf, "doc_id")
-        .groupBy("source")
+        qf.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
