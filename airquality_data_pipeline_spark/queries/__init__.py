@@ -87,6 +87,16 @@ _PRIORITY = [
     "q97_boilerplate_ngrams",
     "q98_sequence_packing",
     "q99_decontamination",
+    # --- positions 51+: past the r1 cutoff, but if the driver's prefix
+    # is ever longer than 50, the still-unchecked r2 additions should be
+    # next in line, ahead of the long-green relational families.
+    "q100_language_sampling",
+    "q101_pii_scrub",
+    "q102_chunk_fingerprints",
+    "q103_curation_pipeline",
+    "q104_kmeans_refine",
+    "q105_length_filter",
+    "q106_source_mix",
 ]
 
 
