@@ -379,3 +379,60 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk_multiprobe(
+    emb: DataFrame,
+    query_pred: Column,
+    centroid_pred: Column,
+    k: int = 3,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k with nprobe > 1: each query searches its `nprobe`
+    nearest centroid buckets instead of only the closest — the standard
+    recall/cost dial of IVF indexes (missed neighbors usually sit just
+    across the closest Voronoi boundary).
+
+    Scale shape: the corpus-side assignment (the expensive part) runs
+    ONCE via ivf_assign; the probe-bucket list is computed only for the
+    query rows (tiny by construction, filtered BEFORE the centroid
+    cross join), so nprobe multiplies the candidate volume of the final
+    bucket equi-join, not the assignment cost. Each data vector lives in
+    exactly one bucket, so no candidate dedup is needed.
+    """
+    n = with_norm(emb, vec_col, id_col)
+    cents = n.where(centroid_pred).select(
+        F.col("id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = ivf_assign(emb, centroid_pred, vec_col, id_col)
+    q_scored = (
+        n.where(query_pred)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cent_id",
+            cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias("c_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cent_id").alias("bucket"))
+    )
+    pairs = assigned.join(F.broadcast(probes), "bucket").where(
+        F.col("id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

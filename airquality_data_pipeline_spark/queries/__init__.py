@@ -97,6 +97,7 @@ _PRIORITY = [
     "q104_kmeans_refine",
     "q105_length_filter",
     "q106_source_mix",
+    "q107_ivf_multiprobe",
 ]
 
 

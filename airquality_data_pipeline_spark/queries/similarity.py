@@ -298,3 +298,66 @@ from airquality_data_pipeline_spark.operators.similarity import kmeans_step  # n
 def q104_kmeans_refine(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_step(emb, centroid_pred=F.col("id") < 8)
+
+
+# --------------------------------------------------------------------------
+# q107: multi-probe IVF top-3 (nprobe=2) — each query searches its TWO
+# nearest centroid buckets: the standard IVF recall/cost dial (missed
+# neighbors usually sit just across the closest Voronoi boundary).
+# Corpus-side assignment runs once; the probe list is computed only for
+# the (tiny, pre-filtered) query rows, so nprobe scales candidate
+# volume, not assignment cost.
+# --------------------------------------------------------------------------
+from airquality_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    ivf_topk_multiprobe,
+)
+
+
+@register(
+    "q107_ivf_multiprobe",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, nrm, bucket FROM (
+        SELECT n.vec_id AS id, n.v, n.nrm, c.cent_id AS bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS r
+        FROM n, cents c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, v AS qv, nrm AS qn, bucket FROM (
+        SELECT n.vec_id AS id, n.v, n.nrm, c.cent_id AS bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS pr
+        FROM n, cents c WHERE n.vec_id < 10
+      ) WHERE pr <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.id AS neighbor_id,
+             round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS cos_sim
+      FROM assigned a JOIN probes p ON a.bucket = p.bucket AND a.id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q107_ivf_multiprobe(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk_multiprobe(
+        emb,
+        query_pred=F.col("id") < 10,
+        centroid_pred=F.col("id") < 8,
+        k=3,
+        nprobe=2,
+    )

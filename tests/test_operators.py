@@ -272,3 +272,24 @@ def test_kmeans_step_separated_clusters(spark):
     for r in got.values():
         assert r.mean_cent_sim > 0.99
         assert 0.9 < r.new_centroid_norm <= 1.05
+
+
+def test_ivf_multiprobe_recall_not_worse(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_topk_multiprobe,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qp, cp = F.col("id") < 10, F.col("id") < 8
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qp, k=3).collect()}
+    p1 = {(r.query_id, r.neighbor_id)
+          for r in ivf_topk(emb, qp, cp, k=3).collect()}
+    p2 = {(r.query_id, r.neighbor_id)
+          for r in ivf_topk_multiprobe(emb, qp, cp, k=3, nprobe=2).collect()}
+    # widening the probe set can only improve (or preserve) recall
+    assert len(p2 & exact) >= len(p1 & exact)
+    # every probe-1 true positive survives at probe-2 (candidate superset)
+    assert (p1 & exact) <= p2
