@@ -54,6 +54,51 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, copies: int = 1
+) -> DataFrame:
+    """File-source stream over the documents fixture. copies > 1 stages
+    the same parquet under several names so the stream delivers the
+    corpus repeatedly across micro-batches (maxFilesPerTrigger=1) —
+    the re-delivery scenario a streaming dedup must absorb."""
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    for i in range(copies):
+        os.symlink(f"{sf_dir}/documents.parquet", f"{d}/documents_{i}.parquet")
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def corpus_curation_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the batch curation pipeline (q103's stateless
+    core): content-digest exact dedup ACROSS micro-batches (streaming
+    dropDuplicates keeps the digest set as engine state — the corpus
+    analog of the reference's cursor table, app/main.py:209-237), then
+    per-row quality/length verdicts. All post-dedup stages are
+    stateless projections, so the plan is identical to the batch one."""
+    from airquality_data_pipeline_spark.operators.text import quality_features
+
+    deduped = docs.withColumn("digest", F.md5("text")).dropDuplicates(
+        ["digest"]
+    )
+    feats = quality_features(deduped, text_col="text", id_col="doc_id")
+    verdict = (
+        F.when(F.col("n_tokens") < 15, F.lit("too_short"))
+        .when(F.col("quality") < 0.6, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return feats.select(
+        "doc_id", "n_tokens", "quality", verdict.alias("verdict")
+    )
+
+
 def watermark_dedup(
     events: DataFrame, delay: str = "30 minutes"
 ) -> DataFrame:

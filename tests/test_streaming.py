@@ -217,3 +217,31 @@ def test_stream_stream_interval_join(spark, sf_dir):
         (r.purchase_id, r.view_value) for r in expected.collect()
     )
     assert a == b
+
+
+def test_corpus_curation_stream_dedups_across_batches(spark, sf_dir):
+    utc(spark)
+    # the corpus is delivered TWICE (two staged copies, one file per
+    # micro-batch): the digest-dedup state must absorb the entire second
+    # delivery across the batch boundary
+    stream = jobs.read_documents_stream(spark, sf_dir, copies=2)
+    got = _drain(spark, jobs.corpus_curation_stream(stream))
+
+    docs = table(spark, sf_dir, "documents")
+    from airquality_data_pipeline_spark.operators.text import quality_features
+
+    batch = quality_features(
+        docs.withColumn("digest", F.md5("text")).dropDuplicates(["digest"]),
+        text_col="text",
+        id_col="doc_id",
+    )
+    assert got.count() == batch.count()
+    # verdict histogram matches the batch rules exactly
+    g = {r.verdict: r["count"] for r in got.groupBy("verdict").count().collect()}
+    b = batch.select(
+        F.when(F.col("n_tokens") < 15, F.lit("too_short"))
+        .when(F.col("quality") < 0.6, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict")
+    )
+    assert g == {r.verdict: r["count"] for r in b.groupBy("verdict").count().collect()}
