@@ -231,10 +231,14 @@ def q88_gapfill_locf(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q92: discrete percentiles via cume_dist — the smallest value whose
-# cumulative fraction reaches p (an actual data value, unlike the
-# interpolated q37). One window + one aggregate, single shuffle on the
-# group key.
+# q92: discrete percentiles — the smallest value whose cumulative
+# fraction reaches p (an actual data value, unlike the interpolated
+# q37). The Spark plan pre-aggregates to (flag, quantity, count) with a
+# map-side partial combine, so the window sorts ~50 rows per flag
+# instead of full-sorting the fact table (the cume_dist-over-raw-rows
+# form shuffles and sorts every row; this one shuffles |distinct|
+# rows). cum/total division reproduces cume_dist bit-exactly: the same
+# exact integers divide in double on both engines.
 # --------------------------------------------------------------------------
 @register(
     "q92_discrete_percentiles",
@@ -256,11 +260,18 @@ def q88_gapfill_locf(spark, sf_dir):
 def q92_discrete_percentiles(spark, sf_dir):
     utc(spark)
     li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     w = W.partitionBy("l_returnflag").orderBy("l_quantity")
-    c = li.select(
+    whole = W.partitionBy("l_returnflag")
+    c = counts.select(
         "l_returnflag",
         "l_quantity",
-        F.cume_dist().over(w).alias("cd"),
+        (
+            F.sum("cnt").over(w).cast("double")
+            / F.sum("cnt").over(whole).cast("double")
+        ).alias("cd"),
     )
 
     def disc(p, alias):
