@@ -98,6 +98,7 @@ _PRIORITY = [
     "q105_length_filter",
     "q106_source_mix",
     "q107_ivf_multiprobe",
+    "q108_shard_export",
 ]
 
 

@@ -801,3 +801,62 @@ def q106_source_mix(spark, sf_dir):
     return agg.select(
         "source", "n_docs", "n_tokens", "mean_quality", share.alias("token_share")
     )
+
+
+# --------------------------------------------------------------------------
+# q108: deterministic shard export — the last step of a training-data
+# pipeline: every document gets a shard (md5 bucket), a stable position
+# within its shard (ordered by content-independent digest = a
+# deterministic global shuffle), and the cumulative token offset where
+# it starts in the packed shard file. Shuffle keys are the shard id;
+# the per-shard window sorts only that shard's rows — embarrassingly
+# parallel across shards at any corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q108_shard_export",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS digest
+      FROM documents
+    ),
+    sh AS (
+      SELECT *, ('0x' || substr(digest, 1, 8))::BIGINT % 8 AS shard FROM d
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY digest) AS pos,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY digest
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS token_offset
+    FROM sh
+    """,
+)
+def q108_shard_export(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    nt = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    d = docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("digest"),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("digest", 1, 8), 16, 10).cast("long") % 8,
+    )
+    w = Window.partitionBy("shard").orderBy("digest")
+    woff = w.rowsBetween(Window.unboundedPreceding, -1)
+    return d.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("n_tokens").over(woff), F.lit(0))
+        .cast("long")
+        .alias("token_offset"),
+    )
