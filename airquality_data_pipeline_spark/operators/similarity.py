@@ -130,29 +130,24 @@ LSH_PARAMS: list[tuple[int, int]] = [
 ]
 
 
+def _plane_literal(a: int, b: int, dim: int) -> Column:
+    """Hyperplane j as a FOLDED array literal: component i is
+    ((a*i + b) mod P) / P - 0.5, computed driver-side in Python. The
+    integer modulus is exact, and int/int true division plus the 0.5
+    subtraction are the same correctly-rounded IEEE ops Spark and
+    DuckDB perform on the same integers — bit-identical to evaluating
+    the formula in either engine. The previous transform(sequence(...))
+    form was NOT constant-folded by Catalyst (only the index array
+    folded), so every row re-derived n_bits x dim plane components."""
+    vals = [((a * i + b) % LSH_P) / LSH_P - 0.5 for i in range(dim)]
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def _sig_from_normed(n: DataFrame, n_bits: int, dim: int) -> DataFrame:
     """(id, v, nrm) -> (id, sig): sign-LSH bit-string signature."""
-    def _plane_component(a: int, b: int):
-        # closure factory: Spark inspects lambda arity, so the (a, b)
-        # constants must be captured by closure, not default args
-        def component(i: Column) -> Column:
-            return (
-                (
-                    (F.lit(a).cast("long") * i.cast("long") + F.lit(b))
-                    % F.lit(LSH_P)
-                ).cast("double")
-                / F.lit(float(LSH_P))
-                - F.lit(0.5)
-            )
-
-        return component
-
     bit_cols = []
     for a, b in LSH_PARAMS[:n_bits]:
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)), _plane_component(a, b)
-        )
-        proj = F.round(_dot(F.col("v"), plane), 6)
+        proj = F.round(_dot(F.col("v"), _plane_literal(a, b, dim)), 6)
         bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return n.select(F.col("id"), F.concat(*bit_cols).alias("sig"))
 
