@@ -130,6 +130,9 @@ LSH_PARAMS: list[tuple[int, int]] = [
 ]
 
 
+_PLANE_CACHE: dict[tuple[int, int, int], Column] = {}
+
+
 def _plane_literal(a: int, b: int, dim: int) -> Column:
     """Hyperplane j as a FOLDED array literal: component i is
     ((a*i + b) mod P) / P - 0.5, computed driver-side in Python. The
@@ -138,18 +141,41 @@ def _plane_literal(a: int, b: int, dim: int) -> Column:
     DuckDB perform on the same integers — bit-identical to evaluating
     the formula in either engine. The previous transform(sequence(...))
     form was NOT constant-folded by Catalyst (only the index array
-    folded), so every row re-derived n_bits x dim plane components."""
-    vals = [((a * i + b) % LSH_P) / LSH_P - 0.5 for i in range(dim)]
-    return F.array(*[F.lit(v) for v in vals])
+    folded), so every row re-derived n_bits x dim plane components.
+
+    Built as ONE parsed SQL literal (repr round-trips doubles exactly;
+    Double.parseDouble is correctly rounded) instead of dim F.lit
+    calls: per-element Column construction costs ~1 s of driver-side
+    Py4J round-trips per 16-plane signature build. Cached per process —
+    the planes are pure constants."""
+    key = (a, b, dim)
+    if key not in _PLANE_CACHE:
+        vals = [((a * i + b) % LSH_P) / LSH_P - 0.5 for i in range(dim)]
+        _PLANE_CACHE[key] = F.expr(
+            "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+        )
+    return _PLANE_CACHE[key]
+
+
+_SIG_CACHE: dict[tuple[int, int], Column] = {}
 
 
 def _sig_from_normed(n: DataFrame, n_bits: int, dim: int) -> DataFrame:
-    """(id, v, nrm) -> (id, sig): sign-LSH bit-string signature."""
-    bit_cols = []
-    for a, b in LSH_PARAMS[:n_bits]:
-        proj = F.round(_dot(F.col("v"), _plane_literal(a, b, dim)), 6)
-        bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return n.select(F.col("id"), F.concat(*bit_cols).alias("sig"))
+    """(id, v, nrm) -> (id, sig): sign-LSH bit-string signature.
+
+    The signature expression is a pure function of the plane constants
+    and the column name `v`, so the whole Column (16 zip_with/aggregate
+    folds = hundreds of Py4J round-trips to construct) is cached per
+    process: measured 0.7 s -> ~0 of driver-side plan-build time per
+    signature query."""
+    key = (n_bits, dim)
+    if key not in _SIG_CACHE:
+        bit_cols = []
+        for a, b in LSH_PARAMS[:n_bits]:
+            proj = F.round(_dot(F.col("v"), _plane_literal(a, b, dim)), 6)
+            bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        _SIG_CACHE[key] = F.concat(*bit_cols)
+    return n.select(F.col("id"), _SIG_CACHE[key].alias("sig"))
 
 
 def hyperplane_lsh(

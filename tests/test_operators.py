@@ -293,3 +293,21 @@ def test_ivf_multiprobe_recall_not_worse(spark, sf_dir):
     assert len(p2 & exact) >= len(p1 & exact)
     # every probe-1 true positive survives at probe-2 (candidate superset)
     assert (p1 & exact) <= p2
+
+
+def test_driver_prefix_order_pins_unverified_families():
+    # the external driver correctness-checks a PREFIX of the catalog
+    # (50 entries in r1): the front of the registration order must stay
+    # exactly the priority list, and every entry must have its oracle
+    # registered under the same name
+    from airquality_data_pipeline_spark.queries import ORACLE, QUERIES
+    from airquality_data_pipeline_spark.queries import _PRIORITY
+
+    names = list(QUERIES)
+    assert names[: len(_PRIORITY)] == _PRIORITY
+    # rows-only queries are deliberate and listed here; everything else
+    # in the driver window must be oracle-checkable
+    rows_only = {"q60_approx_distinct", "q61_approx_percentile",
+                 "q62_tfidf", "q63_ml_minhash_lsh"}
+    missing = [n for n in names[:50] if n not in ORACLE and n not in rows_only]
+    assert not missing, f"driver-window queries without oracle: {missing}"
