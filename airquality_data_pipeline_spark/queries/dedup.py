@@ -16,6 +16,7 @@ from airquality_data_pipeline_spark.operators.dedup import (
     minhash_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_set_sizes,
     simhash,
     word_shingles,
 )
@@ -135,7 +136,10 @@ def q41_minhash_candidates(spark, sf_dir):
 def q42_ngram_jaccard(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
-    return ngram_jaccard_pairs(sh, threshold=0.5)
+    # per-doc set sizes from a light no-explode scan — don't re-evaluate
+    # the exploded subtree just to count it
+    sz = shingle_set_sizes(docs, text_col="text", id_col="doc_id", n=3)
+    return ngram_jaccard_pairs(sh, threshold=0.5, sizes=sz)
 
 
 # --------------------------------------------------------------------------

@@ -640,30 +640,40 @@ def q103_curation_pipeline(spark, sf_dir):
         text_col="text",
         id_col="doc_id",
         n=3,
-        keep=["n_tokens", "quality"],
-    ).select("doc_id", "n_tokens", "quality", "dup_ratio")
-    # exact-dup rank shuffles a NARROW (digest, id) projection, not the
-    # feature rows — text never crosses an exchange
-    rk = train.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
-        .alias("rn"),
+        keep=["n_tokens", "quality", "text"],
     )
+    # exact-dup rank as a window ON the feature frame (digest computed
+    # pre-shuffle, text dropped from the projection): one narrow
+    # (digest, id, 3 numerics) exchange replaces the former separate
+    # rk scan + doc_id self-join — one fewer parquet scan and two fewer
+    # doc_id exchanges of the fact rows.
+    ranked = (
+        feats.withColumn("_dg", F.md5("text"))
+        .select("doc_id", "n_tokens", "quality", "dup_ratio", "_dg")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("_dg").orderBy("doc_id")),
+        )
+        .drop("_dg")
+    )
+    # contamination aggregate left-joined straight onto the ranked rows
+    # (coalesce false = the oracle's LEFT JOIN): skips the operator's
+    # third train scan for the id spine — inner-join-on-spine and
+    # left-join-with-coalesce are equivalent here because every train
+    # doc appears in ranked.
     cont = ngram_contamination(
-        train, bench, text_col="text", id_col="doc_id", n=8
+        train, bench, text_col="text", id_col="doc_id", n=8, spine=False
     ).select(F.col("id").alias("doc_id"), "contaminated")
     verdict = (
         F.when(F.col("rn") > 1, F.lit("exact_dup"))
         .when(F.col("n_tokens") < 15, F.lit("too_short"))
         .when(F.col("dup_ratio") > 0.05, F.lit("repetitive"))
         .when(F.col("quality") < 0.6, F.lit("low_quality"))
-        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.coalesce(F.col("contaminated"), F.lit(False)), F.lit("contaminated"))
         .otherwise(F.lit("kept"))
     )
     return (
-        feats.join(rk, "doc_id")
-        .join(cont, "doc_id")
+        ranked.join(cont, "doc_id", "left")
         .withColumn("verdict", verdict)
         .select(
             "doc_id",
