@@ -7,6 +7,8 @@ array ops) — vectorized, codegen-friendly, no Python UDFs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -332,6 +334,7 @@ def chunk_fingerprints(
     chunk_size: int = 64,
     base: int = 131,
     mod: int = 2147483647,
+    keep_chunk: bool = False,
 ) -> DataFrame:
     """Rolling-hash document fingerprinting: the text is cut into
     fixed-size character chunks and each chunk gets a Rabin-Karp
@@ -373,6 +376,153 @@ def chunk_fingerprints(
         "chunk_idx",
         rolled.alias("chunk_hash"),
         F.length("chunk").alias("chunk_len"),
+        # keep_chunk rides the chunk text along for consumers that
+        # reassemble documents (chunk-level dedup) — off by default so
+        # fingerprint-only consumers shuffle 16-byte rows
+        *(["chunk"] if keep_chunk else []),
+    )
+
+
+BLOOM_K = 3
+BLOOM_M = 1 << 22  # 4 Mi bits = 512 KiB bitmap
+
+
+def _bloom_pos(shingle: Column, j: int, m: int = BLOOM_M) -> Column:
+    """Bit position j for a shingle: 48 bits of md5(shingle || ':' || j)
+    mod m. md5-derived so ANY engine computes the identical position —
+    the whole bloom gate is hash-match checkable against a SQL oracle,
+    unlike an engine-internal sketch format."""
+    h = F.md5(F.concat(shingle, F.lit(f":{j}")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % m
+
+
+def bloom_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Bloom-filter decontamination gate — the broadcast-only fast path
+    for `ngram_contamination` at corpus scale: the benchmark's distinct
+    n-gram set folds into a FIXED-SIZE bitmap (m bits, k md5-derived
+    positions per n-gram) that ships to every executor as a broadcast
+    variable; the training side is one scan with a vectorized-numpy
+    membership test (Arrow-batched pandas UDF over JVM-computed
+    positions) and a per-doc count — NO shuffle touches the train
+    shingles before the per-doc aggregate, and the broadcast is
+    O(m) bytes however large the benchmark grows.
+
+    Guarantee: no false negatives (every truly contaminated doc is
+    flagged); false positives at ~(1-e^{{-kn/m}})^k. The production
+    pattern is bloom-gate first, exact `ngram_contamination` re-check
+    on the (tiny) flagged subset. Both the no-false-negative
+    containment vs the exact operator and full cross-engine value
+    parity are pinned (positions are md5-derived, so a SQL oracle
+    reproduces the bitmap exactly).
+
+    The bitmap is built by collecting the benchmark's DISTINCT bit
+    positions to the driver — bounded by k * |bench n-grams| longs
+    (benchmarks are fixed-size; this is the same driver-sized-dimension
+    pattern as the foreachBatch upserts), then broadcast once.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from airquality_data_pipeline_spark.operators.dedup import word_shingles
+
+    bench_sh = word_shingles(
+        benchmark, text_col=text_col, id_col=id_col, n=n
+    )
+    pos_rows = (
+        bench_sh.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("shingle"), j, m) for j in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    if pos_rows:
+        pos = np.array([r["pos"] for r in pos_rows], dtype=np.int64)
+        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    bc = train.sparkSession.sparkContext.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def _all_bits_set(ps: pd.Series) -> pd.Series:
+        bm = bc.value
+        if len(ps) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.vstack(ps.to_numpy())  # (rows, k) int64 positions
+        hit = (bm[mat >> 3] & (np.uint8(1) << (mat & 7).astype(np.uint8))) != 0
+        return pd.Series(hit.all(axis=1))
+
+    train_sh = word_shingles(train, text_col=text_col, id_col=id_col, n=n)
+    flagged = train_sh.withColumn(
+        "_maybe",
+        _all_bits_set(
+            F.array(*[_bloom_pos(F.col("shingle"), j, m) for j in range(k)])
+        ),
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.when(F.col("_maybe"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            (F.coalesce("n_flagged", F.lit(0)) > 0).alias("maybe_contaminated"),
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+) -> DataFrame:
+    """Corpus-wide duplicated-chunk removal (the CCNet-style shared-
+    passage scrub): every fixed-size chunk keeps only its FIRST
+    occurrence across the whole corpus (ordered by (doc id, position)),
+    and each document is reassembled from its surviving chunks.
+
+    Scale shape: one window shuffle on the 8-byte chunk hash decides
+    keep/drop (row_number over (hash) ordered by (id, idx) — no
+    collect, no join back), then one groupBy(id) reassembles. Rows
+    crossing the exchanges carry at most chunk_size chars of text.
+    Returns (id, n_chunks, n_kept, cleaned_len, cleaned_md5) — the
+    cleaned text is concat-in-position-order of kept chunks; emitting
+    its md5/length keeps the output row narrow."""
+    from pyspark.sql import Window
+
+    ch = chunk_fingerprints(
+        df, text_col, id_col, chunk_size=chunk_size, keep_chunk=True
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("id", "chunk_idx")
+    flagged = ch.withColumn("_keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(
+        F.col("_keep"), F.struct("chunk_idx", "chunk")
+    )  # null when dropped -> skipped by collect_list
+    cleaned = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+        ),
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.length(cleaned).cast("long").alias("cleaned_len"),
+        F.md5(cleaned).alias("cleaned_md5"),
     )
 
 

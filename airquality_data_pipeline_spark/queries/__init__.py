@@ -99,6 +99,11 @@ _PRIORITY = [
     "q106_source_mix",
     "q107_ivf_multiprobe",
     "q108_shard_export",
+    "q109_chunk_dedup",
+    "q111_length_histogram",
+    "q112_jaccard_estimate",
+    "q114_unicode_normalize",
+    "q113_bloom_decontamination",
 ]
 
 

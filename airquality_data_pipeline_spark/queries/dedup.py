@@ -417,3 +417,86 @@ def q96_canonical_docs(spark, sf_dir):
         .where(F.col("n_docs") >= 2)
         .select("canonical_id", "n_docs", "canonical_quality")
     )
+
+
+# --------------------------------------------------------------------------
+# q112: MinHash estimator calibration — for every q41 candidate pair,
+# the signature-agreement Jaccard estimate (n_matches / 16) side by side
+# with the EXACT n-gram Jaccard and the absolute error. This is the
+# measurement that justifies the banding threshold: at scale you tune
+# min_matches from exactly this table computed on a sample. Candidates
+# come from the banding equi-join; the exact side reuses the
+# shingle-hash intersection join — no cross join anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "q112_jaccard_estimate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id,
+             ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h,
+             ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh
+      FROM sh
+    ),
+    params AS (
+      SELECT unnest(range({_NUM_HASHES})) AS seed,
+             unnest([{_A_SQL}]) AS a,
+             unnest([{_B_SQL}]) AS b
+    ),
+    mh AS (
+      SELECT id, p.seed, min((p.a * h + p.b) % {MINHASH_P}) AS mh
+      FROM hashed, params p GROUP BY id, p.seed
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_matches
+      FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*) >= 6
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM hashed GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    joined AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(c.n_matches AS DOUBLE) / {_NUM_HASHES}.0, 6) AS est_jaccard,
+             round(coalesce(i.n_inter, 0)
+                   / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE),
+                   6) AS exact_jaccard
+      FROM cand c
+      LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+      JOIN sizes sa ON c.id_a = sa.id
+      JOIN sizes sb ON c.id_b = sb.id
+    )
+    SELECT id_a, id_b, est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM joined
+    """,
+)
+def q112_jaccard_estimate(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    cand = minhash_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, min_matches=6
+    )
+    sz = shingle_set_sizes(docs, text_col="text", id_col="doc_id", n=3)
+    exact = ngram_jaccard_pairs(sh, threshold=0.0, sizes=sz).select(
+        "id_a", "id_b", F.col("jaccard").alias("_exact")
+    )
+    est = F.round(F.col("n_matches").cast("double") / _NUM_HASHES, 6)
+    return (
+        cand.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            F.coalesce("_exact", F.lit(0.0)).alias("exact_jaccard"),
+        )
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+        )
+    )

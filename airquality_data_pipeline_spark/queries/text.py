@@ -870,3 +870,296 @@ def q108_shard_export(spark, sf_dir):
         .cast("long")
         .alias("token_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# q109: corpus-wide duplicated-chunk REMOVAL (CCNet-style shared-passage
+# scrub) — q102 measures chunk sharing; this one acts on it: every
+# 64-char chunk keeps only its first occurrence (by doc id, position)
+# and documents are reassembled from surviving chunks. The fixture has
+# no cross-doc duplicate chunks, so the corpus unions a shifted replica
+# of every 10th doc (q40's pattern) to exercise real removal.
+# --------------------------------------------------------------------------
+from airquality_data_pipeline_spark.operators.text import chunk_dedup  # noqa: E402
+
+_CHUNK_HASH_SQL = """
+    d AS (SELECT doc_id, text FROM corpus WHERE length(text) > 0),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx, substring(text, i*64+1, 64) AS chunk
+      FROM d, UNNEST(generate_series(0, CAST((length(text)-1) // 64 AS INT))) AS g(i)
+    ),
+    h AS (
+      SELECT doc_id, chunk_idx, chunk,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(chunk, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS chunk_hash
+      FROM ch
+    )
+"""
+
+
+@register(
+    "q109_chunk_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    {_CHUNK_HASH_SQL},
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx
+      ) AS rn
+      FROM h
+    )
+    SELECT doc_id AS id,
+           count(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(length(string_agg(CASE WHEN rn = 1 THEN chunk ELSE '' END,
+                                  '' ORDER BY chunk_idx)) AS BIGINT) AS cleaned_len,
+           md5(string_agg(CASE WHEN rn = 1 THEN chunk ELSE '' END,
+                          '' ORDER BY chunk_idx)) AS cleaned_md5
+    FROM rk GROUP BY doc_id
+    """,
+)
+def q109_chunk_dedup(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return chunk_dedup(corpus, text_col="text", id_col="doc_id", chunk_size=64)
+
+
+# --------------------------------------------------------------------------
+# q111: token-length histogram on power-of-two buckets (the corpus
+# length profile used to choose packing/truncation lengths). Bucket id =
+# number of binary digits of n_tokens (integer-exact on both engines:
+# string length of the base-2 rendering — no float log2 at bucket
+# boundaries). The cumulative shares run over the ~12-row aggregate, so
+# the global window is trivially safe at any corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q111_length_histogram",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE length(bin(n_tokens)) END AS bucket
+      FROM base
+    ),
+    agg AS (
+      SELECT bucket,
+             CASE WHEN bucket = 0 THEN 0 ELSE (1 << (bucket - 1)) END AS lo,
+             CASE WHEN bucket = 0 THEN 0 ELSE (1 << bucket) - 1 END AS hi,
+             count(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket, lo, hi, n_docs, total_tokens,
+           round(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
+           round(CAST(SUM(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS cum_doc_share
+    FROM agg
+    """,
+)
+def q111_length_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    nt = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    bucket = F.when(nt == 0, F.lit(0)).otherwise(
+        F.length(F.conv(nt.cast("string"), 10, 2))
+    )
+    agg = (
+        docs.select(nt.alias("n_tokens"), bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "lo",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1, bucket - 1)"))
+            .cast("long"),
+        )
+        .withColumn(
+            "hi",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1, bucket) - 1"))
+            .cast("long"),
+        )
+    )
+    everything = Window.partitionBy()
+    cum = Window.partitionBy().orderBy("bucket")
+    total = F.sum("n_docs").over(everything).cast("double")
+    return agg.select(
+        "bucket",
+        "lo",
+        "hi",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("n_docs").cast("double") / total, 6).alias("doc_share"),
+        F.round(F.sum("n_docs").over(cum).cast("double") / total, 6).alias(
+            "cum_doc_share"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q113: Bloom-filter decontamination gate — the 100 TB fast path for
+# q99: the benchmark's 8-gram set folds into a FIXED-SIZE bitmap
+# (512 KiB at any benchmark size) broadcast to every executor; the
+# train side is one scan + vectorized-numpy membership (Arrow-batched
+# pandas UDF over JVM-computed md5 positions) + per-doc count — zero
+# shuffle before the aggregate. False positives possible by design
+# (docs flagged that share no real 8-gram; exact q99 re-checks the
+# flagged subset at scale), false negatives impossible — pinned in
+# tests. The positions are md5-derived, so the oracle reproduces the
+# bitmap bit-for-bit and this probabilistic operator still gets a full
+# value-hash correctness row.
+# --------------------------------------------------------------------------
+from airquality_data_pipeline_spark.operators.text import bloom_contamination  # noqa: E402
+
+_BPOS = (
+    "('0x' || substring(md5(shingle || ':{j}'), 1, 12))::BIGINT % 4194304"
+)
+
+
+@register(
+    "q113_bloom_decontamination",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, bucket, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM b
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, bucket, array_to_string(t[i:i+7], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)
+      WHERE len(t) >= 8
+    ),
+    bpos AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5(shingle || ':' || j), 1, 12))::BIGINT
+               % 4194304 AS pos
+      FROM (SELECT DISTINCT shingle FROM sh WHERE bucket >= 95),
+           UNNEST(['0', '1', '2']) AS g(j)
+    ),
+    tsh AS (
+      SELECT id,
+             {_BPOS.format(j=0)} AS p0,
+             {_BPOS.format(j=1)} AS p1,
+             {_BPOS.format(j=2)} AS p2
+      FROM sh WHERE bucket < 95
+    ),
+    per AS (
+      SELECT id, count(*) AS n_ngrams,
+             CAST(SUM(CASE WHEN p0 IN (SELECT pos FROM bpos)
+                            AND p1 IN (SELECT pos FROM bpos)
+                            AND p2 IN (SELECT pos FROM bpos)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      FROM tsh GROUP BY id
+    )
+    SELECT t.doc_id AS id,
+           CAST(coalesce(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(per.n_flagged, 0) AS BIGINT) AS n_flagged,
+           coalesce(per.n_flagged, 0) > 0 AS maybe_contaminated
+    FROM (SELECT doc_id FROM b WHERE bucket < 95) t
+    LEFT JOIN per ON t.doc_id = per.id
+    """,
+)
+def q113_bloom_decontamination(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = docs.withColumn("_bucket", bucket)
+    train = tagged.where(F.col("_bucket") < 95)
+    bench = tagged.where(F.col("_bucket") >= 95)
+    return bloom_contamination(
+        train, bench, text_col="text", id_col="doc_id", n=8
+    )
+
+
+# --------------------------------------------------------------------------
+# q114: unicode/accent normalization — the text-cleanup step that runs
+# before tokenization in corpus curation: NFC-ish accent folding via an
+# explicit translate map (identical table on both engines — no reliance
+# on engine-specific strip_accents), lowercasing, and whitespace
+# collapse. Accented runs are planted deterministically from doc_id so
+# the fold actually fires on the fixture. Per-row expression work only:
+# zero shuffle at any scale.
+# --------------------------------------------------------------------------
+_ACCENT_FROM = "àáâäåçèéêëìíîïñòóôöøùúûüýÀÁÂÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÖØÙÚÛÜÝ"
+_ACCENT_TO = "aaaaaceeeeiiiinooooouuuuyAAAAACEEEEIIIINOOOOOUUUUY"
+
+
+@register(
+    "q114_unicode_normalize",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0 THEN '  Café  naïve  Ångström ' ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0 THEN ' àéîõü crème  brûlée' ELSE '' END
+               AS text
+      FROM documents
+    ),
+    folded AS (
+      SELECT doc_id,
+             length(text) AS raw_len,
+             len(regexp_extract_all(text, '[{_ACCENT_FROM}]')) AS n_accented,
+             trim(regexp_replace(
+               lower(translate(text, '{_ACCENT_FROM}', '{_ACCENT_TO}')),
+               '\\s+', ' ', 'g')) AS norm
+      FROM planted
+    )
+    SELECT doc_id, raw_len, n_accented,
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           md5(norm) AS norm_md5
+    FROM folded
+    """,
+)
+def q114_unicode_normalize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("  Café  naïve  Ångström "))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" àéîõü crème  brûlée"))
+        .otherwise(F.lit("")),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.translate(planted, _ACCENT_FROM, _ACCENT_TO)),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(planted).alias("raw_len"),
+        F.regexp_count(planted, F.lit(f"[{_ACCENT_FROM}]")).alias("n_accented"),
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )

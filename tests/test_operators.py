@@ -311,3 +311,64 @@ def test_driver_prefix_order_pins_unverified_families():
                  "q62_tfidf", "q63_ml_minhash_lsh"}
     missing = [n for n in names[:50] if n not in ORACLE and n not in rows_only]
     assert not missing, f"driver-window queries without oracle: {missing}"
+
+
+def test_bloom_contamination_no_false_negatives(spark, sf_dir):
+    # the bloom gate may over-flag (false positives) but must NEVER
+    # miss a doc the exact operator marks contaminated
+    from airquality_data_pipeline_spark.operators.text import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = docs.withColumn("_bucket", bucket)
+    train = tagged.where(F.col("_bucket") < 95)
+    bench = tagged.where(F.col("_bucket") >= 95)
+    exact = {
+        r.id
+        for r in ngram_contamination(
+            train, bench, text_col="text", id_col="doc_id", n=8
+        )
+        .where("contaminated")
+        .collect()
+    }
+    bloom = {
+        r.id
+        for r in bloom_contamination(
+            train, bench, text_col="text", id_col="doc_id", n=8
+        )
+        .where("maybe_contaminated")
+        .collect()
+    }
+    assert exact, "fixture must produce some contaminated docs"
+    assert exact <= bloom  # containment: zero false negatives
+
+
+def test_chunk_dedup_removes_replica_chunks(spark):
+    # a doc that is an exact copy of an earlier doc loses ALL its chunks;
+    # the original keeps everything
+    from airquality_data_pipeline_spark.operators.text import chunk_dedup
+
+    base = "x" * 200
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "y" * 100)], ["doc_id", "text"]
+    )
+    rows = {
+        r.id: r
+        for r in chunk_dedup(
+            df, text_col="text", id_col="doc_id", chunk_size=64
+        ).collect()
+    }
+    # doc 1: chunks are x*64, x*64, x*64, x*8 — repeats dedup even
+    # within the doc, so the first x*64 and the x*8 tail survive
+    assert rows[1].n_chunks == 4 and rows[1].n_kept == 2
+    assert rows[1].cleaned_len == 64 + 8
+    assert rows[2].n_kept == 0  # full replica: nothing survives
+    assert rows[2].cleaned_len == 0
+    assert rows[3].n_chunks == 2 and rows[3].n_kept == 2  # unique doc intact
