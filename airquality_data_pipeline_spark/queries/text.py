@@ -374,6 +374,9 @@ def q100_language_sampling(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ws).cast("long").alias("n_tokens"),
     )
+    # global (single-partition) window is safe here: it runs over the
+    # per-language AGGREGATE (a handful of rows at any corpus size),
+    # never the document table — the WindowExec warning is expected
     everything = Window.partitionBy()
     p = F.col("n_tokens").cast("double") / F.sum(
         F.col("n_tokens").cast("double")
