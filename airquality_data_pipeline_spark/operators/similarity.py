@@ -457,3 +457,83 @@ def ivf_topk_multiprobe(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def product_quantize(
+    emb: DataFrame,
+    centroid_pred: Column,
+    n_sub: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization: the 100 TB embedding-compression step of an
+    IVF-PQ index. The vector splits into n_sub contiguous subvectors;
+    each subspace has its own small codebook (here: the subvectors of
+    the rows matching centroid_pred — deterministic seeds, exactly the
+    ivf_assign convention; k-means rounds would refine them with the
+    q104 machinery), and every subvector stores only the id of its
+    nearest (L2) codeword.
+
+    Scale shape: explode to (vector, subspace) rows — an n_sub-times
+    narrow fanout, each row carrying dim/n_sub doubles — equi-join the
+    broadcast (subspace, codeword) table, min-struct argmin per row
+    group computed as a map-side partial aggregate, then ONE groupBy(id)
+    reassembles codes and sums quantization error. 64 doubles become
+    n_sub single-byte-ish codes: a 64x storage cut with bounded error,
+    which is what makes billion-scale ANN shippable.
+
+    Distances fold as dot(diff, diff) sequentially (bit-exact across
+    engines, like the cosine fold); per-subspace errors quantize to
+    DECIMAL(18,6) before the cross-subspace sum so the total is
+    order-independent. Output: (id, pq_code 'c0:...:c{n_sub-1}',
+    recon_err)."""
+    sub = dim // n_sub
+    n = with_norm(emb, vec_col, id_col)
+    subvecs = n.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col("v"), j * sub + 1, sub) for j in range(n_sub)]
+            )
+        ).alias("subspace", "sv"),
+    )
+    cents = n.where(centroid_pred).select(
+        F.col("id").alias("cent_id"),
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col("v"), j * sub + 1, sub) for j in range(n_sub)]
+            )
+        ).alias("subspace", "cv"),
+    )
+    diff = F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: a - b)
+    d2 = F.round(_dot(diff, diff), 6)
+    scored = subvecs.join(F.broadcast(cents), "subspace").select(
+        "id",
+        "subspace",
+        F.col("cent_id"),
+        d2.alias("d2"),
+    )
+    best = F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("b")
+    per_sub = scored.groupBy("id", "subspace").agg(best)
+    return (
+        per_sub.select(
+            "id",
+            "subspace",
+            F.col("b.cent_id").alias("code"),
+            F.col("b.d2").cast("decimal(18,6)").alias("d2"),
+        )
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                ":",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("subspace", "code"))
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+            ).alias("pq_code"),
+            F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias("recon_err"),
+        )
+    )

@@ -104,6 +104,8 @@ _PRIORITY = [
     "q112_jaccard_estimate",
     "q114_unicode_normalize",
     "q113_bloom_decontamination",
+    "q115_ann_recall",
+    "q116_product_quantization",
 ]
 
 

@@ -361,3 +361,181 @@ def q107_ivf_multiprobe(spark, sf_dir):
         k=3,
         nprobe=2,
     )
+
+
+# --------------------------------------------------------------------------
+# q115: ANN recall@k calibration — per query, exact brute-force top-3 vs
+# IVF nprobe=1 and nprobe=2 top-3, with hit counts and recall. This is
+# the q112-for-vectors: the measurement that justifies (or indicts) the
+# IVF probe setting before a 100 TB index build. All three retrievals
+# share the tiebreak (cos desc, id asc), so results are deterministic.
+# --------------------------------------------------------------------------
+from airquality_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    product_quantize,
+)
+
+_IVF_ASSIGN_CTE = f"""
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, nrm, bucket FROM (
+        SELECT n.vec_id AS id, n.v, n.nrm, c.cent_id AS bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS r
+        FROM n, cents c
+      ) WHERE r = 1
+    )
+"""
+
+
+@register(
+    "q115_ann_recall",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    {_IVF_ASSIGN_CTE},
+    q AS (
+      SELECT id AS query_id, v AS qv, nrm AS qn, bucket
+      FROM assigned WHERE id < 10
+    ),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) DESC,
+                          n.vec_id
+               ) AS rank
+        FROM n, q WHERE n.vec_id <> q.query_id
+      ) WHERE rank <= 3
+    ),
+    s1 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) DESC,
+                          a.id
+               ) AS rank
+        FROM assigned a JOIN q p ON a.bucket = p.bucket AND a.id <> p.query_id
+      ) WHERE rank <= 3
+    ),
+    probes AS (
+      SELECT id AS query_id, v AS qv, nrm AS qn, bucket FROM (
+        SELECT n.vec_id AS id, n.v, n.nrm, c.cent_id AS bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS pr
+        FROM n, cents c WHERE n.vec_id < 10
+      ) WHERE pr <= 2
+    ),
+    s2 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) DESC,
+                          a.id
+               ) AS rank
+        FROM assigned a JOIN probes p ON a.bucket = p.bucket AND a.id <> p.query_id
+      ) WHERE rank <= 3
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(SUM(CASE WHEN s1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit_p1,
+           CAST(SUM(CASE WHEN s2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit_p2,
+           round(SUM(CASE WHEN s1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0, 6)
+             AS recall_p1,
+           round(SUM(CASE WHEN s2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0, 6)
+             AS recall_p2
+    FROM ex e
+    LEFT JOIN s1 ON e.query_id = s1.query_id AND e.neighbor_id = s1.neighbor_id
+    LEFT JOIN s2 ON e.query_id = s2.query_id AND e.neighbor_id = s2.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q115_ann_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_pred=F.col("id") < 10, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    p1 = ivf_topk(
+        emb, query_pred=F.col("id") < 10, centroid_pred=F.col("id") < 8, k=3
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_h1"))
+    p2 = ivf_topk_multiprobe(
+        emb,
+        query_pred=F.col("id") < 10,
+        centroid_pred=F.col("id") < 8,
+        k=3,
+        nprobe=2,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_h2"))
+    return (
+        exact.join(p1, ["query_id", "neighbor_id"], "left")
+        .join(p2, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("_h1", F.lit(0))).cast("long").alias("n_hit_p1"),
+            F.sum(F.coalesce("_h2", F.lit(0))).cast("long").alias("n_hit_p2"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit_p1",
+            "n_hit_p2",
+            F.round(F.col("n_hit_p1") / 3.0, 6).alias("recall_p1"),
+            F.round(F.col("n_hit_p2") / 3.0, 6).alias("recall_p2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q116: product quantization — 8 subspaces x 4-codeword codebooks
+# (seeds: vec_id < 4, the ivf_assign convention): each 64-d vector
+# compresses to 8 small codes plus a reconstruction error. The storage
+# step of an IVF-PQ index: 64 doubles -> 8 codes.
+# --------------------------------------------------------------------------
+@register(
+    "q116_product_quantization",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    sub AS (
+      SELECT vec_id AS id, j AS subspace, v[j*8+1 : j*8+8] AS sv
+      FROM n, UNNEST(generate_series(0, 7)) AS g(j)
+    ),
+    csub AS (
+      SELECT vec_id AS cent_id, j AS subspace, v[j*8+1 : j*8+8] AS cv
+      FROM n, UNNEST(generate_series(0, 7)) AS g(j)
+      WHERE vec_id < 4
+    ),
+    scored AS (
+      SELECT s.id, s.subspace, c.cent_id,
+             round(list_dot_product(
+               list_transform(generate_series(1, 8), i -> s.sv[i] - c.cv[i]),
+               list_transform(generate_series(1, 8), i -> s.sv[i] - c.cv[i])
+             ), 6) AS d2
+      FROM sub s JOIN csub c USING (subspace)
+    ),
+    best AS (
+      SELECT id, subspace,
+             (min(struct_pack(d2 := d2, cent_id := cent_id))).cent_id AS code,
+             (min(struct_pack(d2 := d2, cent_id := cent_id))).d2 AS d2
+      FROM scored GROUP BY id, subspace
+    )
+    SELECT id,
+           string_agg(CAST(code AS VARCHAR), ':' ORDER BY subspace) AS pq_code,
+           round(sqrt(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE)), 6)
+             AS recon_err
+    FROM best GROUP BY id
+    """,
+)
+def q116_product_quantization(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return product_quantize(
+        emb, centroid_pred=F.col("id") < 4, n_sub=8, dim=64
+    )

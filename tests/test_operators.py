@@ -372,3 +372,25 @@ def test_chunk_dedup_removes_replica_chunks(spark):
     assert rows[2].n_kept == 0  # full replica: nothing survives
     assert rows[2].cleaned_len == 0
     assert rows[3].n_chunks == 2 and rows[3].n_kept == 2  # unique doc intact
+
+
+def test_product_quantize_seeds_reconstruct_exactly(spark, sf_dir):
+    # a codeword vector quantizes to itself in every subspace: its
+    # nearest codeword is its own subvector at distance 0
+    from airquality_data_pipeline_spark.operators.similarity import (
+        product_quantize,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = product_quantize(emb, centroid_pred=F.col("id") < 4)
+    seeds = {r.id: r for r in out.where("id < 4").collect()}
+    assert set(seeds) == {0, 1, 2, 3}
+    for i, r in seeds.items():
+        assert r.recon_err == 0.0
+        assert r.pq_code == ":".join([str(i)] * 8)
+    # non-seed vectors: 8 codes, each a valid codeword id
+    other = out.where("id >= 4").limit(20).collect()
+    for r in other:
+        codes = r.pq_code.split(":")
+        assert len(codes) == 8 and all(c in "0123" for c in codes)
+        assert r.recon_err > 0.0
