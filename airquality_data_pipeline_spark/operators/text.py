@@ -426,7 +426,10 @@ def bloom_contamination(
     The bitmap is built by collecting the benchmark's DISTINCT bit
     positions to the driver — bounded by k * |bench n-grams| longs
     (benchmarks are fixed-size; this is the same driver-sized-dimension
-    pattern as the foreachBatch upserts), then broadcast once.
+    pattern as the foreachBatch upserts), then broadcast once. Note the
+    collect runs a Spark job at PLAN-BUILD time; the broadcast's
+    lifetime is tied to the returned DataFrame's UDF closure and is
+    reclaimed by the ContextCleaner once the frame is dropped.
     """
     from pyspark.sql.functions import pandas_udf
 
