@@ -482,18 +482,42 @@ def q112_jaccard_estimate(spark, sf_dir):
     cand = minhash_candidate_pairs(
         sigs, num_hashes=_NUM_HASHES, min_matches=6
     )
-    sz = shingle_set_sizes(docs, text_col="text", id_col="doc_id", n=3)
-    exact = ngram_jaccard_pairs(sh, threshold=0.0, sizes=sz).select(
-        "id_a", "id_b", F.col("jaccard").alias("_exact")
+    # CANDIDATE-BOUNDED exact verify (the shape q42's docstring
+    # prescribes for scale): the candidate pair list broadcasts onto
+    # A-side shingles, then an equi-join on (id_b, shingle hash) keeps
+    # shared shingles only — intersection work is proportional to
+    # candidates, never to every pair that shares one shingle.
+    hashed = sh.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("_sh"),
     )
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(hashed.select(F.col("id").alias("id_a"), "_sh"), "id_a")
+        .join(hashed.select(F.col("id").alias("id_b"), "_sh"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz = shingle_set_sizes(docs, text_col="text", id_col="doc_id", n=3)
     est = F.round(F.col("n_matches").cast("double") / _NUM_HASHES, 6)
+    exact = F.round(
+        F.coalesce("n_inter", F.lit(0))
+        / (F.col("sz_a") + F.col("sz_b") - F.coalesce("n_inter", F.lit(0))).cast(
+            "double"
+        ),
+        6,
+    )
     return (
-        cand.join(exact, ["id_a", "id_b"], "left")
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .select(
             "id_a",
             "id_b",
             est.alias("est_jaccard"),
-            F.coalesce("_exact", F.lit(0.0)).alias("exact_jaccard"),
+            exact.alias("exact_jaccard"),
         )
         .withColumn(
             "abs_err",
