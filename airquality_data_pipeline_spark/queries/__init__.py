@@ -26,70 +26,13 @@ from airquality_data_pipeline_spark.queries import similarity  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import text  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring):
-# the 40 queries without a CORRECTNESS_r01 row, then the 4 r1 red/crash
-# rows whose fixes need re-verification.
+# r3 rotation — the 16 late-r2 queries that sat past the 50-entry prefix
+# in both prior rounds lead, then any queries newly added this round,
+# then the 4 rows-only entries (so the weaker rows stay visible), then
+# green families as filler. Across r1+r2+r3 this completes driver
+# verification of the whole catalog.
 _PRIORITY = [
-    # pipeline semantics (S5/S7/S10, F5, A1/A2/A4, C9, K4, windows)
-    "q23_cursor_incremental_filter",
-    "q24_pending_cursor_updates",
-    "q25_first_wins_dedup",
-    "q26_greatest_merge",
-    "q27_coalesce_merge",
-    "q28_retention_filter",
-    "q29_ragged_union",
-    "q30_sessionization",
-    "q31_tumbling_window",
-    "q32_sliding_window",
-    "q55_salted_agg",
-    # dedup family (LLM-pipeline brief)
-    "q40_exact_dedup",
-    "q41_minhash_candidates",
-    "q42_ngram_jaccard",
-    "q43_simhash",
-    "q67_signature_clusters",
-    "q71_neardup_components",
-    "q63_ml_minhash_lsh",
-    # similarity search
-    "q44_cosine_topk",
-    "q45_embedding_neardup",
-    "q46_ivf_topk",
-    "q47_vector_lsh",
-    "q66_embedding_quantize",
-    # text analysis + multimodal plumbing
-    "q48_language_id",
-    "q49_quality_score",
-    "q50_token_counts",
-    "q51_fingerprint",
-    "q52_binary_columns",
-    "q54_term_stats",
-    "q62_tfidf",
-    # advanced / timeseries / CDC
-    "q85_doc_chunking",
-    "q86_hash_split",
-    "q87_time_weighted_avg",
-    "q88_gapfill_locf",
-    "q92_discrete_percentiles",
-    "q93_snapshot_diff",
-    # relational3 tail (registered after the r1 cutoff)
-    "q84_month_spine",
-    "q89_multiset_ops",
-    "q90_nulls_order_pagination",
-    "q91_running_distinct",
-    # r1 red/crashed rows, now fixed — need fresh driver rows
-    "q18_json_extract",
-    "q39_collect_sorted",
-    "q56_array_functions",
-    "q61_approx_percentile",
-    # new in r2 (LLM-pipeline ops) — never driver-checked
-    "q94_stratified_sample",
-    "q95_repetition_filter",
-    "q96_canonical_docs",
-    "q97_boilerplate_ngrams",
-    "q98_sequence_packing",
-    "q99_decontamination",
-    # --- positions 51+: past the r1 cutoff, but if the driver's prefix
-    # is ever longer than 50, the still-unchecked r2 additions should be
-    # next in line, ahead of the long-green relational families.
+    # --- never driver-checked (registered at positions 51+ in r2)
     "q100_language_sampling",
     "q101_pii_scrub",
     "q102_chunk_fingerprints",
@@ -106,12 +49,49 @@ _PRIORITY = [
     "q113_bloom_decontamination",
     "q115_ann_recall",
     "q116_product_quantization",
+    # --- new in r3 (never driver-checked)
+    # (appended by the r3 modules below as they register)
+    # --- rows-only by design: re-run each round so regressions surface
+    "q60_approx_distinct",
+    "q61_approx_percentile",
+    "q62_tfidf",
+    "q63_ml_minhash_lsh",
+    # --- green filler: one representative per family, refreshed
+    "q23_cursor_incremental_filter",
+    "q25_first_wins_dedup",
+    "q30_sessionization",
+    "q40_exact_dedup",
+    "q41_minhash_candidates",
+    "q42_ngram_jaccard",
+    "q44_cosine_topk",
+    "q45_embedding_neardup",
+    "q46_ivf_topk",
+    "q48_language_id",
+    "q50_token_counts",
+    "q55_salted_agg",
+    "q71_neardup_components",
+    "q85_doc_chunking",
+    "q89_multiset_ops",
+    "q93_snapshot_diff",
+    "q94_stratified_sample",
+    "q97_boilerplate_ngrams",
+    "q98_sequence_packing",
+    "q99_decontamination",
 ]
+
+# r3 additions are inserted right after the never-checked block so they
+# land inside the driver's 50-entry prefix.
+_R3_INSERT_AT = _PRIORITY.index("q60_approx_distinct")
+_R3_NEW: list[str] = []
+_PRIORITY[_R3_INSERT_AT:_R3_INSERT_AT] = _R3_NEW
 
 
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
-    assert not missing, f"priority list references unknown queries: {missing}"
+    if missing:
+        raise ValueError(
+            f"priority list references unknown queries: {missing}"
+        )
     rest = [n for n in QUERIES if n not in set(_PRIORITY)]
     for mapping in (QUERIES, ORACLE):
         ordered = {

@@ -63,6 +63,10 @@ def main() -> None:
     queries_file = str(Path(REPO_ROOT) / "bench_queries.json")
     with open(queries_file, "w") as f:
         json.dump(timings, f, indent=1, sort_keys=True)
+    # r2 post-mortem: a second stdout line with the full per-query map
+    # pushed the short summary line out of the driver's fixed-size tail
+    # capture ("parsed": null in BENCH_r02.json). The summary line must
+    # be the ONLY stdout line; the map lives in bench_queries.json.
     print(
         json.dumps(
             {
@@ -76,7 +80,6 @@ def main() -> None:
         ),
         flush=True,
     )
-    print(json.dumps({"queries": timings}), flush=True)
 
 
 if __name__ == "__main__":
