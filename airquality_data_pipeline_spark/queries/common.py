@@ -31,12 +31,20 @@ from pyspark.sql import functions as F
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects;
-        # read the raw int64 nanos and floor-convert to a micros instant
-        # (matches DuckDB's nanos->micros truncation).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark 4 rejects unless read as raw int64 via nanosAsLong) and
+        # plain timestamp[us]. Branch on what the fixture actually holds:
+        #   * bigint  -> nanos-as-long fixture: floor-convert to a micros
+        #     instant (matches DuckDB's nanos->micros truncation).
+        #   * timestamp / timestamp_ntz -> micros fixture: cast to
+        #     session-local timestamp (session is pinned UTC, so the wall
+        #     clock is preserved and matches DuckDB's naive timestamps).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

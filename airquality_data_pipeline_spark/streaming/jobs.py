@@ -27,6 +27,10 @@ EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
 
 _STREAM_DIRS: dict[str, str] = {}
 
@@ -42,15 +46,29 @@ def _stage_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture. ts arrives as raw
-    int64 nanos (Spark 4 rejects parquet TIMESTAMP(NANOS)) and is
-    floor-converted to a micros instant."""
+    """File-source stream over the events fixture.
+
+    The fixture has shipped with ts as both parquet TIMESTAMP(NANOS)
+    (readable only as raw int64 via nanosAsLong, then floor-converted to
+    a micros instant) and plain timestamp[us]. A cheap batch read of the
+    footer decides which stream schema to use.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"]
+    if ts_type == "bigint":
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_stage_dir(sf_dir))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
     return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_dir(sf_dir))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 
