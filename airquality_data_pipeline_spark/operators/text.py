@@ -332,22 +332,31 @@ def chunk_fingerprints(
     text_col: str,
     id_col: str,
     chunk_size: int = 64,
-    base: int = 131,
-    mod: int = 2147483647,
+    hash_hex_len: int = 15,
     keep_chunk: bool = False,
 ) -> DataFrame:
-    """Rolling-hash document fingerprinting: the text is cut into
-    fixed-size character chunks and each chunk gets a Rabin-Karp
-    polynomial hash h = fold(h*base + codepoint) mod p — the classic
-    content-defined fingerprint for partial-overlap detection (two docs
-    sharing a run of >= chunk_size chars at the same alignment share a
-    chunk hash).
+    """Content-chunk document fingerprinting: the text is cut into
+    fixed-size character chunks and each chunk is keyed by an
+    md5-derived fingerprint — two docs sharing a run of >= chunk_size
+    chars at the same alignment share a chunk hash (the
+    partial-overlap / shared-passage signal exact-doc dedup misses).
 
-    All per-row higher-order-function work (transform/filter/aggregate
-    folds, JVM-side): the only wide operation a consumer adds is the
-    groupBy on chunk_hash, which shuffles hash-distributed 16-byte rows
-    — the cheapest possible key at 100 TB. Empty documents produce zero
-    chunks. Integer arithmetic stays in long: h < 2^31, h*131 < 2^38.
+    Hash width vs key width (hash_hex_len = leading hex digits of
+    md5(chunk) kept):
+      * 15 (default) -> 60-bit BIGINT key: 8-byte shuffle rows.
+        Birthday bound ~ n^2 / 2^61 collisions among n distinct chunks
+        — negligible below ~10^8 chunks (p < 0.5% at 10^8), which covers
+        any single-corpus audit; a collision makes downstream dedup
+        silently drop a unique chunk, so
+      * 32 -> the full 128-bit digest as a hex STRING key for
+        100 TB-scale chunk dedup (~10^12 chunks): 32-byte shuffle rows,
+        collision probability ~ 10^-15.
+    The earlier 31-bit Rabin-Karp fold collided at ~10^5 chunks and is
+    gone; md5 is also what a SQL oracle reproduces bit-exactly.
+
+    All per-row JVM-side work (substring + md5, whole-stage codegen):
+    the only wide operation a consumer adds is the groupBy on
+    chunk_hash. Empty documents produce zero chunks.
     """
     t = F.col(text_col)
     n_chunks = (F.floor((F.length(t) - 1) / F.lit(chunk_size)) + 1).cast("int")
@@ -362,23 +371,20 @@ def chunk_fingerprints(
         F.col(id_col).alias("id"),
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     )
-    codes = F.transform(
-        F.filter(F.split(F.col("chunk"), ""), lambda c: c != F.lit("")),
-        lambda c: F.ascii(c).cast("long"),
-    )
-    rolled = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * base + x) % mod,
+    digest = F.substring(F.md5(F.col("chunk")), 1, hash_hex_len)
+    hashed = (
+        F.conv(digest, 16, 10).cast("long")
+        if hash_hex_len <= 15  # 60 bits: the widest signed-bigint-safe cut
+        else digest
     )
     return exploded.select(
         "id",
         "chunk_idx",
-        rolled.alias("chunk_hash"),
+        hashed.alias("chunk_hash"),
         F.length("chunk").alias("chunk_len"),
         # keep_chunk rides the chunk text along for consumers that
         # reassemble documents (chunk-level dedup) — off by default so
-        # fingerprint-only consumers shuffle 16-byte rows
+        # fingerprint-only consumers shuffle narrow rows
         *(["chunk"] if keep_chunk else []),
     )
 

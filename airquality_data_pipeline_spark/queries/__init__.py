@@ -3,12 +3,15 @@
 Each module registers (spark builder, DuckDB oracle SQL) pairs into the
 shared registry. Importing this package populates it.
 
-Registration order is deliberate: the external driver checks a prefix of
-the catalog (r1 checked exactly the first 50 entries), so the families
-that have never received a driver correctness row — pipeline, dedup,
-similarity, text, advanced, and the relational3 tail — are promoted to
-the front, followed by the four rows that were red/crashed in r1
-(q18/q39/q56/q61). Already-green relational families come last.
+Registration order is deliberate: the external driver checks a ~50-entry
+prefix of the catalog each round, so _PRIORITY below puts the queries
+that most need a fresh CORRECTNESS row first. Round-4 rotation: the 24
+events-reading queries lead (the Aug-13 fixture regen to timestamp[us]
+invalidated their r1/r2 green rows — they must re-earn them on the new
+reader), then the formerly rows-only entries whose oracles were added
+this round, then queries whose implementation changed this round (chunk
+hash widened to 60 bits; q45 threshold), then one green representative
+per family as filler.
 """
 
 from __future__ import annotations
@@ -25,65 +28,64 @@ from airquality_data_pipeline_spark.queries import dedup  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import similarity  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import text  # noqa: E402,F401
 
-# Names the driver must check first this round (see module docstring):
-# r3 rotation — the 16 late-r2 queries that sat past the 50-entry prefix
-# in both prior rounds lead, then any queries newly added this round,
-# then the 4 rows-only entries (so the weaker rows stay visible), then
-# green families as filler. Across r1+r2+r3 this completes driver
-# verification of the whole catalog.
+# Names the driver must check first this round (see module docstring).
 _PRIORITY = [
-    # --- never driver-checked (registered at positions 51+ in r2)
-    "q100_language_sampling",
-    "q101_pii_scrub",
-    "q102_chunk_fingerprints",
-    "q103_curation_pipeline",
-    "q104_kmeans_refine",
-    "q105_length_filter",
-    "q106_source_mix",
-    "q107_ivf_multiprobe",
-    "q108_shard_export",
-    "q109_chunk_dedup",
-    "q111_length_histogram",
-    "q112_jaccard_estimate",
-    "q114_unicode_normalize",
-    "q113_bloom_decontamination",
-    "q115_ann_recall",
-    "q116_product_quantization",
-    # --- new in r3 (never driver-checked)
-    # (appended by the r3 modules below as they register)
-    # --- rows-only by design: re-run each round so regressions surface
+    # --- the 24 events-reading queries: r1/r2 green rows are stale
+    # evidence against the regenerated timestamp[us] fixtures
+    "q17_datetime_tz",
+    "q18_json_extract",
+    "q23_cursor_incremental_filter",
+    "q24_pending_cursor_updates",
+    "q25_first_wins_dedup",
+    "q26_greatest_merge",
+    "q28_retention_filter",
+    "q29_ragged_union",
+    "q30_sessionization",
+    "q31_tumbling_window",
+    "q32_sliding_window",
+    "q33_asof_join",
+    "q34_range_join",
+    "q55_salted_agg",
+    "q65_nullsafe_join",
+    "q68_bit_aggs",
+    "q75_edit_distance",
+    "q76_null_aggregates",
+    "q77_range_frame",
+    "q80_ignore_nulls",
+    "q83_map_functions",
+    "q87_time_weighted_avg",
+    "q88_gapfill_locf",
+    "q91_running_distinct",
+    # --- formerly rows-only; oracles added / reworked in r4
     "q60_approx_distinct",
     "q61_approx_percentile",
     "q62_tfidf",
     "q63_ml_minhash_lsh",
+    # --- implementation changed in r4 (60-bit chunk hash; q45 recall)
+    "q102_chunk_fingerprints",
+    "q109_chunk_dedup",
+    "q112_jaccard_estimate",
+    "q45_embedding_neardup",
     # --- green filler: one representative per family, refreshed
-    "q23_cursor_incremental_filter",
-    "q25_first_wins_dedup",
-    "q30_sessionization",
+    "q01_pricing_summary",
+    "q05_local_supplier_volume",
+    "q09_broadcast_dim_join",
+    "q10_topk_per_group",
+    "q27_coalesce_merge",
     "q40_exact_dedup",
     "q41_minhash_candidates",
-    "q42_ngram_jaccard",
     "q44_cosine_topk",
-    "q45_embedding_neardup",
     "q46_ivf_topk",
     "q48_language_id",
-    "q50_token_counts",
-    "q55_salted_agg",
     "q71_neardup_components",
     "q85_doc_chunking",
     "q89_multiset_ops",
-    "q93_snapshot_diff",
     "q94_stratified_sample",
-    "q97_boilerplate_ngrams",
-    "q98_sequence_packing",
     "q99_decontamination",
+    "q103_curation_pipeline",
+    "q113_bloom_decontamination",
+    "q115_ann_recall",
 ]
-
-# r3 additions are inserted right after the never-checked block so they
-# land inside the driver's 50-entry prefix.
-_R3_INSERT_AT = _PRIORITY.index("q60_approx_distinct")
-_R3_NEW: list[str] = []
-_PRIORITY[_R3_INSERT_AT:_R3_INSERT_AT] = _R3_NEW
 
 
 def _reorder() -> None:

@@ -470,11 +470,12 @@ def q101_pii_scrub(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q102: rolling-hash chunk fingerprints — Rabin-Karp polynomial hash per
+# q102: content-chunk fingerprints — a 60-bit md5-derived key per
 # 64-char chunk; per doc, how many of its chunks also appear (same hash)
 # in at least one other document: the partial-overlap / shared-passage
 # signal that exact-doc dedup misses. The only shuffle keys are the
-# 8-byte chunk hash and the doc id.
+# 8-byte chunk hash and the doc id (hash_hex_len=32 upgrades to the full
+# 128-bit digest for 100 TB corpora — see operators/text.py docstring).
 # --------------------------------------------------------------------------
 @register(
     "q102_chunk_fingerprints",
@@ -486,11 +487,7 @@ def q101_pii_scrub(spark, sf_dir):
     ),
     h AS (
       SELECT doc_id, chunk_idx,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(chunk, ''),
-                                c -> CAST(ascii(c) AS BIGINT))),
-               (acc, x) -> (acc * 131 + x) % 2147483647) AS chunk_hash
+             ('0x' || substring(md5(chunk), 1, 15))::BIGINT AS chunk_hash
       FROM ch
     ),
     freq AS (
@@ -893,11 +890,7 @@ _CHUNK_HASH_SQL = """
     ),
     h AS (
       SELECT doc_id, chunk_idx, chunk,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(chunk, ''),
-                                c -> CAST(ascii(c) AS BIGINT))),
-               (acc, x) -> (acc * 131 + x) % 2147483647) AS chunk_hash
+             ('0x' || substring(md5(chunk), 1, 15))::BIGINT AS chunk_hash
       FROM ch
     )
 """

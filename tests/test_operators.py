@@ -3,6 +3,8 @@ multimodal plumbing, IVF shape guarantees, cursor/merge edge cases."""
 
 from __future__ import annotations
 
+import hashlib
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -241,16 +243,20 @@ def test_chunk_fingerprints_shared_chunks(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.id, {})[r.chunk_idx] = r.chunk_hash
-    # identical aligned chunk -> identical rolling hash
+    # identical aligned chunk -> identical hash
     assert by_doc[1][0] == by_doc[2][0]
     # differing tails -> different hashes
     assert by_doc[1][1] != by_doc[2][1]
     assert by_doc[3][0] not in (by_doc[1][0], by_doc[1][1])
-    # reference value: fold of (acc*131 + code) % (2^31 - 1) over 'S'*64
-    acc = 0
-    for c in shared:
-        acc = (acc * 131 + ord(c)) % 2147483647
-    assert by_doc[1][0] == acc
+    # reference value: leading 60 bits (15 hex digits) of md5(chunk)
+    expect = int(hashlib.md5(shared.encode()).hexdigest()[:15], 16)
+    assert by_doc[1][0] == expect
+    # wide mode: the full 128-bit digest as a hex string key
+    wide = chunk_fingerprints(
+        df, "text", "doc_id", chunk_size=64, hash_hex_len=32
+    )
+    wrow = {(r.id, r.chunk_idx): r.chunk_hash for r in wide.collect()}
+    assert wrow[(1, 0)] == hashlib.md5(shared.encode()).hexdigest()
 
 
 def test_kmeans_step_separated_clusters(spark):
