@@ -33,22 +33,29 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MergeRule = Callable[[Column, Column], Column]
+# A rule receives (src_value, tgt_value, src_present) per value column.
+# src_present is TRUE iff the key exists in the update batch — the
+# presence marker that lets last-wins semantics distinguish "source set
+# the value to NULL" (overwrite) from "key absent from the batch" (keep
+# target), which src-NULL alone cannot express.
+MergeRule = Callable[[Column, Column, Column], Column]
 
 
-def coalesce_rule(src: Column, tgt: Column) -> Column:
+def coalesce_rule(src: Column, tgt: Column, src_present: Column) -> Column:
     """K2 semantics: never overwrite a non-null value with null."""
     return F.coalesce(src, tgt)
 
 
-def greatest_rule(src: Column, tgt: Column) -> Column:
+def greatest_rule(src: Column, tgt: Column, src_present: Column) -> Column:
     """K3 semantics: the value only ever advances."""
     return F.greatest(src, tgt)
 
 
-def source_wins_rule(src: Column, tgt: Column) -> Column:
-    """Plain upsert: the update batch wins where present."""
-    return F.coalesce(src, tgt)
+def source_wins_rule(src: Column, tgt: Column, src_present: Column) -> Column:
+    """True last-wins upsert: wherever the key is present in the update
+    batch the source value is taken verbatim — INCLUDING explicit NULLs
+    (unlike coalesce_rule, which keeps the target value then)."""
+    return F.when(src_present, src).otherwise(tgt)
 
 
 def merge_into_partitioned(
@@ -74,10 +81,23 @@ def merge_into_partitioned(
     partition value must be stable — if an update moved a key to a new
     partition, the stale row in its old partition would only be cleaned
     up if that partition is also touched by the batch.
+
+    NULL partition values in the update batch are rejected: the IN
+    prune can never select a NULL target partition, so a NULL update
+    row would insert via dynamic overwrite while the matching target
+    rows are silently left unmerged — an asymmetry better surfaced as
+    an error than shipped as data loss.
     """
     parts = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
+    if any(p is None for p in parts):
+        raise ValueError(
+            f"update batch contains NULL {partition_col!r} partition "
+            "values; partition-pruned MERGE cannot address the NULL "
+            "partition (IN-prune never matches NULL) — clean or "
+            "default the partition column upstream"
+        )
     if not parts:
         return 0
 
@@ -95,12 +115,14 @@ def merge_into_partitioned(
     s = updates.select(
         *key_cols,
         F.col(partition_col).alias("_s_part"),
+        F.lit(True).alias("_s_present"),
         *[F.col(c).alias(f"_s_{c}") for c in value_cols],
     )
+    present = F.coalesce(F.col("_s_present"), F.lit(False))
     merged = t.join(s, key_cols, "full_outer").select(
         *key_cols,
         *[
-            rule(F.col(f"_s_{c}"), F.col(f"_t_{c}")).alias(c)
+            rule(F.col(f"_s_{c}"), F.col(f"_t_{c}"), present).alias(c)
             for c in value_cols
         ],
         F.coalesce(F.col("_s_part"), F.col("_t_part")).alias(partition_col),

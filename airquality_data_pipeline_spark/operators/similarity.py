@@ -193,6 +193,42 @@ def hyperplane_lsh(
     return _sig_from_normed(with_norm(emb, vec_col, id_col), n_bits, dim)
 
 
+def planted_neardup_corpus(
+    emb: DataFrame,
+    every: int = 5,
+    id_offset: int = 100000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus with deterministic planted near-duplicates: every
+    `every`-th vector gains a replica (id + id_offset) whose component i
+    is jittered by ((id*31 + i*7) % 11 - 5) * 1e-3 — cosine vs the
+    original ~0.9999 on unit-ish Gaussian vectors. Integer-derived and
+    float->double widening only, so any engine reproduces the exact
+    same doubles (the q45 oracle builds the identical corpus in SQL).
+    Exists because the synthetic embeddings fixture is pure random
+    Gaussian (max natural pairwise cosine ~0.51): without planting
+    there is nothing in the >= 0.9 regime near-dup mining targets."""
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    jittered = F.transform(
+        F.col(vec_col),
+        lambda x, i: x
+        + (((F.col(id_col) * 31 + i * 7) % 11 - 5).cast("double") * 0.001),
+    )
+    # two-stage select: jittering and re-idding in ONE projection makes
+    # the lambda's outer id reference resolve against the renamed output
+    # column (jitter computed with id + id_offset) instead of the input
+    planted = (
+        base.where(F.col(id_col) % every == 0)
+        .select(F.col(id_col), jittered.alias(vec_col))
+        .select((F.col(id_col) + id_offset).alias(id_col), F.col(vec_col))
+    )
+    return base.unionByName(planted)
+
+
 def lsh_gated_neardup(
     emb: DataFrame,
     threshold: float,
@@ -214,15 +250,17 @@ def lsh_gated_neardup(
     an equi-join. band_bits trades recall for candidate volume (more,
     shorter bands -> higher recall, more candidates).
 
-    Recall regime (measured on the synthetic fixture, which is pure
-    random Gaussian — max pairwise cosine ~0.6, no planted near-dups):
-    at threshold 0.35 with 4-bit x 4 bands, recall vs brute force is
-    48% (1982/4137 at sf0.1) and candidates are 24% of all pairs. Sign
-    banding is inherently weak at low thresholds (p_bit = 1 - theta/pi
-    ~= 0.61 at 0.35); for REAL near-dup thresholds (>= 0.9, p_bit 0.86)
-    16-bit bands collide randomly at 1.5e-5 while keeping ~8%/band
-    recall — stack bands for recall, and the gate's selectivity grows
-    with similarity, which is exactly the production regime.
+    Recall regime: sign banding is inherently weak at LOW thresholds —
+    at 0.35 with 4-bit x 4 bands, measured recall vs brute force on the
+    raw Gaussian fixture is 48% (1982/4137 at sf0.1) with candidates at
+    24% of all pairs (p_bit = 1 - theta/pi ~= 0.61 at cos 0.35). In the
+    REAL near-dup regime the operator targets (>= 0.9, p_bit >= 0.86;
+    ~0.999 for the planted ~0.9999-cosine replicas), per-band match
+    probability is p_bit^4 and stacking 4 bands drives recall to ~1
+    while random 4-bit collisions stay at 1/16 per band. The registered
+    q45 runs at 0.9 over `planted_neardup_corpus` (the fixture has no
+    natural pairs above 0.51); test_operators pins 100% recall of the
+    planted pairs vs the brute-force twin.
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold.
     """

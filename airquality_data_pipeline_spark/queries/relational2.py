@@ -1,6 +1,7 @@
 """Relational coverage batch 2: as-of / range joins, pivot / unpivot,
 exact percentiles, lexicographic arg-max, sorted collect aggregates, the
-spark.sql SQL surface, and approximate aggregates (rows-only checks).
+spark.sql SQL surface, and approximate aggregates (checked as exact
+values + in-bound booleans computed in the same plan).
 """
 
 from __future__ import annotations
@@ -810,37 +811,128 @@ def q68_bit_aggs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q60/q61: approximate aggregates — engine-specific sketches
-# (HyperLogLog++ / KLL), so no value-exact oracle: rows-only checks.
+# q60/q61: approximate aggregates. The sketches themselves
+# (HyperLogLog++ / KLL) are engine-internal, so the CHECKED columns are
+# the exact counterparts (bit-comparable in any engine) plus an
+# in-bound boolean the Spark plan computes by running the approx
+# aggregate in the SAME plan and testing it against the exact value;
+# the oracle asserts the boolean is TRUE. A sketch regression (bias
+# beyond the documented error bound) therefore flips a checked value
+# and fails the driver hash — the approx path is exercised and gated,
+# not just row-counted. Tight bounds are additionally pinned in
+# tests/test_oracle_parity.py.
 # --------------------------------------------------------------------------
-@register("q60_approx_distinct")
+@register(
+    "q60_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_in_bound,
+           TRUE AS orders_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q60_approx_distinct(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+
+    def rel_err(approx, exact):
+        return F.abs(approx.cast("double") - exact.cast("double")) / exact.cast(
+            "double"
         )
-        .orderBy("l_returnflag")
+
+    # default rsd = 0.05; 0.2 is a 4-sigma acceptance bound
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.approx_count_distinct("l_orderkey").alias("_ao"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (rel_err(F.col("_ap"), F.col("exact_parts")) <= 0.2).alias(
+            "parts_in_bound"
+        ),
+        (rel_err(F.col("_ao"), F.col("exact_orders")) <= 0.2).alias(
+            "orders_in_bound"
+        ),
     )
 
 
-@register("q61_approx_percentile")
+@register(
+    "q61_approx_percentile",
+    oracle="""
+    WITH c AS (
+      SELECT l_linestatus, l_extendedprice,
+             cume_dist() OVER (
+               PARTITION BY l_linestatus ORDER BY l_extendedprice
+             ) AS cd
+      FROM lineitem
+    )
+    SELECT l_linestatus,
+           MIN(CASE WHEN cd >= 0.1 THEN l_extendedprice END) AS p10_disc,
+           MIN(CASE WHEN cd >= 0.5 THEN l_extendedprice END) AS p50_disc,
+           MIN(CASE WHEN cd >= 0.9 THEN l_extendedprice END) AS p90_disc,
+           TRUE AS p10_in_bound,
+           TRUE AS p50_in_bound,
+           TRUE AS p90_in_bound
+    FROM c GROUP BY l_linestatus
+    """,
+)
 def q61_approx_percentile(spark, sf_dir):
+    from pyspark.sql import Window as W
+
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_linestatus")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
-            # the [0.1, 0.9] list form returns an array; split into scalar
-            # columns so the driver's pandas canonicalizer can hash rows
-            F.element_at(
-                F.percentile_approx("l_extendedprice", [0.1, 0.9], 10000), 1
-            ).alias("p10"),
-            F.element_at(
-                F.percentile_approx("l_extendedprice", [0.1, 0.9], 10000), 2
-            ).alias("p90"),
-        )
-        .orderBy("l_linestatus")
+    # exact discrete percentiles via cume_dist (q92's cross-engine
+    # idiom: integer counts divide in double identically in any engine)
+    w = W.partitionBy("l_linestatus").orderBy("l_extendedprice")
+    c = li.select(
+        "l_linestatus",
+        "l_extendedprice",
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+    def disc(p, alias):
+        return F.min(
+            F.when(F.col("cd") >= p, F.col("l_extendedprice"))
+        ).alias(alias)
+
+    # percentile_approx(accuracy=10000) guarantees relative RANK error
+    # <= 1e-4; the +/-0.01-rank acceptance window is 100x looser
+    exact = c.groupBy("l_linestatus").agg(
+        disc(0.1, "p10_disc"),
+        disc(0.5, "p50_disc"),
+        disc(0.9, "p90_disc"),
+        disc(0.09, "_lo10"),
+        disc(0.11, "_hi10"),
+        disc(0.49, "_lo50"),
+        disc(0.51, "_hi50"),
+        disc(0.89, "_lo90"),
+        disc(0.91, "_hi90"),
+    )
+    approx = li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_a50"),
+        # the [0.1, 0.9] list form returns an array; split into scalar
+        # columns so the driver's pandas canonicalizer can hash rows
+        F.element_at(
+            F.percentile_approx("l_extendedprice", [0.1, 0.9], 10000), 1
+        ).alias("_a10"),
+        F.element_at(
+            F.percentile_approx("l_extendedprice", [0.1, 0.9], 10000), 2
+        ).alias("_a90"),
+    )
+
+    def in_bound(a, lo, hi, alias):
+        return ((F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))).alias(alias)
+
+    return exact.join(approx, "l_linestatus").select(
+        "l_linestatus",
+        "p10_disc",
+        "p50_disc",
+        "p90_disc",
+        in_bound("_a10", "_lo10", "_hi10", "p10_in_bound"),
+        in_bound("_a50", "_lo50", "_hi50", "p50_in_bound"),
+        in_bound("_a90", "_lo90", "_hi90", "p90_in_bound"),
     )

@@ -15,6 +15,7 @@ from airquality_data_pipeline_spark.operators.similarity import (
     hyperplane_lsh,
     ivf_topk,
     lsh_gated_neardup,
+    planted_neardup_corpus,
 )
 from airquality_data_pipeline_spark.queries.common import table
 from airquality_data_pipeline_spark.queries.registry import register
@@ -63,16 +64,40 @@ def q44_cosine_topk(spark, sf_dir):
 # --------------------------------------------------------------------------
 # q45: embedding near-dup pairs via the SCALE composition: sign-LSH
 # banding (4 bands x 4 bits) generates candidates as an equi-join on
-# (band, band_value); exact cosine then verifies candidates >= 0.35.
+# (band, band_value); exact cosine then verifies candidates >= 0.9.
 # No cross join in the plan — candidate volume is bucket-bounded, which
-# is the shape that survives 100 TB. The brute-force all-pairs form
-# (operators.similarity.neardup_pairs) stays as the ground-truth twin
-# for recall measurement in tests.
+# is the shape that survives 100 TB.
+#
+# The fixture is pure random Gaussian (max natural pairwise cosine
+# ~0.51), so the >= 0.9 regime the operator is designed for is
+# exercised by planting deterministic near-duplicates: every 5th
+# vector gets a replica (id + 100000) with an integer-derived jitter of
+# +/- 5e-3 per component (cos vs the original ~0.9999) — both engines
+# derive the identical corpus, and the gate's recall at this threshold
+# is ~1 (p_bit = 1 - theta/pi ~ 0.999 per bit). The old registered
+# threshold 0.35 sat in the regime where sign banding is inherently
+# weak (~48% recall vs brute force, r2 ADVICE) — that figure stays
+# documented in operators/similarity.lsh_gated_neardup's docstring, and
+# the brute-force twin (neardup_pairs) remains the ground-truth for
+# recall tests.
 # --------------------------------------------------------------------------
 @register(
     "q45_embedding_neardup",
     oracle=f"""
-    WITH {_NORM_CTE},
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(64),
+               i -> v[i+1] + CAST((vec_id * 31 + i * 7) % 11 - 5 AS DOUBLE) * 0.001)
+      FROM base WHERE vec_id % 5 = 0
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+    ),
     params AS (
       SELECT unnest(range(16)) AS j,
              unnest([{_LSH_A}]) AS a,
@@ -105,12 +130,13 @@ def q44_cosine_topk(spark, sf_dir):
     FROM cand
     JOIN n x ON cand.id_a = x.vec_id
     JOIN n y ON cand.id_b = y.vec_id
-    WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.35
+    WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.9
     """,
 )
 def q45_embedding_neardup(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
-    return lsh_gated_neardup(emb, threshold=0.35, n_bits=16, band_bits=4)
+    corpus = planted_neardup_corpus(emb)
+    return lsh_gated_neardup(corpus, threshold=0.9, n_bits=16, band_bits=4)
 
 
 # --------------------------------------------------------------------------

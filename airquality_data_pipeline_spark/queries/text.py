@@ -185,13 +185,33 @@ def q54_term_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q62: smoothed TF-IDF weights (rows-only: log() is libm-dependent and
-# not bit-portable across engines; q54 pins the integer substrate).
+# q62: smoothed TF-IDF weights. The integer substrate (tf/df) is exact
+# on both engines; the weight itself passes through ln(), whose last
+# ulp is libm-dependent, so the checked column is round(tfidf, 6) —
+# the two engines' ln() agree to ~1e-16 relative, 10 orders of
+# magnitude inside the rounding grain. q54 pins the raw integers.
 # --------------------------------------------------------------------------
-@register("q62_tfidf")
+@register(
+    "q62_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+    SELECT id, term, tf, df,
+           round(tf * (ln((n + 1) / (df + 1)) + 1), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    WHERE df >= 2
+    """,
+)
 def q62_tfidf(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    return tfidf_vectors(docs, text_col="text", id_col="doc_id", min_df=2)
+    vec = tfidf_vectors(docs, text_col="text", id_col="doc_id", min_df=2)
+    return vec.withColumn("tfidf", F.round("tfidf", 6))
 
 
 # --------------------------------------------------------------------------

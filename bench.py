@@ -1,8 +1,13 @@
 """Benchmark harness: runs the full oracle-checked catalog at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE short JSON line (the only
+stdout line — the driver tail-captures stdout, see the post-mortem
+comments in main()):
+  {"metric": "catalog_total_runtime", "value": total_sec,
+   "unit": "sec", "sf": ..., "n_queries": N,
+   "queries_file": ".../bench_queries.json"}
+The full per-query {name: sec} map lives in the bench_queries.json
+sidecar file, not on stdout.
 
 Each query executes end-to-end via a noop sink (full plan runs, nothing
 collected to the driver), after a small JVM/codegen warmup.

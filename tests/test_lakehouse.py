@@ -80,6 +80,41 @@ def test_merge_into_partitioned(spark):
     )
 
 
+def test_source_wins_rule_null_overwrites(spark):
+    # true last-wins: an EXPLICIT NULL in the update batch clobbers the
+    # target value (coalesce_rule would keep it), while keys absent
+    # from the batch keep their target values untouched
+    path = tempfile.mkdtemp(prefix="aq_lake_")
+    schema = "station_id string, city string, country string"
+    spark.createDataFrame(
+        [("s1", "Berlin", "DE"), ("s2", "Hamburg", "DE")], schema
+    ).write.mode("overwrite").partitionBy("country").parquet(path)
+
+    updates = spark.createDataFrame([("s1", None, "DE")], schema)
+    lakehouse.merge_into_partitioned(
+        spark, path, updates, ["station_id"], "country",
+        rule=lakehouse.source_wins_rule,
+    )
+    got = {r.station_id: r.city for r in spark.read.parquet(path).collect()}
+    assert got == {"s1": None, "s2": "Hamburg"}
+
+
+def test_null_partition_values_rejected(spark):
+    import pytest
+
+    path = tempfile.mkdtemp(prefix="aq_lake_")
+    schema = "station_id string, city string, country string"
+    spark.createDataFrame(
+        [("s1", "Berlin", "DE")], schema
+    ).write.mode("overwrite").partitionBy("country").parquet(path)
+
+    updates = spark.createDataFrame([("s2", "Nowhere", None)], schema)
+    with pytest.raises(ValueError, match="NULL 'country' partition"):
+        lakehouse.merge_into_partitioned(
+            spark, path, updates, ["station_id"], "country"
+        )
+
+
 def test_greatest_rule_cursor_merge(spark):
     path = tempfile.mkdtemp(prefix="aq_lake_")
     schema = "station_id string, last_observed_at string, country string"
