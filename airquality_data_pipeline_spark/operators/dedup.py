@@ -282,3 +282,81 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         for i in range(bits)
     ]
     return agg.select("id", F.concat(*bit_cols).alias("simhash"))
+
+
+def simhash_band_candidates(
+    sigs: DataFrame,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs the Manku/Google-webcrawl way: split the
+    `bits`-bit fingerprint into `n_bands` equal bands; any pair within
+    hamming distance <= n_bands - 1 must agree on at least ONE band
+    (pigeonhole), so candidate generation is an equi-join on
+    (band_idx, band_value) — never an all-pairs scan — with 100% recall
+    for max_hamming <= n_bands - 1. Exact hamming over the full
+    fingerprint then verifies candidates.
+
+    Scale shape: |bands| rows per doc shuffle on a short string key;
+    bucket sizes bound the join fan-out exactly like MinHash banding
+    (q41) and sign-LSH banding (q45). Verification touches candidates
+    only and is a per-row zip_with fold (JVM codegen).
+
+    Input: (id, simhash) from `simhash`. Output: (id_a, id_b, hamming)
+    with id_a < id_b and hamming <= max_hamming.
+    """
+    assert bits % n_bands == 0, "bits must split evenly into bands"
+    assert max_hamming <= n_bands - 1, (
+        "pigeonhole guarantee needs max_hamming <= n_bands - 1"
+    )
+    band_bits = bits // n_bands
+    bands = sigs.select(
+        "id",
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.substring(
+                            "simhash", j * band_bits + 1, band_bits
+                        ).alias("bv"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("c"),
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.id") < F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("c.id").alias("id_b"),
+            F.col("c.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    nonempty = lambda arr: F.filter(arr, lambda ch: ch != F.lit(""))
+    hamming = F.aggregate(
+        F.zip_with(
+            nonempty(F.split(F.col("sig_a"), "")),
+            nonempty(F.split(F.col("sig_b"), "")),
+            lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

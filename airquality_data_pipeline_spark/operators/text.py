@@ -566,3 +566,145 @@ def boilerplate_ngram_stats(
             ).alias("boiler_ratio"),
         )
     )
+
+
+def boilerplate_span_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span: int = 8,
+) -> DataFrame:
+    """Corpus-frequent span removal — the C4 line-dedup rule re-based on
+    token tiles for corpora with no line structure: documents tile into
+    fixed `span`-token windows (stride = span), and a tile whose
+    normalized text occurs in >= 2 DISTINCT documents is boilerplate,
+    removed from EVERY document (unlike chunk_dedup, which keeps the
+    first occurrence); documents reassemble from surviving tiles in
+    position order.
+
+    Scale shape: one window shuffle on the tile text decides
+    boilerplate ("in >= 2 docs" == min(id) != max(id) over the tile
+    partition — one shuffle + one scan, the q102 pattern; a groupBy +
+    join back would recompute and reshuffle the tile subtree), then one
+    groupBy(id) reassembles. Rows crossing the exchange carry at most
+    `span` tokens of text. Empty documents are excluded (zero tiles),
+    matching chunk_dedup.
+
+    Output: (id, n_tiles, n_kept, cleaned_len, cleaned_md5) where the
+    cleaned text is the space-join of surviving normalized tiles.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tiles = (F.floor((F.size(toks) - 1) / F.lit(span)) + 1).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), n_tiles - 1),
+        lambda i: F.array_join(F.slice(toks, i * span + 1, span), " "),
+    )
+    exploded = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tiles).alias("tile_idx", "tile"),
+    )
+    w = Window.partitionBy("tile")
+    keep = F.min("id").over(w) == F.max("id").over(w)
+    kept_struct = F.when(F.col("_keep"), F.struct("tile_idx", "tile"))
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["tile"]
+        ),
+        " ",
+    )
+    return (
+        exploded.withColumn("_keep", keep)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.length(cleaned).cast("long").alias("cleaned_len"),
+            F.md5(cleaned).alias("cleaned_md5"),
+        )
+    )
+
+
+# BM25 constants shared by the Spark plan and the SQL oracle: formatted
+# into BOTH expression texts via repr so each engine parses the
+# identical double literal (k1 + 1 computed once here — re-deriving it
+# per engine could round differently from a parsed "2.2").
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_expr(k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """The per-(query-term, doc) BM25 contribution as ANSI SQL text over
+    columns (tf, df, dl, n, avgdl) — one string, two engines: Spark
+    evaluates it via F.expr, DuckDB verbatim. Identical expression tree
+    + identical double literals => identical IEEE ops => identical
+    doubles (up to ln()'s last ulp, absorbed by the DECIMAL(18,6)
+    quantization in the caller's sum)."""
+    return (
+        f"ln(1 + (n - df + 0.5) / (df + 0.5))"
+        f" * (tf * {k1 + 1.0!r})"
+        f" / (tf + {k1!r} * (1 - {b!r} + {b!r} * dl / avgdl))"
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k retrieval over the corpus for a bounded query set —
+    the lexical-search sibling of cosine_topk (q44), and the retrieval
+    primitive a training-data pipeline uses for decontamination probes
+    and eval-set mining.
+
+    Scale shape: tf/df/dl are one tokenize scan + two keyed aggregates;
+    the query set is broadcast onto the postings (term-keyed equi-join,
+    never a corpus cross join); corpus-level scalars (N, avgdl) ride a
+    broadcast single-row frame. Per-term contributions are quantized to
+    DECIMAL(18,6) before the per-(query, doc) sum so the score is
+    independent of partition summation order (the repo-wide dsum
+    pattern), and ranking orders by that exact decimal-derived double
+    with doc id tie-break.
+
+    queries: (query_id int, term string). Output: (query_id, doc_id,
+    score, rank) with rank <= k per query.
+    """
+    from pyspark.sql import Window
+
+    sess = df.sparkSession
+    t = F.trim(F.col(text_col))
+    dl_col = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.lower(t), r"\s+"))
+    )
+    d = df.select(F.col(id_col).alias("doc_id"), dl_col.alias("dl"),
+                  F.lower(t).alias("_t"))
+    toks = d.where(F.col("dl") > 0).select(
+        "doc_id", F.explode(F.split(F.col("_t"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    contrib = F.expr(bm25_expr(k1, b))
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(queries.select("term").distinct()), "term")), "term")
+        .join(d.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib.cast("decimal(18,6)")).cast("double").alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

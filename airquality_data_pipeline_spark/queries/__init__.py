@@ -66,6 +66,10 @@ _PRIORITY = [
     "q109_chunk_dedup",
     "q112_jaccard_estimate",
     "q45_embedding_neardup",
+    # --- new in r4 (never driver-checked)
+    "q117_simhash_neardup",
+    "q118_span_scrub",
+    "q119_bm25_topk",
     # --- green filler: one representative per family, refreshed
     "q01_pricing_summary",
     "q05_local_supplier_volume",

@@ -524,3 +524,83 @@ def q112_jaccard_estimate(spark, sf_dir):
             F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q117: SimHash near-dup pairs the Manku/web-crawl way — the 32-bit
+# fingerprint splits into 4 bands of 8 bits; hamming <= 3 pairs MUST
+# share a band (pigeonhole => 100% recall), so candidates come from a
+# (band, value) equi-join, never an all-pairs scan; exact hamming over
+# the full fingerprint verifies. The fixture corpus is random word soup
+# with no natural near-dups, so replicas (identical -> hamming 0) and
+# one-token-appended variants (small hamming) are planted — both
+# engines derive the identical corpus.
+# --------------------------------------------------------------------------
+def _simhash_corpus_oracle(bits: int = 32) -> str:
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN substring(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits)
+    )
+    bit_cases = ", ".join(
+        f"CASE WHEN v_{i} >= 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || ' zzqx' FROM documents WHERE doc_id % 10 = 5
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM corpus
+    ),
+    hashed AS (SELECT id, md5(tok) AS h FROM toks),
+    v AS (
+      SELECT id,
+      {votes}
+      FROM hashed GROUP BY id
+    ),
+    sigs AS (SELECT id, concat({bit_cases}) AS sig FROM v),
+    bands AS (
+      SELECT id, sig, bj.band, substring(sig, bj.band * 8 + 1, 8) AS bv
+      FROM sigs, (SELECT unnest(range(4)) AS band) bj
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, a.sig AS sig_a, c.id AS id_b, c.sig AS sig_b
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.bv = c.bv AND a.id < c.id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(list_sum(list_transform(range({bits}),
+               i -> CASE WHEN substring(sig_a, i + 1, 1) = substring(sig_b, i + 1, 1)
+                         THEN 0 ELSE 1 END)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """
+
+
+@register("q117_simhash_neardup", oracle=_simhash_corpus_oracle())
+def q117_simhash_neardup(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.dedup import (
+        simhash_band_candidates,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            docs.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+            )
+        )
+    )
+    sigs = simhash(corpus, text_col="text", id_col="doc_id", bits=32)
+    return simhash_band_candidates(sigs, bits=32, n_bands=4, max_hamming=3)

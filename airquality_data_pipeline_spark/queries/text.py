@@ -1179,3 +1179,124 @@ def q114_unicode_normalize(spark, sf_dir):
         F.length(norm).cast("long").alias("norm_len"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q118: corpus-frequent span scrub — the C4 line-dedup rule re-based on
+# 8-token tiles (the fixture has no newline/sentence structure): a tile
+# occurring in >= 2 distinct docs is boilerplate and is removed from
+# EVERY doc (chunk_dedup q109 keeps first occurrences instead); docs
+# reassemble from surviving tiles. Replicas of every 10th doc are
+# planted so corpus-frequent tiles actually exist. One window shuffle
+# on the tile text + one groupBy(id) — the q102/q109 scale shape.
+# --------------------------------------------------------------------------
+@register(
+    "q118_span_scrub",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM corpus WHERE length(trim(text)) > 0
+    ),
+    tiles AS (
+      SELECT doc_id, i AS tile_idx,
+             array_to_string(toks[i*8+1 : i*8+8], ' ') AS tile
+      FROM d, UNNEST(generate_series(0, CAST((len(toks)-1) // 8 AS INT))) AS g(i)
+    ),
+    freq AS (
+      SELECT tile, count(DISTINCT doc_id) AS nd FROM tiles GROUP BY tile
+    )
+    SELECT t.doc_id AS id,
+           count(*) AS n_tiles,
+           CAST(SUM(CASE WHEN nd < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(length(coalesce(string_agg(CASE WHEN nd < 2 THEN tile END,
+                                           ' ' ORDER BY tile_idx), ''))
+                AS BIGINT) AS cleaned_len,
+           md5(coalesce(string_agg(CASE WHEN nd < 2 THEN tile END,
+                                   ' ' ORDER BY tile_idx), '')) AS cleaned_md5
+    FROM tiles t JOIN freq USING (tile)
+    GROUP BY t.doc_id
+    """,
+)
+def q118_span_scrub(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.text import (
+        boilerplate_span_scrub,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return boilerplate_span_scrub(corpus, text_col="text", id_col="doc_id",
+                                  span=8)
+
+
+# --------------------------------------------------------------------------
+# q119: BM25 top-10 retrieval for a fixed 3-query set — the
+# lexical-search sibling of q44's cosine top-k, built on q54's exact
+# integer substrate. The scoring expression is ONE string (bm25_expr)
+# evaluated by both engines; per-term contributions quantize to
+# DECIMAL(18,6) before the per-(query, doc) sum (the dsum pattern) so
+# partition order can't move the score; ranking ties break on doc id.
+# --------------------------------------------------------------------------
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash"), (1, "join"),
+    (2, "table"), (2, "scan"), (2, "fast"),
+    (3, "vector"), (3, "batch"), (3, "merge"),
+]
+from airquality_data_pipeline_spark.operators.text import bm25_expr  # noqa: E402
+
+_BM25_VALUES = ", ".join(f"({qid}, '{term}')" for qid, term in BM25_QUERIES)
+
+
+@register(
+    "q119_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS dl,
+             lower(trim(text)) AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS term
+      FROM d WHERE dl > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM d
+    ),
+    q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST({bm25_expr()} AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dfreq ON tf.term = dfreq.term
+      JOIN d ON tf.doc_id = d.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q119_bm25_topk(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.text import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    queries = docs.sparkSession.createDataFrame(
+        BM25_QUERIES, "query_id int, term string"
+    )
+    return bm25_topk(docs, queries, text_col="text", id_col="doc_id", k=10)

@@ -92,7 +92,14 @@ def upsert_catalog_batch(
     db_path: str, batch: DataFrame, connect: Callable = sqlite3.connect
 ) -> int:
     """K2: COALESCE-merge one micro-batch of station rows. Returns the
-    number of rows applied."""
+    number of rows applied.
+
+    The collect() is bounded by the STATION DIMENSION (a few thousand
+    rows per batch at most — the reference's whole catalog fits in one
+    API page), not by measurement volume; that bound is what makes the
+    driver-side executemany acceptable here. The deploy shape for an
+    unbounded key space is foreachPartition with per-partition JDBC
+    connections (each executor upserts its slice)."""
     rows = [
         (r.station_id, r.source, r.country, r.city, r.location_name, r.lat, r.lon)
         for r in batch.select(
@@ -110,7 +117,11 @@ def commit_cursor_batch(
     connect: Callable = sqlite3.connect,
 ) -> int:
     """K3: GREATEST-merge pending cursor updates. Call AFTER the payload
-    emit succeeds (reference app/main.py:1342-1347)."""
+    emit succeeds (reference app/main.py:1342-1347).
+
+    The collect() is bounded by |stations| x |pollutants| (the cursor
+    key space, dimension-sized), never by measurement volume. For an
+    unbounded key space use foreachPartition per-executor upserts."""
     rows = [
         (source, r.station_id, r.pollutant, str(r.last_observed_at))
         for r in updates.select(

@@ -301,6 +301,94 @@ def test_ivf_multiprobe_recall_not_worse(spark, sf_dir):
     assert (p1 & exact) <= p2
 
 
+def test_simhash_band_candidates_pigeonhole_recall(spark):
+    # identical docs -> hamming 0 (must be found); hamming <= n_bands-1
+    # pairs are guaranteed by pigeonhole to share a band
+    from airquality_data_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_band_candidates,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact replica -> hamming 0
+            (3, base + " extra"),  # small perturbation
+            (4, "completely different words nowhere near the others"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = simhash(df, "text", "doc_id", bits=32)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_band_candidates(sigs, bits=32).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    # every emitted pair respects the verify threshold
+    assert all(h <= 3 for h in pairs.values())
+    # the unrelated doc never pairs with hamming <= 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_span_scrub_removes_corpus_frequent_tiles(spark):
+    from airquality_data_pipeline_spark.operators.text import (
+        boilerplate_span_scrub,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(8))  # one exact 8-token tile
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail"),
+            (2, shared + " other distinct ending"),
+            (3, "totally separate words only here again now ok yes"),
+            (4, ""),  # empty -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: r for r in boilerplate_span_scrub(df, "text", "doc_id").collect()
+    }
+    assert 4 not in got
+    # the shared leading tile is gone from BOTH docs, tails survive
+    assert got[1].n_tiles == 2 and got[1].n_kept == 1
+    assert got[2].n_tiles == 2 and got[2].n_kept == 1
+    import hashlib as _h
+
+    assert got[1].cleaned_md5 == _h.md5(b"unique one tail").hexdigest()
+    # doc 3 is untouched
+    assert got[3].n_kept == got[3].n_tiles
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    from airquality_data_pipeline_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana banana banana"),
+            (3, "cherry cherry cherry cherry"),
+            (4, "apple cherry banana mango"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple"), (2, "cherry")], "query_id int, term string"
+    )
+    got = bm25_topk(df, queries, "text", "doc_id", k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    # query 1: doc 1 (tf=3) above doc 2 (tf=1) and doc 4 (tf=1)
+    assert [d for _, d, _ in sorted(by_q[1])][0] == 1
+    # query 2: doc 3 (tf=4) wins
+    assert [d for _, d, _ in sorted(by_q[2])][0] == 3
+    # scores are positive and ranks contiguous from 1
+    for q, rows in by_q.items():
+        assert [r for r, _, _ in sorted(rows)] == list(range(1, len(rows) + 1))
+        assert all(s > 0 for _, _, s in rows)
+
+
 def test_lsh_gate_full_recall_on_planted_neardups(spark, sf_dir):
     # in its design regime (threshold 0.9, planted ~0.9999-cosine
     # replicas) the banded gate must recall EVERY true pair the
