@@ -662,29 +662,33 @@ def bm25_topk(
     primitive a training-data pipeline uses for decontamination probes
     and eval-set mining.
 
-    Scale shape: tf/df/dl are one tokenize scan + two keyed aggregates;
-    the query set is broadcast onto the postings (term-keyed equi-join,
-    never a corpus cross join); corpus-level scalars (N, avgdl) ride a
-    broadcast single-row frame. Per-term contributions are quantized to
-    DECIMAL(18,6) before the per-(query, doc) sum so the score is
-    independent of partition summation order (the repo-wide dsum
-    pattern), and ranking orders by that exact decimal-derived double
-    with doc id tie-break.
+    Scale shape: the broadcast query-term set filters the exploded
+    token stream BEFORE any aggregate, so tf/df shuffle only matched
+    postings (proportional to query hits, not corpus tokens) — df for a
+    query term over the filtered stream equals its corpus-wide df.
+    Only the cheap scalar (N, avgdl) aggregate scans the full corpus,
+    with no explode, and rides a broadcast single-row frame. Per-term
+    contributions are quantized to DECIMAL(18,6) before the
+    per-(query, doc) sum so the score is independent of partition
+    summation order (the repo-wide dsum pattern), and ranking orders by
+    that exact decimal-derived double with doc id tie-break.
 
     queries: (query_id int, term string). Output: (query_id, doc_id,
     score, rank) with rank <= k per query.
     """
     from pyspark.sql import Window
 
-    sess = df.sparkSession
     t = F.trim(F.col(text_col))
     dl_col = F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.lower(t), r"\s+"))
     )
     d = df.select(F.col(id_col).alias("doc_id"), dl_col.alias("dl"),
                   F.lower(t).alias("_t"))
-    toks = d.where(F.col("dl") > 0).select(
-        "doc_id", F.explode(F.split(F.col("_t"), r"\s+")).alias("term")
+    terms = queries.select("term").distinct()
+    toks = (
+        d.where(F.col("dl") > 0)
+        .select("doc_id", F.explode(F.split(F.col("_t"), r"\s+")).alias("term"))
+        .join(F.broadcast(terms), "term")  # prune postings pre-aggregate
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -695,7 +699,7 @@ def bm25_topk(
     contrib = F.expr(bm25_expr(k1, b))
     scored = (
         tf.join(F.broadcast(queries), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(queries.select("term").distinct()), "term")), "term")
+        .join(F.broadcast(dfreq), "term")
         .join(d.select("doc_id", "dl"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")

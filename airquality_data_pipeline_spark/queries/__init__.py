@@ -70,6 +70,7 @@ _PRIORITY = [
     "q117_simhash_neardup",
     "q118_span_scrub",
     "q119_bm25_topk",
+    "q120_dedup_pipeline",
     # --- green filler: one representative per family, refreshed
     "q01_pricing_summary",
     "q05_local_supplier_volume",
@@ -83,12 +84,8 @@ _PRIORITY = [
     "q48_language_id",
     "q71_neardup_components",
     "q85_doc_chunking",
-    "q89_multiset_ops",
-    "q94_stratified_sample",
     "q99_decontamination",
-    "q103_curation_pipeline",
     "q113_bloom_decontamination",
-    "q115_ann_recall",
 ]
 
 

@@ -604,3 +604,74 @@ def q117_simhash_neardup(spark, sf_dir):
     )
     sigs = simhash(corpus, text_col="text", id_col="doc_id", bits=32)
     return simhash_band_candidates(sigs, bits=32, n_bands=4, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# q120: end-to-end near-dup DEDUP pipeline — the dedup sibling of
+# q103's curation pipeline, composing the oracle-checked stages:
+# MinHash banding candidates (q41 shape) -> connected-component closure
+# (q71, similarity is not transitive) -> quality-argmax canonical per
+# cluster (q96) -> per-doc verdict (kept iff the doc IS its cluster's
+# canonical). Every stage is a keyed equi-join / groupBy — the whole
+# pipeline is a handful of doc_id- and component-keyed shuffles
+# regardless of corpus size; singleton docs are their own canonical.
+# --------------------------------------------------------------------------
+@register(
+    "q120_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_EDGES_CTE},
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+    {_QUALITY_SQL},
+    agg AS (
+      SELECT component,
+             count(*) AS n_docs,
+             (max(struct_pack(qq := quality, nid := -comp.doc_id))).nid * -1
+               AS canonical_id
+      FROM comp JOIN q ON comp.doc_id = q.doc_id
+      GROUP BY component
+    )
+    SELECT c.doc_id, c.component, a.n_docs, a.canonical_id,
+           c.doc_id = a.canonical_id AS kept
+    FROM comp c JOIN agg a USING (component)
+    """,
+)
+def q120_dedup_pipeline(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.text import quality_features
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    edges = minhash_candidate_pairs(sigs, num_hashes=_NUM_HASHES, min_matches=6)
+    comps = connected_components(
+        docs.select(F.col("doc_id")), edges, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "component")
+    quality = quality_features(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "quality"
+    )
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("qq"),
+            (F.lit(0) - F.col("doc_id")).alias("nid"),
+        )
+    )
+    agg = (
+        comps.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (best["nid"] * F.lit(-1)).alias("canonical_id"),
+        )
+    )
+    return comps.join(agg, "component").select(
+        "doc_id",
+        "component",
+        "n_docs",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("kept"),
+    )

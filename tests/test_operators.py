@@ -389,6 +389,23 @@ def test_bm25_ranks_term_frequency_and_rarity(spark):
         assert all(s > 0 for _, _, s in rows)
 
 
+def test_dedup_pipeline_one_canonical_per_component(spark, sf_dir):
+    from airquality_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["q120_dedup_pipeline"](spark, sf_dir).collect()
+    docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs_total  # every doc gets a verdict
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r.kept]
+        assert len(kept) == 1  # exactly one canonical per cluster
+        assert kept[0].doc_id == members[0].canonical_id
+        assert all(r.n_docs == len(members) for r in members)
+        assert all(r.canonical_id == kept[0].doc_id for r in members)
+
+
 def test_lsh_gate_full_recall_on_planted_neardups(spark, sf_dir):
     # in its design regime (threshold 0.9, planted ~0.9999-cosine
     # replicas) the banded gate must recall EVERY true pair the
