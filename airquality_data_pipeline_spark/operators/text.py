@@ -136,8 +136,10 @@ def tfidf_vectors(
 ) -> DataFrame:
     """Sparse TF-IDF weights per (doc, term):
     tfidf = tf * (ln((N+1)/(df+1)) + 1)  (smoothed idf).
-    log() is libm-dependent, so this operator is checked rows-only —
-    the exact-integer substrate is oracle-checked via term_stats."""
+    ln()'s last ulp is libm-dependent, so the oracle-checked query
+    (q62) rounds the weight to 6 decimals — engines agree to ~1e-16
+    relative, far inside that grain; the exact-integer substrate is
+    separately oracle-checked via term_stats (q54)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = df.select(
         F.col(id_col).alias("id"),
