@@ -531,10 +531,15 @@ def q112_jaccard_estimate(spark, sf_dir):
 # fingerprint splits into 4 bands of 8 bits; hamming <= 3 pairs MUST
 # share a band (pigeonhole => 100% recall), so candidates come from a
 # (band, value) equi-join, never an all-pairs scan; exact hamming over
-# the full fingerprint verifies. The fixture corpus is random word soup
-# with no natural near-dups, so replicas (identical -> hamming 0) and
-# one-token-appended variants (small hamming) are planted — both
-# engines derive the identical corpus.
+# the full fingerprint verifies. Signatures vote over word-3-gram
+# shingles, NOT tokens: the fixture's ~40-word vocabulary makes
+# token-level signatures collapse into a handful of values, which
+# degenerates the band join to all-pairs (measured 300 s vs ~3 s at
+# sf0.1 — the same degeneracy q63 documents for token-level MinHash).
+# The corpus is random word soup with no natural near-dups, so
+# replicas (identical -> hamming 0) and one-token-appended variants
+# (few shingles change -> small hamming) are planted — both engines
+# derive the identical corpus.
 # --------------------------------------------------------------------------
 def _simhash_corpus_oracle(bits: int = 32) -> str:
     votes = ",\n      ".join(
@@ -552,12 +557,16 @@ def _simhash_corpus_oracle(bits: int = 32) -> str:
       UNION ALL
       SELECT doc_id + 200000, text || ' zzqx' FROM documents WHERE doc_id % 10 = 5
     ),
-    toks AS (
-      SELECT DISTINCT doc_id AS id,
-             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    ctoks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       FROM corpus
     ),
-    hashed AS (SELECT id, md5(tok) AS h FROM toks),
+    feats AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS tok
+      FROM ctoks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    hashed AS (SELECT id, md5(tok) AS h FROM feats),
     v AS (
       SELECT id,
       {votes}
@@ -602,7 +611,7 @@ def q117_simhash_neardup(spark, sf_dir):
             )
         )
     )
-    sigs = simhash(corpus, text_col="text", id_col="doc_id", bits=32)
+    sigs = simhash(corpus, text_col="text", id_col="doc_id", bits=32, n=3)
     return simhash_band_candidates(sigs, bits=32, n_bands=4, max_hamming=3)
 
 
