@@ -254,8 +254,15 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint: for each of `bits` positions, the majority
     vote over the document's distinct features of one md5 bit (the high
-    bit of hex digit i — md5 has 32 hex chars, so up to 32 independent
-    bits). Output: id + `simhash` bit-string column.
+    bit of hex digit i — md5 has 32 hex chars = 32 independent bits;
+    bits 32-63 come from a second, salted digest md5(feature || '#2'),
+    so up to 64 bits). Output: id + `simhash` bit-string column.
+
+    Fingerprint width is the banding-collision dial: with 4 bands,
+    random pairs collide per band at 2^-(bits/4) — 1/256 at 32 bits
+    (fine to ~10^4 docs) vs 1/65536 at 64 bits (the Manku production
+    width, holds verified candidates to the true near-dup mass into the
+    multi-million-doc regime; measured in PLANS.md).
 
     n picks the feature granularity: 1 votes over distinct TOKENS, n>1
     over distinct word n-grams. Token-level simhash DEGENERATES on a
@@ -269,7 +276,7 @@ def simhash(
     Engine-portable by construction (md5 + substring + majority sum),
     and each bit is a map-side partial sum — single shuffle on id.
     """
-    assert bits <= 32
+    assert bits <= 64
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     if n == 1:
         toks = df.select(
@@ -285,13 +292,23 @@ def simhash(
             "id", F.col("shingle").alias("tok")
         )
     toks = toks.withColumn("h", F.md5(F.col("tok")))
+    if bits > 32:
+        toks = toks.withColumn(
+            "h2", F.md5(F.concat(F.col("tok"), F.lit("#2")))
+        )
+
+    def _bit_src(i: int):
+        return (
+            F.substring(F.col("h"), i + 1, 1)
+            if i < 32
+            else F.substring(F.col("h2"), i - 31, 1)
+        )
+
     # hex char i: high bit set iff char >= '8' (ASCII: '0'-'7' < '8' <=
     # '8','9','a'-'f') — portable single-char comparison, no hex->int cast
     votes = [
         F.sum(
-            F.when(F.substring(F.col("h"), i + 1, 1) >= "8", F.lit(1)).otherwise(
-                F.lit(-1)
-            )
+            F.when(_bit_src(i) >= "8", F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"v_{i}")
         for i in range(bits)
     ]
@@ -322,11 +339,12 @@ def simhash_band_candidates(
     (q41) and sign-LSH banding (q45). Verification touches candidates
     only and is a per-row zip_with fold (JVM codegen). Random band
     collisions between unrelated docs occur at ~n_bands * 2^-band_bits
-    per pair, so candidate volume is ~C(n,2) * 4/256 at the defaults —
-    at larger corpora GROW the fingerprint (Manku's production setting
-    is 64-bit; 32 is the md5-hex ceiling here, so stack two salted
-    fingerprints) to keep buckets bounded. Feed signatures built over
-    n-gram features, not tokens: see simhash's degeneracy note.
+    per pair, so candidate volume is ~C(n,2) * 4/256 at the 32-bit
+    defaults — at larger corpora use bits=64 (simhash's salted second
+    digest; Manku's production width), which drops the per-pair rate to
+    4/65536 and keeps buckets bounded into the multi-million-doc
+    regime. Feed signatures built over n-gram features, not tokens:
+    see simhash's degeneracy note.
 
     Input: (id, simhash) from `simhash`. Output: (id_a, id_b, hamming)
     with id_a < id_b and hamming <= max_hamming.

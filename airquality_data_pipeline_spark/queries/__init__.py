@@ -71,6 +71,7 @@ _PRIORITY = [
     "q118_span_scrub",
     "q119_bm25_topk",
     "q120_dedup_pipeline",
+    "q121_simhash64_neardup",
     # --- green filler: one representative per family, refreshed
     "q01_pricing_summary",
     "q05_local_supplier_volume",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "q48_language_id",
     "q71_neardup_components",
     "q85_doc_chunking",
-    "q99_decontamination",
     "q113_bloom_decontamination",
 ]
 

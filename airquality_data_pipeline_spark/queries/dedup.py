@@ -541,14 +541,25 @@ def q112_jaccard_estimate(spark, sf_dir):
 # (few shingles change -> small hamming) are planted — both engines
 # derive the identical corpus.
 # --------------------------------------------------------------------------
-def _simhash_corpus_oracle(bits: int = 32) -> str:
+def _simhash_corpus_oracle(bits: int = 32, n_bands: int = 4) -> str:
+    # bits > 32 read from the salted second digest (simhash operator's
+    # h2 = md5(tok || '#2')), mirroring operators/dedup.simhash exactly
+    def src(i: int) -> str:
+        return (
+            f"substring(h, {i + 1}, 1)"
+            if i < 32
+            else f"substring(h2, {i - 31}, 1)"
+        )
+
     votes = ",\n      ".join(
-        f"SUM(CASE WHEN substring(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v_{i}"
+        f"SUM(CASE WHEN {src(i)} >= '8' THEN 1 ELSE -1 END) AS v_{i}"
         for i in range(bits)
     )
     bit_cases = ", ".join(
         f"CASE WHEN v_{i} >= 0 THEN '1' ELSE '0' END" for i in range(bits)
     )
+    h2 = ", md5(tok || '#2') AS h2" if bits > 32 else ""
+    band_bits = bits // n_bands
     return f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
@@ -566,7 +577,7 @@ def _simhash_corpus_oracle(bits: int = 32) -> str:
       FROM ctoks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
       WHERE len(t) >= 3
     ),
-    hashed AS (SELECT id, md5(tok) AS h FROM feats),
+    hashed AS (SELECT id, md5(tok) AS h{h2} FROM feats),
     v AS (
       SELECT id,
       {votes}
@@ -574,8 +585,9 @@ def _simhash_corpus_oracle(bits: int = 32) -> str:
     ),
     sigs AS (SELECT id, concat({bit_cases}) AS sig FROM v),
     bands AS (
-      SELECT id, sig, bj.band, substring(sig, bj.band * 8 + 1, 8) AS bv
-      FROM sigs, (SELECT unnest(range(4)) AS band) bj
+      SELECT id, sig, bj.band,
+             substring(sig, bj.band * {band_bits} + 1, {band_bits}) AS bv
+      FROM sigs, (SELECT unnest(range({n_bands})) AS band) bj
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, a.sig AS sig_a, c.id AS id_b, c.sig AS sig_b
@@ -613,6 +625,40 @@ def q117_simhash_neardup(spark, sf_dir):
     )
     sigs = simhash(corpus, text_col="text", id_col="doc_id", bits=32, n=3)
     return simhash_band_candidates(sigs, bits=32, n_bands=4, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# q121: q117 at the Manku production width — 64-bit fingerprint (second
+# salted digest), 4 bands of 16 bits. Same pigeonhole recall for
+# hamming <= 3, but random pairs collide per band at 2^-16 instead of
+# 2^-8: candidate volume stays pinned to the true near-dup mass as the
+# corpus grows (PLANS.md measures the 32-bit variant's quadratic
+# collision term at 80 k docs — this is the documented fix, executed).
+# --------------------------------------------------------------------------
+@register(
+    "q121_simhash64_neardup",
+    oracle=_simhash_corpus_oracle(bits=64, n_bands=4),
+)
+def q121_simhash64_neardup(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.dedup import (
+        simhash_band_candidates,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            docs.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+            )
+        )
+    )
+    sigs = simhash(corpus, text_col="text", id_col="doc_id", bits=64, n=3)
+    return simhash_band_candidates(sigs, bits=64, n_bands=4, max_hamming=3)
 
 
 # --------------------------------------------------------------------------

@@ -329,6 +329,17 @@ def test_simhash_band_candidates_pigeonhole_recall(spark):
     assert all(h <= 3 for h in pairs.values())
     # the unrelated doc never pairs with hamming <= 3
     assert not any(4 in p for p in pairs)
+    # 64-bit variant (salted second digest): same exact-replica
+    # guarantee, 16-bit bands
+    sigs64 = simhash(df, "text", "doc_id", bits=64)
+    row = sigs64.where(F.col("id") == 1).collect()[0]
+    assert len(row.simhash) == 64
+    pairs64 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_band_candidates(sigs64, bits=64).collect()
+    }
+    assert pairs64.get((1, 2)) == 0
+    assert not any(4 in p for p in pairs64)
 
 
 def test_span_scrub_removes_corpus_frequent_tiles(spark):
