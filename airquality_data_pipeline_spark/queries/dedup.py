@@ -1,5 +1,7 @@
 """Deduplication queries over the documents corpus: exact content hash,
-MinHash+LSH candidates, exact n-gram Jaccard, SimHash fingerprints.
+MinHash+LSH candidates, exact n-gram Jaccard, SimHash fingerprints and
+banded hamming pairs (32/64-bit), connected-component closure, and the
+end-to-end dedup pipeline (q120).
 
 North-star operator family (BASELINE.json); the reference's own dedup is
 the key-based first-wins batch dedup covered by q25.

@@ -820,7 +820,7 @@ def q68_bit_aggs(spark, sf_dir):
 # beyond the documented error bound) therefore flips a checked value
 # and fails the driver hash — the approx path is exercised and gated,
 # not just row-counted. Tight bounds are additionally pinned in
-# tests/test_oracle_parity.py.
+# tests/test_operators.py (test_approx_aggs_tight_bounds).
 # --------------------------------------------------------------------------
 @register(
     "q60_approx_distinct",
