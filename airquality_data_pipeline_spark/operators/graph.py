@@ -1,15 +1,22 @@
-"""Iterative graph operators: connected components by min-label
-propagation — the transitive closure step that turns pairwise near-dup
-candidates (MinHash/LSH edges) into duplicate CLUSTERS (a pair-wise
-threshold alone is not transitive).
+"""Iterative graph operators: connected components — the transitive
+closure step that turns pairwise near-dup candidates (MinHash/LSH
+edges) into duplicate CLUSTERS (a pair-wise threshold alone is not
+transitive). Two interchangeable implementations:
 
-Spark-first iteration: each round is one join + one aggregate; lineage
-is cut with localCheckpoint so the plan does not grow with the iteration
-count. Converges in graph-diameter rounds — near-dup clusters are
-shallow (diameter 2-3), so this is 3-4 cheap jobs, not a long loop. At
-cluster scale the same loop runs with the edge list partitioned by src;
-each round is a shuffle on id (GraphFrames' connectedComponents uses the
-same alternating big-star/small-star idea).
+  * `connected_components` — min-label propagation: one join + one
+    aggregate per round, converges in graph-DIAMETER rounds. The right
+    pick for near-dup graphs, whose clusters are shallow (diameter
+    2-3 => 3-4 cheap jobs).
+  * `connected_components_star` — alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log^2 n) rounds INDEPENDENT of diameter — the
+    100 TB path when the edge graph can contain long chains
+    (GraphFrames' connectedComponents runs the same scheme). Pinned
+    equivalent to label propagation by property test.
+
+Spark-first iteration in both: lineage is cut with localCheckpoint so
+the plan does not grow with the iteration count, and every round is a
+bounded number of hash shuffles on node id.
 """
 
 from __future__ import annotations
@@ -62,3 +69,82 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Symmetrize an (u, v) edge list and drop self-loops/dups."""
+    return (
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al.): large-star hangs every strictly-larger neighbor
+    of u onto min(N(u) + {u}); small-star re-hangs the smaller
+    neighbors (and u itself) onto their minimum. The edge set contracts
+    toward stars rooted at component minima in O(log^2 n) rounds
+    regardless of graph diameter — use this over min-label propagation
+    when chains can be long (see module docstring).
+
+    Each round: two groupBy(u) aggregates + two joins, all hash
+    shuffles on node id; localCheckpoint cuts lineage per phase. The
+    convergence test here is exact set equality (two exceptAll counts)
+    — at production scale replace it with a fixed ceil(log^2 n) round
+    budget or a monotone changed-edge counter to save the two extra
+    shuffles per round.
+
+    Returns (id, component) with component = min reachable node id;
+    isolated nodes are singletons.
+    """
+    e = _sym(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        # large-star: m = min(N(u) + {u}); emit (v, m) for v > u
+        m_ls = e.groupBy("u").agg(
+            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+        )
+        ls = (
+            e.join(m_ls, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = _sym(ls).localCheckpoint()
+        # small-star: over smaller neighbors only; emit (v, m) + (u, m)
+        small = e1.where(F.col("v") < F.col("u"))
+        m_ss = small.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            small.join(m_ss, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_ss.select("u", F.col("m").alias("v")))
+        )
+        e2 = _sym(ss).localCheckpoint()
+        changed = e2.exceptAll(e).count() + e.exceptAll(e2).count()
+        e = e2
+        if changed == 0:
+            break
+    labels = (
+        e.where(F.col("v") < F.col("u"))
+        .groupBy("u")
+        .agg(F.min("v").alias("component"))
+        .select(F.col("u").alias("id"), "component")
+    )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )

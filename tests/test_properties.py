@@ -164,3 +164,75 @@ def test_asof_join_matches_duckdb_on_random_data(spark, duck):
     )
     duck.execute("DROP TABLE _l"); duck.execute("DROP TABLE _r")
     assert not problems, problems
+
+
+def _model_components(n_nodes: int, edge_list: list[tuple[int, int]]):
+    """Union-find reference model."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node id in the set
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+@given(
+    n_nodes=st.integers(min_value=1, max_value=14),
+    edge_idx=st.lists(
+        st.tuples(st.integers(0, 13), st.integers(0, 13)), max_size=20
+    ),
+)
+@SETTINGS
+def test_connected_components_both_impls_match_model(spark, n_nodes, edge_idx):
+    from airquality_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edge_idx if a % n_nodes != b % n_nodes]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edges_df = spark.createDataFrame(
+        edges or [], "id_a long, id_b long"
+    )
+    want = _model_components(n_nodes, edges)
+    got_lp = {
+        r.id: r.component for r in connected_components(nodes_df, edges_df).collect()
+    }
+    got_star = {
+        r.id: r.component
+        for r in connected_components_star(nodes_df, edges_df).collect()
+    }
+    assert got_lp == want
+    assert got_star == want
+
+
+def test_connected_components_star_long_chain(spark):
+    # the case label propagation is worst at (diameter rounds): a
+    # 40-node chain — star converges in O(log^2 n) rounds and must
+    # still label every node with the chain head
+    from airquality_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 40
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components_star(nodes_df, edges_df).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
