@@ -236,3 +236,74 @@ def test_connected_components_star_long_chain(spark):
         for r in connected_components_star(nodes_df, edges_df).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def _model_chunk_dedup(docs: dict[int, str], size: int):
+    """Pure-Python model of operators.text.chunk_dedup: first occurrence
+    (by doc id, then chunk position) of each chunk text survives."""
+    chunks = []  # (doc_id, idx, chunk)
+    for d in sorted(docs):
+        t = docs[d]
+        for i in range(0, len(t), size):
+            chunks.append((d, i // size, t[i : i + size]))
+    seen = set()
+    kept = {}
+    for d, i, c in sorted(chunks):
+        k = c not in seen
+        seen.add(c)
+        kept.setdefault(d, []).append((i, c, k))
+    out = {}
+    for d, parts in kept.items():
+        cleaned = "".join(c for _, c, k in sorted(parts) if k)
+        out[d] = (len(parts), sum(1 for *_, k in parts if k), cleaned)
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=40), min_size=1, max_size=6
+    )
+)
+@SETTINGS
+def test_chunk_dedup_matches_model(spark, texts):
+    import hashlib
+
+    from airquality_data_pipeline_spark.operators.text import chunk_dedup
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.id: (r.n_chunks, r.n_kept, r.cleaned_len, r.cleaned_md5)
+        for r in chunk_dedup(df, "text", "doc_id", chunk_size=8).collect()
+    }
+    want = _model_chunk_dedup({k: v for k, v in docs.items() if v}, 8)
+    assert set(got) == set(want)
+    for d, (n, k, cleaned) in want.items():
+        assert got[d] == (
+            n,
+            k,
+            len(cleaned),
+            hashlib.md5(cleaned.encode()).hexdigest(),
+        )
+
+
+def test_span_scrub_fully_boilerplate_doc(spark):
+    # two single-tile identical docs: every tile is corpus-frequent, so
+    # both docs scrub to EMPTY (len 0, md5 of "")
+    import hashlib
+
+    from airquality_data_pipeline_spark.operators.text import (
+        boilerplate_span_scrub,
+    )
+
+    tile = " ".join(f"t{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, tile), (2, tile)], "doc_id long, text string"
+    )
+    got = {
+        r.id: r for r in boilerplate_span_scrub(df, "text", "doc_id").collect()
+    }
+    for d in (1, 2):
+        assert got[d].n_kept == 0
+        assert got[d].cleaned_len == 0
+        assert got[d].cleaned_md5 == hashlib.md5(b"").hexdigest()
