@@ -396,12 +396,19 @@ BLOOM_M = 1 << 22  # 4 Mi bits = 512 KiB bitmap
 
 
 def _bloom_pos(shingle: Column, j: int, m: int = BLOOM_M) -> Column:
-    """Bit position j for a shingle: 48 bits of md5(shingle || ':' || j)
-    mod m. md5-derived so ANY engine computes the identical position —
-    the whole bloom gate is hash-match checkable against a SQL oracle,
-    unlike an engine-internal sketch format."""
-    h = F.md5(F.concat(shingle, F.lit(f":{j}")))
-    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % m
+    """Bit position j for a shingle: hex digits [6j+1, 6j+6] (24 bits)
+    of ONE md5(shingle), mod m. All k positions slice the same digest
+    (the standard one-hash/k-slices bloom construction — stronger than
+    Kirsch-Mitzenmacher double hashing), so the k probes cost ONE md5
+    per shingle: the identical subexpressions are eliminated by
+    whole-stage codegen (was k salted digests = k md5s). md5-derived so
+    ANY engine computes the identical position — the whole bloom gate
+    is hash-match checkable against a SQL oracle, unlike an
+    engine-internal sketch format. 24 bits per slice covers m up to
+    2^24; md5's 32 hex chars bound k * 6 <= 32 (k <= 5)."""
+    assert m <= 1 << 24 and 6 * j + 6 <= 32
+    h = F.md5(shingle)
+    return F.conv(F.substring(h, 6 * j + 1, 6), 16, 10).cast("long") % m
 
 
 def bloom_contamination(

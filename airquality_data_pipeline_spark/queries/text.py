@@ -1050,9 +1050,9 @@ def q111_length_histogram(spark, sf_dir):
 # --------------------------------------------------------------------------
 from airquality_data_pipeline_spark.operators.text import bloom_contamination  # noqa: E402
 
-_BPOS = (
-    "('0x' || substring(md5(shingle || ':{j}'), 1, 12))::BIGINT % 4194304"
-)
+# position j = 24-bit slice [6j+1, 6j+6] of ONE md5(shingle), mirroring
+# operators/text._bloom_pos
+_BPOS = "('0x' || substring(md5(shingle), {lo}, 6))::BIGINT % 4194304"
 
 
 @register(
@@ -1075,16 +1075,16 @@ _BPOS = (
     ),
     bpos AS (
       SELECT DISTINCT
-             ('0x' || substring(md5(shingle || ':' || j), 1, 12))::BIGINT
+             ('0x' || substring(md5(shingle), lo, 6))::BIGINT
                % 4194304 AS pos
       FROM (SELECT DISTINCT shingle FROM sh WHERE bucket >= 95),
-           UNNEST(['0', '1', '2']) AS g(j)
+           UNNEST([1, 7, 13]) AS g(lo)
     ),
     tsh AS (
       SELECT id,
-             {_BPOS.format(j=0)} AS p0,
-             {_BPOS.format(j=1)} AS p1,
-             {_BPOS.format(j=2)} AS p2
+             {_BPOS.format(lo=1)} AS p0,
+             {_BPOS.format(lo=7)} AS p1,
+             {_BPOS.format(lo=13)} AS p2
       FROM sh WHERE bucket < 95
     ),
     per AS (
