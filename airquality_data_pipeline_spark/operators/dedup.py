@@ -403,3 +403,52 @@ def simhash_band_candidates(
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_sig_expr(
+    text: Column, n: int = 3, num_hashes: int = 16
+) -> Column:
+    """Per-ROW MinHash signature key: the same ':'-joined signature
+    string q67 builds via explode + groupBy, computed as one row-local
+    expression (shingle array -> md5 base hash per shingle ->
+    array_min of (a*h+b) mod P per seed). No explode, no aggregate, no
+    shuffle — which is exactly what makes signature-identical near-dup
+    collapse usable in STRUCTURED STREAMING, where an agg-then-dedup
+    plan would need its own watermark/output-mode handling: a per-row
+    column feeds straight into engine-managed dropDuplicates state
+    (streaming/jobs.neardup_suppression_stream). Pinned equal to the
+    minhash_signatures aggregate in tests.
+
+    Docs with no shingles (< n tokens) get the empty-set sentinel
+    'EMPTY' — every such doc shares it, matching the aggregate path's
+    behavior of dropping them from signatures (callers treat them as
+    one degenerate cluster or filter them out).
+    """
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return let(
+        toks,
+        lambda t: let(
+            shingle_array(t, n),
+            lambda sh: F.when(F.size(sh) == 0, F.lit("EMPTY")).otherwise(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.array_min(
+                            F.transform(
+                                sh,
+                                lambda s: (
+                                    F.lit(a)
+                                    * F.conv(
+                                        F.substring(F.md5(s), 1, 7), 16, 10
+                                    ).cast("bigint")
+                                    + F.lit(b)
+                                )
+                                % F.lit(MINHASH_P),
+                            )
+                        ).cast("string")
+                        for a, b in MINHASH_PARAMS[:num_hashes]
+                    ],
+                )
+            ),
+        ),
+    )

@@ -371,3 +371,29 @@ def stream_stream_join(
         ),
         "inner",
     ).select("purchase_id", "p_user", "buy_ts", "view_ts", "view_value")
+
+
+def neardup_suppression_stream(docs: DataFrame) -> DataFrame:
+    """Cross-batch NEAR-dup suppression — the streaming upgrade of
+    corpus_curation_stream's exact-digest dedup: documents whose
+    row-local MinHash signature (operators.dedup.minhash_sig_expr — no
+    explode, no aggregate, so it composes with streaming state) matches
+    an already-seen signature are dropped by engine-managed
+    dropDuplicates state. Collapses byte-identical docs AND strong
+    near-dups (J ~ 1: whitespace/case drift, identical shingle sets)
+    delivered in ANY later micro-batch; weaker near-dups need the batch
+    banding pipeline (q41/q120) over a bounded window.
+
+    State is one row per distinct signature, unbounded like the
+    reference's cursor table; bound it with
+    dropDuplicatesWithinWatermark + an event-time column when the
+    dedup horizon is finite."""
+    from airquality_data_pipeline_spark.operators.dedup import (
+        minhash_sig_expr,
+    )
+
+    return (
+        docs.withColumn("sig", minhash_sig_expr(F.col("text")))
+        .dropDuplicates(["sig"])
+        .select("doc_id", "sig", "n_chars")
+    )

@@ -245,3 +245,50 @@ def test_corpus_curation_stream_dedups_across_batches(spark, sf_dir):
         .alias("verdict")
     )
     assert g == {r.verdict: r["count"] for r in b.groupBy("verdict").count().collect()}
+
+
+def test_minhash_sig_expr_matches_aggregate_path(spark, sf_dir):
+    # the per-row signature expression must produce EXACTLY the
+    # ':'-joined signature the explode+groupBy path (q67) builds
+    from airquality_data_pipeline_spark.operators.dedup import (
+        minhash_sig_expr,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    agg = minhash_signatures(sh, num_hashes=16)
+    agg_sigs = {
+        r.id: ":".join(str(r[f"mh_{i}"]) for i in range(16))
+        for r in agg.collect()
+    }
+    row_sigs = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", minhash_sig_expr(F.col("text")).alias("sig")
+        ).collect()
+    }
+    for doc_id, want in agg_sigs.items():
+        assert row_sigs[doc_id] == want
+    # docs absent from the aggregate path (< 3 tokens) carry the sentinel
+    for doc_id, sig in row_sigs.items():
+        if doc_id not in agg_sigs:
+            assert sig == "EMPTY"
+
+
+def test_neardup_suppression_stream_collapses_redelivery(spark, sf_dir):
+    # the corpus delivered TWICE across micro-batches: every signature
+    # must survive exactly once
+    stream = jobs.read_documents_stream(spark, sf_dir, copies=2)
+    got = _drain(spark, jobs.neardup_suppression_stream(stream))
+    rows = got.collect()
+    sigs = [r.sig for r in rows]
+    assert len(sigs) == len(set(sigs))  # one row per signature
+    from airquality_data_pipeline_spark.operators.dedup import minhash_sig_expr
+
+    batch = table(spark, sf_dir, "documents").select(
+        minhash_sig_expr(F.col("text")).alias("sig")
+    )
+    n_distinct = batch.distinct().count()
+    assert len(sigs) == n_distinct
