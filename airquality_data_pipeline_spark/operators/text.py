@@ -721,3 +721,53 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, id_col: str, k: int = 20
+) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus top-k
+    vocabulary — the tokenizer-coverage QA every corpus build runs
+    before training (docs dominated by out-of-vocabulary tokens are
+    encoding noise, OCR garbage, or the wrong language).
+
+    The vocabulary is derived IN-QUERY as the k most frequent tokens
+    under the total order (count desc, term asc) — deterministic under
+    ties, and the top-k is a TakeOrdered (map-side partial top-k per
+    partition, no global sort). The vocab then broadcasts onto the
+    token stream; per-doc aggregation is one shuffle on doc id.
+
+    Output: (id, n_tokens, n_oov, oov_ratio). Tokenization matches
+    term_stats (whitespace split of lower(trim(text)); an empty doc
+    contributes one '' token, so n_tokens >= 1).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(k)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -72,6 +72,7 @@ _PRIORITY = [
     "q119_bm25_topk",
     "q120_dedup_pipeline",
     "q121_simhash64_neardup",
+    "q122_vocab_coverage",
     # --- green filler: one representative per family, refreshed
     "q01_pricing_summary",
     "q05_local_supplier_volume",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "q46_ivf_topk",
     "q48_language_id",
     "q71_neardup_components",
-    "q85_doc_chunking",
     "q113_bloom_decontamination",
 ]
 

@@ -1300,3 +1300,40 @@ def q119_bm25_topk(spark, sf_dir):
         BM25_QUERIES, "query_id int, term string"
     )
     return bm25_topk(docs, queries, text_col="text", id_col="doc_id", k=10)
+
+
+# --------------------------------------------------------------------------
+# q122: per-doc vocabulary coverage vs the corpus top-20 vocab (count
+# desc, term asc — a total order, so the top-k is tie-deterministic on
+# both engines). The OOV-rate QA gate every corpus build runs before
+# training; vocab derives in-query via TakeOrdered and broadcasts onto
+# the token stream — one doc-keyed shuffle, no global sort.
+# --------------------------------------------------------------------------
+@register(
+    "q122_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    vocab AS (SELECT term FROM counts ORDER BY cnt DESC, term LIMIT 20),
+    per AS (
+      SELECT id, count(*) AS n_tokens,
+             CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM toks LEFT JOIN vocab v USING (term)
+      GROUP BY id
+    )
+    SELECT id, n_tokens, n_oov,
+           round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS oov_ratio
+    FROM per
+    """,
+)
+def q122_vocab_coverage(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.text import vocab_coverage
+
+    docs = table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, text_col="text", id_col="doc_id", k=20)

@@ -400,6 +400,27 @@ def test_bm25_ranks_term_frequency_and_rarity(spark):
         assert all(s > 0 for _, _, s in rows)
 
 
+def test_vocab_coverage_flags_oov(spark):
+    from airquality_data_pipeline_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog cat dog"),
+            (2, "cat dog"),
+            (3, "zebra qux"),  # fully OOV under k=2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n_tokens, r.n_oov, r.oov_ratio)
+        for r in vocab_coverage(df, "text", "doc_id", k=2).collect()
+    }
+    # top-2 vocab is {cat, dog} (3 occurrences each beat zebra/qux's 1)
+    assert got[1] == (4, 0, 0.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+
+
 def test_dedup_pipeline_one_canonical_per_component(spark, sf_dir):
     from airquality_data_pipeline_spark.queries import QUERIES
 
