@@ -73,6 +73,8 @@ _PRIORITY = [
     "q120_dedup_pipeline",
     "q121_simhash64_neardup",
     "q122_vocab_coverage",
+    "q123_source_calibration",
+    "q124_leakage_free_split",
     # --- green filler: one representative per family, refreshed
     "q01_pricing_summary",
     "q05_local_supplier_volume",
@@ -81,8 +83,6 @@ _PRIORITY = [
     "q27_coalesce_merge",
     "q40_exact_dedup",
     "q41_minhash_candidates",
-    "q44_cosine_topk",
-    "q46_ivf_topk",
     "q48_language_id",
     "q71_neardup_components",
     "q113_bloom_decontamination",

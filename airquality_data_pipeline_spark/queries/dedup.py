@@ -732,3 +732,66 @@ def q120_dedup_pipeline(spark, sf_dir):
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# q124: leakage-free train/val/test split — the assignment rule that
+# prevents near-dup leakage across splits: docs are bucketed by the
+# md5-hash of their near-dup COMPONENT (q71's closure), not of the doc
+# id, so a whole duplicate cluster always lands on the same side of the
+# split (hash the doc and a pair of near-identical docs can straddle
+# train/test — the classic contamination bug q99 then has to detect).
+# The Spark side runs the large-star/small-star closure
+# (connected_components_star — diameter-independent, the 100 TB CC),
+# giving that implementation its own driver-checked row; the oracle's
+# recursive CTE proves both engines agree on the closure AND the
+# bucketing.
+# --------------------------------------------------------------------------
+@register(
+    "q124_leakage_free_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_EDGES_CTE},
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+    SELECT doc_id, component,
+           ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT % 100
+             AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM comp
+    """,
+)
+def q124_leakage_free_split(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    edges = minhash_candidate_pairs(sigs, num_hashes=_NUM_HASHES, min_matches=6)
+    comps = connected_components_star(
+        docs.select(F.col("doc_id")), edges, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "component")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return comps.select(
+        "doc_id",
+        "component",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

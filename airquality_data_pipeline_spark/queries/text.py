@@ -1337,3 +1337,51 @@ def q122_vocab_coverage(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return vocab_coverage(docs, text_col="text", id_col="doc_id", k=20)
+
+
+# --------------------------------------------------------------------------
+# q123: per-source quality calibration — the source-RELATIVE filtering
+# step real curation pipelines use instead of one global threshold
+# (sources differ systematically in style; a global cut would empty the
+# weakest source): each doc's quality percentile WITHIN its source
+# (cume_dist, tie-inclusive on both engines over identical doubles),
+# keep = top 60% per source. One source-keyed window — scale-safe.
+# --------------------------------------------------------------------------
+from airquality_data_pipeline_spark.queries.dedup import (  # noqa: E402
+    _QUALITY_SQL,
+)
+
+
+@register(
+    "q123_source_calibration",
+    oracle=f"""
+    WITH {_QUALITY_SQL}
+    SELECT doc_id, source,
+           round(quality, 6) AS quality,
+           round(q_pct, 6) AS q_pct,
+           q_pct >= 0.4 AS keep
+    FROM (
+      SELECT q.doc_id, d.source, q.quality,
+             cume_dist() OVER (
+               PARTITION BY d.source ORDER BY q.quality
+             ) AS q_pct
+      FROM q JOIN documents d ON q.doc_id = d.doc_id
+    )
+    """,
+)
+def q123_source_calibration(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features(
+        docs, text_col="text", id_col="doc_id", keep=["source"]
+    ).select("doc_id", "source", "quality")
+    w = Window.partitionBy("source").orderBy("quality")
+    pct = F.cume_dist().over(w)
+    return feats.select(
+        "doc_id",
+        "source",
+        F.round("quality", 6).alias("quality"),
+        F.round(pct, 6).alias("q_pct"),
+        (pct >= 0.4).alias("keep"),
+    )

@@ -421,6 +421,20 @@ def test_vocab_coverage_flags_oov(spark):
     assert got[3] == (2, 2, 1.0)
 
 
+def test_leakage_free_split_never_straddles_components(spark, sf_dir):
+    # the whole point of q124: every member of a near-dup component
+    # carries the SAME split; bucketing is a pure function of component
+    from airquality_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["q124_leakage_free_split"](spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(splits) == 1 for splits in by_comp.values())
+    # split fractions are roughly 90/5/5 over components
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
 def test_dedup_pipeline_one_canonical_per_component(spark, sf_dir):
     from airquality_data_pipeline_spark.queries import QUERIES
 
