@@ -75,6 +75,7 @@ _PRIORITY = [
     "q122_vocab_coverage",
     "q123_source_calibration",
     "q124_leakage_free_split",
+    "q125_token_budget_selection",
     # --- green filler: one representative per family, refreshed
     "q01_pricing_summary",
     "q05_local_supplier_volume",
@@ -82,7 +83,6 @@ _PRIORITY = [
     "q10_topk_per_group",
     "q27_coalesce_merge",
     "q40_exact_dedup",
-    "q41_minhash_candidates",
     "q48_language_id",
     "q71_neardup_components",
     "q113_bloom_decontamination",

@@ -1385,3 +1385,64 @@ def q123_source_calibration(spark, sf_dir):
         F.round(pct, 6).alias("q_pct"),
         (pct >= 0.4).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# q125: token-budget corpus selection — the data-mixing primitive:
+# per source, take documents greedily by quality (ties by doc id)
+# until a per-source token budget is exhausted (running token sum,
+# explicit ROWS frame so both engines agree even under value ties).
+# The cumulative window is source-keyed — one shuffle, scale-safe; at
+# deploy scale the budget comes from the mixture-weight table instead
+# of a constant.
+# --------------------------------------------------------------------------
+@register(
+    "q125_token_budget_selection",
+    oracle=f"""
+    WITH {_QUALITY_SQL},
+    m AS (
+      -- plain split length, matching quality_features' n_tokens
+      -- exactly (an empty doc counts 1 — the split yields [''])
+      SELECT q.doc_id, d.source, q.quality,
+             len(string_split_regex(lower(trim(d.text)), '\\s+')) AS n_tokens
+      FROM q JOIN documents d ON q.doc_id = d.doc_id
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS rank,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM m
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           rank, cum_tokens, cum_tokens <= 2000 AS selected
+    FROM r
+    """,
+)
+def q125_token_budget_selection(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features(
+        docs, text_col="text", id_col="doc_id", keep=["source"]
+    ).select("doc_id", "source", "quality", "n_tokens")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    cum = (
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    return feats.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.row_number().over(w).alias("rank"),
+        cum.alias("cum_tokens"),
+        (cum <= 2000).alias("selected"),
+    )
