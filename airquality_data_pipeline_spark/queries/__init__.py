@@ -76,6 +76,7 @@ _PRIORITY = [
     "q123_source_calibration",
     "q124_leakage_free_split",
     "q125_token_budget_selection",
+    "q126_token_drift",
     # --- green filler: one representative per family, refreshed
     "q01_pricing_summary",
     "q05_local_supplier_volume",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "q27_coalesce_merge",
     "q40_exact_dedup",
     "q48_language_id",
-    "q71_neardup_components",
     "q113_bloom_decontamination",
 ]
 

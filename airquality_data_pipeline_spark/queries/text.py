@@ -1446,3 +1446,94 @@ def q125_token_budget_selection(spark, sf_dir):
         cum.alias("cum_tokens"),
         (cum <= 2000).alias("selected"),
     )
+
+
+# --------------------------------------------------------------------------
+# q126: token-distribution drift between the train and held-out hash
+# splits (q103/q113's md5 doc-id bucketing) — the distribution-shift QA
+# that catches a skewed split or a contaminated ingest batch: per-term
+# occurrence rates on each side, ranked by absolute rate difference
+# (rounded-diff desc, term — a total order both engines share). Exact
+# integer counts; the only doubles are two divisions of identical
+# integers and their difference. Top-20 via TakeOrdered, no global
+# sort.
+# --------------------------------------------------------------------------
+@register(
+    "q126_token_drift",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    ),
+    toks AS (
+      SELECT bucket,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM b
+    ),
+    per AS (
+      SELECT term,
+             CAST(SUM(CASE WHEN bucket < 95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_train,
+             CAST(SUM(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_held
+      FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_train) AS DOUBLE) AS tot_train,
+             CAST(SUM(cnt_held) AS DOUBLE) AS tot_held
+      FROM per
+    ),
+    scored AS (
+      SELECT term, cnt_train, cnt_held,
+             round(cnt_train / tot_train, 6) AS rate_train,
+             round(cnt_held / tot_held, 6) AS rate_held,
+             round(abs(cnt_train / tot_train - cnt_held / tot_held), 6)
+               AS rate_diff
+      FROM per, tot
+    )
+    SELECT term, cnt_train, cnt_held, rate_train, rate_held, rate_diff
+    FROM scored ORDER BY rate_diff DESC, term LIMIT 20
+    """,
+)
+def q126_token_drift(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    toks = docs.select(
+        bucket.alias("bucket"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    per = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("bucket") < 95, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_train"),
+        F.sum(F.when(F.col("bucket") >= 95, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_held"),
+    )
+    tot = per.agg(
+        F.sum("cnt_train").cast("double").alias("tot_train"),
+        F.sum("cnt_held").cast("double").alias("tot_held"),
+    )
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "cnt_train",
+        "cnt_held",
+        F.round(F.col("cnt_train") / F.col("tot_train"), 6).alias("rate_train"),
+        F.round(F.col("cnt_held") / F.col("tot_held"), 6).alias("rate_held"),
+        F.round(
+            F.abs(
+                F.col("cnt_train") / F.col("tot_train")
+                - F.col("cnt_held") / F.col("tot_held")
+            ),
+            6,
+        ).alias("rate_diff"),
+    )
+    return scored.orderBy(F.desc("rate_diff"), F.asc("term")).limit(20)
