@@ -277,8 +277,12 @@ def simhash(
     and each bit is a map-side partial sum — single shuffle on id.
     """
     assert bits <= 64
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     if n == 1:
+        # fan the compact corpus out to full parallelism before the
+        # CPU-bound tokenize+explode; the n>1 path delegates to
+        # word_shingles, which performs the same fan-out itself —
+        # repartitioning here too would add a redundant full exchange
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         toks = df.select(
             F.col(id_col).alias("id"),
             F.explode(

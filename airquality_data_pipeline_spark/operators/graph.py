@@ -21,8 +21,22 @@ bounded number of hash shuffles on node id.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _warn_not_converged(fn_name: str, max_iter: int) -> None:
+    warnings.warn(
+        f"{fn_name}: iteration budget max_iter={max_iter} exhausted "
+        "before the labels stabilized — returned components may merge "
+        "further; raise max_iter (near-dup graphs converge in "
+        "diameter/log^2 n rounds, so hitting the budget usually means "
+        "an unexpectedly chained graph)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def connected_components(
@@ -68,6 +82,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        _warn_not_converged("connected_components", max_iter)
     return labels
 
 
@@ -135,6 +151,8 @@ def connected_components_star(
         e = e2
         if changed == 0:
             break
+    else:
+        _warn_not_converged("connected_components_star", max_iter)
     labels = (
         e.where(F.col("v") < F.col("u"))
         .groupBy("u")

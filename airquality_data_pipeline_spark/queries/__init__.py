@@ -5,13 +5,12 @@ shared registry. Importing this package populates it.
 
 Registration order is deliberate: the external driver checks a ~50-entry
 prefix of the catalog each round, so _PRIORITY below puts the queries
-that most need a fresh CORRECTNESS row first. Round-4 rotation: the 24
-events-reading queries lead (the Aug-13 fixture regen to timestamp[us]
-invalidated their r1/r2 green rows — they must re-earn them on the new
-reader), then the formerly rows-only entries whose oracles were added
-this round, then queries whose implementation changed this round (chunk
-hash widened to 60 bits; q45 threshold), then one green representative
-per family as filler.
+that most need a fresh CORRECTNESS row first. Round-5 rotation: the 41
+queries whose last driver-green row dates from r1/r2 (two fixture
+regens ago — locally parity-green, but the driver record is the hard
+signal) lead, then q63 (oracle added this round: derived constant-true
+booleans), then q117 (registered default flipped to 64-bit SimHash this
+round), then the queries that are new in round 5.
 """
 
 from __future__ import annotations
@@ -30,62 +29,54 @@ from airquality_data_pipeline_spark.queries import text  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
-    # --- the 24 events-reading queries: r1/r2 green rows are stale
-    # evidence against the regenerated timestamp[us] fixtures
-    "q17_datetime_tz",
-    "q18_json_extract",
-    "q23_cursor_incremental_filter",
-    "q24_pending_cursor_updates",
-    "q25_first_wins_dedup",
-    "q26_greatest_merge",
-    "q28_retention_filter",
-    "q29_ragged_union",
-    "q30_sessionization",
-    "q31_tumbling_window",
-    "q32_sliding_window",
-    "q33_asof_join",
-    "q34_range_join",
-    "q55_salted_agg",
-    "q65_nullsafe_join",
-    "q68_bit_aggs",
-    "q75_edit_distance",
-    "q76_null_aggregates",
-    "q77_range_frame",
-    "q80_ignore_nulls",
-    "q83_map_functions",
-    "q87_time_weighted_avg",
-    "q88_gapfill_locf",
-    "q91_running_distinct",
-    # --- formerly rows-only; oracles added / reworked in r4
-    "q60_approx_distinct",
-    "q61_approx_percentile",
-    "q62_tfidf",
+    # --- 41 queries whose last driver-green row is r1/r2: rotate them
+    # through the window so the catalog's driver evidence is current
+    "q11_window_running",
+    "q12_rollup",
+    "q13_cube",
+    "q14_set_ops",
+    "q15_distinct_agg",
+    "q16_conditional_agg",
+    "q19_string_funcs",
+    "q35_pivot",
+    "q36_unpivot",
+    "q37_percentiles",
+    "q38_argmax",
+    "q39_collect_sorted",
+    "q43_simhash",
+    "q47_vector_lsh",
+    "q49_quality_score",
+    "q51_fingerprint",
+    "q52_binary_columns",
+    "q53_sql_api",
+    "q54_term_stats",
+    "q56_array_functions",
+    "q57_having",
+    "q58_below_avg_quantity",
+    "q59_order_distribution",
+    "q64_ranking_extras",
+    "q66_embedding_quantize",
+    "q67_signature_clusters",
+    "q69_posexplode",
+    "q70_regexp_groups",
+    "q72_correlated_min",
+    "q73_multi_exists",
+    "q74_date_arithmetic",
+    "q78_grouping_sets",
+    "q79_stat_aggs",
+    "q81_full_outer_join",
+    "q82_lateral_topk",
+    "q84_month_spine",
+    "q86_hash_split",
+    "q90_nulls_order_pagination",
+    "q92_discrete_percentiles",
+    "q95_repetition_filter",
+    "q96_canonical_docs",
+    # --- oracle added in r5 (was the one rows-only entry)
     "q63_ml_minhash_lsh",
-    # --- implementation changed in r4 (60-bit chunk hash; q45 recall)
-    "q102_chunk_fingerprints",
-    "q109_chunk_dedup",
-    "q112_jaccard_estimate",
-    "q45_embedding_neardup",
-    # --- new in r4 (never driver-checked)
+    # --- implementation changed in r5 (registered default now 64-bit)
     "q117_simhash_neardup",
-    "q118_span_scrub",
-    "q119_bm25_topk",
-    "q120_dedup_pipeline",
-    "q121_simhash64_neardup",
-    "q122_vocab_coverage",
-    "q123_source_calibration",
-    "q124_leakage_free_split",
-    "q125_token_budget_selection",
-    "q126_token_drift",
-    # --- green filler: one representative per family, refreshed
-    "q01_pricing_summary",
-    "q05_local_supplier_volume",
-    "q09_broadcast_dim_join",
-    "q10_topk_per_group",
-    "q27_coalesce_merge",
-    "q40_exact_dedup",
-    "q48_language_id",
-    "q113_bloom_decontamination",
+    # --- new in r5 (never driver-checked) — appended as they land
 ]
 
 

@@ -282,8 +282,7 @@ def q71_neardup_components(spark, sf_dir):
 # --------------------------------------------------------------------------
 # q63: pyspark.ml MinHashLSH pipeline (Tokenizer -> HashingTF ->
 # MinHashLSH.transform) — the library alternative to the hand-rolled
-# q41. Rows-only: the ml hash family is seeded JVM-side and not
-# reproducible in SQL.
+# q41.
 #
 # r2: candidate generation is OUR banding equi-join over the model's
 # hash values ((table_idx, hash) as the bucket key) on the FULL corpus —
@@ -293,13 +292,52 @@ def q71_neardup_components(spark, sf_dir):
 # semantics (pairs agreeing on >= 1 hash table), but the join is an
 # explicit equi-join Catalyst shuffles on the bucket key — the q41
 # shape, so no sampling needed.
+#
+# r5: oracle added. The ml hash family is seeded JVM-side and not
+# reproducible in SQL, so the raw candidate set can't be hash-compared
+# against DuckDB. Instead the query's RESULT is the deterministic
+# consequence the library guarantees: identical text => identical
+# HashingTF vector => identical MinHash in EVERY table => the pair is a
+# candidate with n_tables == num_hash_tables. The corpus is the
+# documents table plus a planted replica of the 20 lowest doc_ids
+# (under +1_000_000 ids), so the invariant is non-vacuous at every SF
+# (the raw fixture has no exact dups below sf0.1). Output: one row per
+# identical-text pair in the corpus with the candidate-join's observed
+# n_tables (must be 8) and found (must be true) — any lost pair
+# surfaces as a null/false row and a driver hash mismatch. The full
+# (seeded) candidate set stays pinned by
+# tests/test_operators.py::test_q63_exact_dup_containment.
 # --------------------------------------------------------------------------
-@register("q63_ml_minhash_lsh")
+@register(
+    "q63_ml_minhash_lsh",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+    )
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           CAST(8 AS BIGINT) AS n_tables,
+           true AS found
+    FROM corpus a
+    JOIN corpus b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    """,
+)
 def q63_ml_minhash_lsh(spark, sf_dir):
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
     from pyspark.ml.functions import vector_to_array
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded planted-dup set: 20 rows, deterministic; the limit's
+    # single-partition gather is over 20 rows, never corpus-sized
+    planted = (
+        base.orderBy("doc_id")
+        .limit(20)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    docs = base.unionByName(planted)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     tok = Tokenizer(inputCol="text", outputCol="words")
     # 3-gram shingles, matching q41: single tokens are degenerate on a
@@ -322,7 +360,7 @@ def q63_ml_minhash_lsh(spark, sf_dir):
             )
         ).alias("table_idx", "h"),
     )
-    return (
+    cand = (
         hashed.alias("a")
         .join(
             hashed.alias("b"),
@@ -334,6 +372,26 @@ def q63_ml_minhash_lsh(spark, sf_dir):
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .agg(F.count(F.lit(1)).alias("n_tables"))
+    )
+    # identical-text pairs in the corpus (planted + any natural dups):
+    # equi-join on the content digest — never an all-pairs comparison
+    expected = (
+        docs.alias("x")
+        .join(
+            docs.alias("y"),
+            (F.md5(F.col("x.text")) == F.md5(F.col("y.text")))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+        )
+    )
+    return expected.join(cand, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.col("n_tables").cast("long").alias("n_tables"),
+        F.col("n_tables").isNotNull().alias("found"),
     )
 
 
@@ -529,19 +587,28 @@ def q112_jaccard_estimate(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q117: SimHash near-dup pairs the Manku/web-crawl way — the 32-bit
-# fingerprint splits into 4 bands of 8 bits; hamming <= 3 pairs MUST
-# share a band (pigeonhole => 100% recall), so candidates come from a
-# (band, value) equi-join, never an all-pairs scan; exact hamming over
-# the full fingerprint verifies. Signatures vote over word-3-gram
-# shingles, NOT tokens: the fixture's ~40-word vocabulary makes
-# token-level signatures collapse into a handful of values, which
-# degenerates the band join to all-pairs (measured 300 s vs ~3 s at
-# sf0.1 — the same degeneracy q63 documents for token-level MinHash).
-# The corpus is random word soup with no natural near-dups, so
-# replicas (identical -> hamming 0) and one-token-appended variants
-# (few shingles change -> small hamming) are planted — both engines
-# derive the identical corpus.
+# q117: SimHash near-dup pairs the Manku/web-crawl way — a 64-bit
+# fingerprint (the Manku production width) splits into 4 bands of 16
+# bits; hamming <= 3 pairs MUST share a band (pigeonhole => 100%
+# recall), so candidates come from a (band, value) equi-join, never an
+# all-pairs scan; exact hamming over the full fingerprint verifies.
+# Signatures vote over word-3-gram shingles, NOT tokens: the fixture's
+# ~40-word vocabulary makes token-level signatures collapse into a
+# handful of values, which degenerates the band join to all-pairs
+# (measured 300 s vs ~3 s at sf0.1 — the same degeneracy q63 documents
+# for token-level MinHash). The corpus is random word soup with no
+# natural near-dups, so replicas (identical -> hamming 0) and
+# one-token-appended variants (few shingles change -> small hamming)
+# are planted — both engines derive the identical corpus.
+#
+# r5: registered default flipped from 32-bit/8-bit-bands to
+# 64-bit/16-bit-bands and the separate q121 folded in. Rationale
+# (PLANS.md, measured at 80 k docs): random pairs collide per 8-bit
+# band at 4/256, a quadratic term that grew candidates 16.6x at a 16x
+# corpus; at 16-bit bands the rate is 4/65536 and measured growth
+# (4.2x) tracks the true dup mass. The 32-bit shape remains available
+# via operators.dedup.simhash(bits=32) and is pinned by
+# tests/test_operators.py's simhash tests.
 # --------------------------------------------------------------------------
 def _simhash_corpus_oracle(bits: int = 32, n_bands: int = 4) -> str:
     # bits > 32 read from the salted second digest (simhash operator's
@@ -606,42 +673,11 @@ def _simhash_corpus_oracle(bits: int = 32, n_bands: int = 4) -> str:
     """
 
 
-@register("q117_simhash_neardup", oracle=_simhash_corpus_oracle())
-def q117_simhash_neardup(spark, sf_dir):
-    from airquality_data_pipeline_spark.operators.dedup import (
-        simhash_band_candidates,
-    )
-
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = (
-        docs.unionByName(
-            docs.where(F.col("doc_id") % 10 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "text"
-            )
-        ).unionByName(
-            docs.where(F.col("doc_id") % 10 == 5).select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
-            )
-        )
-    )
-    sigs = simhash(corpus, text_col="text", id_col="doc_id", bits=32, n=3)
-    return simhash_band_candidates(sigs, bits=32, n_bands=4, max_hamming=3)
-
-
-# --------------------------------------------------------------------------
-# q121: q117 at the Manku production width — 64-bit fingerprint (second
-# salted digest), 4 bands of 16 bits. Same pigeonhole recall for
-# hamming <= 3, but random pairs collide per band at 2^-16 instead of
-# 2^-8: candidate volume stays pinned to the true near-dup mass as the
-# corpus grows (PLANS.md measures the 32-bit variant's quadratic
-# collision term at 80 k docs — this is the documented fix, executed).
-# --------------------------------------------------------------------------
 @register(
-    "q121_simhash64_neardup",
+    "q117_simhash_neardup",
     oracle=_simhash_corpus_oracle(bits=64, n_bands=4),
 )
-def q121_simhash64_neardup(spark, sf_dir):
+def q117_simhash_neardup(spark, sf_dir):
     from airquality_data_pipeline_spark.operators.dedup import (
         simhash_band_candidates,
     )

@@ -387,13 +387,25 @@ def neardup_suppression_stream(docs: DataFrame) -> DataFrame:
     State is one row per distinct signature, unbounded like the
     reference's cursor table; bound it with
     dropDuplicatesWithinWatermark + an event-time column when the
-    dedup horizon is finite."""
+    dedup horizon is finite.
+
+    Docs too short to shingle (< 3 tokens) share minhash_sig_expr's
+    'EMPTY' sentinel; deduping on it would silently collapse unrelated
+    short docs. They can't be NEAR-deduped (no shingles to sign), but
+    they can still be exact-deduped: the sentinel is qualified with the
+    content digest ('EMPTY:' || md5(text)), so unrelated short docs
+    keep distinct state keys while re-deliveries of the same short doc
+    still collapse — one dropDuplicates covers both regimes."""
     from airquality_data_pipeline_spark.operators.dedup import (
         minhash_sig_expr,
     )
 
+    raw = minhash_sig_expr(F.col("text"))
+    sig = F.when(raw != "EMPTY", raw).otherwise(
+        F.concat(F.lit("EMPTY:"), F.md5(F.col("text")))
+    )
     return (
-        docs.withColumn("sig", minhash_sig_expr(F.col("text")))
+        docs.withColumn("sig", sig)
         .dropDuplicates(["sig"])
         .select("doc_id", "sig", "n_chars")
     )

@@ -487,12 +487,10 @@ def test_driver_prefix_order_pins_unverified_families():
 
     names = list(QUERIES)
     assert names[: len(_PRIORITY)] == _PRIORITY
-    # q63 is the single deliberate rows-only entry (JVM-seeded ml hash
-    # family, not reproducible in SQL — see COVERAGE.md); everything
-    # else in the driver window must be oracle-checkable
-    rows_only = {"q63_ml_minhash_lsh"}
-    missing = [n for n in names[:50] if n not in ORACLE and n not in rows_only]
-    assert not missing, f"driver-window queries without oracle: {missing}"
+    # r5: every registered query is oracle-checkable (q63 gained a
+    # derived-invariant oracle — planted exact-dup containment)
+    missing = [n for n in names if n not in ORACLE]
+    assert not missing, f"queries without oracle: {missing}"
 
 
 def test_approx_aggs_tight_bounds(spark, sf_dir):
@@ -514,11 +512,11 @@ def test_approx_aggs_tight_bounds(spark, sf_dir):
         assert r.p10_in_bound and r.p50_in_bound and r.p90_in_bound
 
 
-def test_ml_minhash_lsh_contains_exact_dups(spark, sf_dir):
-    # q63 is rows-only (seeded JVM hash family); pin the invariant that
-    # IS checkable: byte-identical docs hash identically in every
-    # table, so planted exact-duplicate pairs MUST be candidates with
-    # n_tables == 8, and every emitted pair is ordered and distinct
+def test_q63_exact_dup_containment(spark, sf_dir):
+    # q63's r5 contract: byte-identical docs hash identically in every
+    # ml MinHashLSH table, so every identical-text pair in the corpus
+    # (including extra test-planted dups beyond the query's own 20)
+    # MUST surface as a candidate with n_tables == 8 and found == true
     import os
     import tempfile
 
@@ -537,15 +535,15 @@ def test_ml_minhash_lsh_contains_exact_dups(spark, sf_dir):
         os.symlink(f"{sf_dir}/{t}.parquet", f"{staged}/{t}.parquet")
     cand = QUERIES["q63_ml_minhash_lsh"](spark, staged)
     rows = cand.collect()
-    pairs = {(r.id_a, r.id_b): r.n_tables for r in rows}
+    pairs = {(r.id_a, r.id_b): (r.n_tables, r.found) for r in rows}
     want = {
         (r.doc_id, r.doc_id + 200000)
-        for r in docs.where(
-            (F.col("doc_id") % 50 == 0) & (F.length(F.trim("text")) > 0)
-        ).collect()
+        for r in docs.where(F.col("doc_id") % 50 == 0).collect()
     }
     for p in want:
-        assert p in pairs and pairs[p] == 8, p
+        assert p in pairs and pairs[p] == (8, True), p
+    # every emitted row satisfies the oracle's constant invariant
+    assert all(v == (8, True) for v in pairs.values())
     assert all(a < b for (a, b) in pairs)
     assert len(pairs) == len(rows)
 

@@ -292,3 +292,43 @@ def test_neardup_suppression_stream_collapses_redelivery(spark, sf_dir):
     )
     n_distinct = batch.distinct().count()
     assert len(sigs) == n_distinct
+
+
+def test_neardup_suppression_short_docs_not_collapsed(spark, sf_dir, tmp_path):
+    # docs with < 3 tokens share minhash_sig_expr's 'EMPTY' sentinel;
+    # the stream must keep UNRELATED short docs (distinct texts) while
+    # still collapsing re-deliveries of the SAME short doc
+    import os
+
+    staged = str(tmp_path / "short_docs")
+    os.makedirs(staged)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "text": [
+                "alpha beta",
+                "gamma",
+                "alpha beta",  # exact dup of doc 1
+                "one two three four five",  # shingleable
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": pd.array([10, 5, 10, 23], dtype="int64"),
+        }
+    )
+    pdf.to_parquet(f"{staged}/d0.parquet")
+    stream = (
+        spark.readStream.schema(jobs.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    got = _drain(spark, jobs.neardup_suppression_stream(stream)).collect()
+    kept = sorted(r.doc_id for r in got)
+    # doc 3 (exact re-delivery of doc 1's text) collapses; 1, 2, 4 stay
+    assert kept == [1, 2, 4]
+    sigs = {r.doc_id: r.sig for r in got}
+    assert sigs[1].startswith("EMPTY:") and sigs[2].startswith("EMPTY:")
+    assert sigs[1] != sigs[2]
+    assert not sigs[4].startswith("EMPTY")
