@@ -46,6 +46,15 @@ def with_norm(
     is broadcast anyway.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return _norm_projection(df, vec_col, id_col, persist)
+
+
+def _norm_projection(
+    df: DataFrame, vec_col: str, id_col: str, persist: bool = False
+) -> DataFrame:
+    """with_norm's projection without the fan-out exchange — for
+    bounded side-inputs (centroid seeds) where a full-corpus
+    repartition ahead of a pushed-down filter would be wasted."""
     v = F.col(vec_col).cast("array<double>")
     out = df.select(
         F.col(id_col).alias("id"),
@@ -321,32 +330,56 @@ def ivf_assign(
     """IVF coarse quantizer: centroid seed vectors are the rows matching
     centroid_pred (deterministic seed choice — one k-means round would
     refine them; the bucketing mechanics are identical). Assigns every
-    vector to its max-cosine centroid via a broadcast join, adding
-    `bucket`."""
-    n = with_norm(emb, vec_col, id_col)
-    cents = n.where(centroid_pred).select(
-        F.col("id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    vector to its max-cosine centroid ROW-LOCALLY: the k centroid
+    vectors are collected (bounded by construction — this is the
+    KMeansModel.transform pattern of broadcasting model state) and the
+    argmax is computed per row as array_position(sims, array_max(sims))
+    over k inlined dot products. r5: replaces the crossJoin +
+    Window.partitionBy(id) row_number shape, which shuffled and sorted
+    k x corpus rows just to pick each row's max — assignment now adds
+    ZERO shuffles, which q46/q104/q107/q115 inherit. Ties break to the
+    lowest cent_id (array_position returns the first occurrence;
+    centroids are scanned in id order), matching the old
+    ORDER BY c_sim DESC, cent_id ASC."""
+    cents = (
+        _norm_projection(emb, vec_col, id_col)
+        .where(centroid_pred)
+        .collect()
     )
-    scored = n.crossJoin(F.broadcast(cents)).select(
+    cents.sort(key=lambda r: r.id)
+    if not cents:
+        raise ValueError("ivf_assign: centroid_pred matched no rows")
+    n = with_norm(emb, vec_col, id_col)
+    sims = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in c.v]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("nrm") * F.lit(float(c.nrm))),
+                6,
+            )
+            for c in cents
+        ]
+    )
+    cent_ids = F.array(*[F.lit(c.id) for c in cents])
+    # bind the k-fold sims array once; the argmax reads it three times
+    scored = n.select("id", "v", "nrm", sims.alias("sims"))
+    return scored.select(
         "id",
         "v",
         "nrm",
-        "cent_id",
-        cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias("c_sim"),
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("c_sim"), F.asc("cent_id"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select(
-            "id",
-            "v",
-            "nrm",
-            F.col("cent_id").alias("bucket"),
-            F.col("c_sim").alias("cent_sim"),
-        )
+        F.element_at(
+            cent_ids,
+            F.array_position(F.col("sims"), F.array_max("sims")).cast("int"),
+        ).alias("bucket"),
+        F.array_max("sims").alias("cent_sim"),
     )
 
 

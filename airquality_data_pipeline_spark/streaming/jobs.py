@@ -409,3 +409,40 @@ def neardup_suppression_stream(docs: DataFrame) -> DataFrame:
         .dropDuplicates(["sig"])
         .select("doc_id", "sig", "n_chars")
     )
+
+
+def leakage_free_split_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q124's leakage-free train/val/test split, with
+    the streaming-feasible cluster notion: signature-identity. The
+    suppression stage collapses signature-identical docs (exact dups +
+    J~1 near-dups) across micro-batches, then the split is bucketed on
+    md5 OF THE SIGNATURE — a pure function of the cluster key — so no
+    two docs of the same cluster can ever land in different splits, in
+    whatever order micro-batches deliver them (the non-survivor never
+    leaves the dedup state, and the survivor's split does not depend on
+    which delivery won).
+
+    Where the batch q124 differs, necessarily: q124 clusters by banded
+    MinHash candidates + connected-component CLOSURE, which needs
+    iterated joins over the full edge set until a fixpoint — not
+    expressible in a single Structured Streaming pass (each micro-batch
+    would need to re-join against all prior docs and re-converge, i.e.
+    a batch job per trigger). The production composition is this stream
+    for exact/strong dups in-flight plus the periodic batch q124
+    re-shard for weak near-dups; this split uses the same 80/10/10
+    bucket thresholds so the batch re-shard agrees with the stream
+    wherever clusters coincide."""
+    suppressed = neardup_suppression_stream(docs)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("sig")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    return suppressed.select(
+        "doc_id",
+        "sig",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

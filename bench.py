@@ -49,15 +49,20 @@ def main() -> None:
         run_query(QUERIES[warm](spark, sf_dir))
 
     # min of two runs per query: suppresses GC/JIT noise (observed
-    # 2-4x swings on single runs), reports steady-state capability
+    # 2-4x swings on single runs), reports steady-state capability.
+    # Every individual run also lands in bench_runs.json so a cross-
+    # round timing delta can be attributed (real regression vs
+    # co-scheduling noise: noisy queries show a wide run spread).
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in sorted(QUERIES):
-        best = float("inf")
+        runs = []
         for _ in range(2):
             start = time.perf_counter()
             run_query(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - start, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     # r1 post-mortem: the 90-entry queries map made the headline JSON line
@@ -68,6 +73,8 @@ def main() -> None:
     queries_file = str(Path(REPO_ROOT) / "bench_queries.json")
     with open(queries_file, "w") as f:
         json.dump(timings, f, indent=1, sort_keys=True)
+    with open(str(Path(REPO_ROOT) / "bench_runs.json"), "w") as f:
+        json.dump(all_runs, f, indent=1, sort_keys=True)
     # r2 post-mortem: a second stdout line with the full per-query map
     # pushed the short summary line out of the driver's fixed-size tail
     # capture ("parsed": null in BENCH_r02.json). The summary line must

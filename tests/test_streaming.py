@@ -294,6 +294,41 @@ def test_neardup_suppression_stream_collapses_redelivery(spark, sf_dir):
     assert len(sigs) == n_distinct
 
 
+def test_leakage_free_split_stream_matches_batch(spark, sf_dir):
+    # streaming twin of q124 (signature-identity clusters): corpus
+    # delivered TWICE; the split must be a pure function of the
+    # signature (no cluster straddles splits, delivery order
+    # irrelevant) and agree with the batch recomputation
+    from airquality_data_pipeline_spark.operators.dedup import minhash_sig_expr
+
+    stream = jobs.read_documents_stream(spark, sf_dir, copies=2)
+    got = _drain(spark, jobs.leakage_free_split_stream(stream))
+    rows = got.collect()
+    sigs = [r.sig for r in rows]
+    assert len(sigs) == len(set(sigs))  # one survivor per cluster
+    batch = (
+        table(spark, sf_dir, "documents")
+        .select(minhash_sig_expr(F.col("text")).alias("sig"))
+        .distinct()
+        .select(
+            "sig",
+            (
+                F.conv(F.substring(F.md5("sig"), 1, 8), 16, 10).cast("long")
+                % 100
+            ).cast("int").alias("bucket"),
+        )
+    )
+    expected = {r.sig: r.bucket for r in batch.collect()}
+    assert len(rows) == len(expected)
+    for r in rows:
+        b = expected[r.sig]
+        assert r.bucket == b
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert r.split == want
+    # all three splits actually populated on the fixture corpus
+    assert {r.split for r in rows} == {"train", "val", "test"}
+
+
 def test_neardup_suppression_short_docs_not_collapsed(spark, sf_dir, tmp_path):
     # docs with < 3 tokens share minhash_sig_expr's 'EMPTY' sentinel;
     # the stream must keep UNRELATED short docs (distinct texts) while
