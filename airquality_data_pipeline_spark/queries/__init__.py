@@ -26,6 +26,7 @@ from airquality_data_pipeline_spark.queries import pipeline  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import dedup  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import similarity  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import text  # noqa: E402,F401
+from airquality_data_pipeline_spark.queries import llmops  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
@@ -77,6 +78,11 @@ _PRIORITY = [
     # --- implementation changed in r5 (registered default now 64-bit)
     "q117_simhash_neardup",
     # --- new in r5 (never driver-checked) — appended as they land
+    "q127_weighted_sample",
+    "q128_unigram_crossentropy",
+    "q129_containment",
+    "q130_semdedup",
+    "q131_cms_heavy_hitters",
 ]
 
 

@@ -1,0 +1,423 @@
+"""Round-5 LLM-curation operators: weighted reservoir sampling,
+unigram-LM cross-entropy scoring, shingle-containment excerpt
+detection, SemDeDup-style within-cluster embedding pruning, and
+count-min-sketch heavy hitters.
+
+All five are the batch shapes a 100 TB training-data pipeline needs:
+every plan is equi-join / groupBy keyed work (no all-pairs stage), the
+only driver-side materialization is bounded model state (IVF
+centroids), and randomness is integer-derived (md5) so any engine
+reproduces identical results — which is what makes the DuckDB oracles
+possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.operators.similarity import (
+    cosine,
+    ivf_assign,
+    planted_neardup_corpus,
+)
+from airquality_data_pipeline_spark.queries.common import table
+from airquality_data_pipeline_spark.queries.registry import register
+
+
+def _hash_unit(col):
+    """Deterministic pseudo-uniform in [0, 1): first 32 md5 bits of the
+    value's string form, scaled by 2^-32. The engine-portable stand-in
+    for rand() wherever the result must be reproducible cross-engine."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / F.lit(4294967296.0)
+    )
+
+
+# --------------------------------------------------------------------------
+# q127: weighted sampling without replacement, k per stratum — the
+# Efraimidis–Spirakis A-ES scheme: each row draws u ~ U(0,1) and keeps
+# key = u^(1/w); the k largest keys per stratum are an exact weighted
+# sample without replacement. Ordering uses the log-key ln(u)/w
+# (monotone in u^(1/w), avoids pow underflow for large weights). The
+# uniform is md5-derived, so both engines rank identically. One window
+# per source partition — a single shuffle on the stratum key at any
+# scale; k rows survive per stratum.
+# --------------------------------------------------------------------------
+@register(
+    "q127_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(rank AS INT) AS rank FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY k DESC, doc_id
+             ) AS rank
+      FROM keyed
+    ) WHERE rank <= 5
+    """,
+)
+def q127_weighted_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    # A-ES log-key: ln(u)/w, larger is better (ln(u) < 0; heavier w
+    # pulls the key toward 0). The key itself is float-log arithmetic,
+    # so it ORDERS rows but is never emitted (cross-engine last-ulp
+    # noise lives ~1e-16 below any plausible ranking tie).
+    key = F.log(_hash_unit(F.col("doc_id"))) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# q128: unigram-LM cross-entropy scoring — the perplexity-filter shape
+# (CCNet / Gopher quality pipelines): fit a Laplace-smoothed unigram
+# model on the TRAIN hash-split (q86's bucket < 80), score every VAL
+# doc by mean negative log-likelihood per token; OOV tokens get the
+# smoothed floor 1/(N+V). Plan: train tokens -> one groupBy(token)
+# (vocabulary-sized), scalar totals broadcast via crossJoin, val tokens
+# LEFT-join the model on token (hash equi-join), one groupBy(doc_id).
+# Nothing in the plan scales with corpus^2, and the model side of the
+# join is vocabulary-bounded.
+# --------------------------------------------------------------------------
+_BUCKET_SQL = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+@register(
+    "q128_unigram_crossentropy",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lower(trim(text)) AS text, {_BUCKET_SQL} AS bucket
+      FROM documents
+    ),
+    train_toks AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM split WHERE bucket < 80
+    ),
+    model AS (SELECT tok, count(*) AS cnt FROM train_toks GROUP BY tok),
+    totals AS (
+      SELECT sum(cnt) AS n, count(*) AS v FROM model
+    ),
+    val_toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM split WHERE bucket >= 80 AND bucket < 90
+    ),
+    scored AS (
+      SELECT vt.doc_id,
+             -ln((COALESCE(m.cnt, 0) + 1.0) / (t.n + t.v)) AS nll
+      FROM val_toks vt
+      LEFT JOIN model m ON vt.tok = m.tok
+      CROSS JOIN totals t
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q128_unigram_crossentropy(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    toks = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    model = (
+        toks.where(F.col("bucket") < 80)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = model.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    val = toks.where((F.col("bucket") >= 80) & (F.col("bucket") < 90))
+    scored = (
+        val.join(model, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n") + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q129: shingle-containment excerpt detection — near-dup dedup's
+# one-sided sibling: containment C = |A∩B| / min(|A|,|B|) catches a
+# short doc EMBEDDED in a long one (quotes, excerpts, page fragments),
+# which symmetric Jaccard misses (the union term dilutes it). The
+# fixture has no natural excerpts, so half-length token-prefix excerpts
+# of every doc_id % 10 == 7 are planted (id + 300000) — their prefix
+# 3-grams are a strict subset of the source's, so containment is
+# exactly 1.0. Candidates come from the shingle equi-join (q42's
+# shape); no all-pairs stage.
+# --------------------------------------------------------------------------
+@register(
+    "q129_containment",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, t FROM toks0
+      UNION ALL
+      SELECT doc_id + 300000, t[1:len(t) // 2] FROM toks0
+      WHERE doc_id % 10 = 7
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM corpus, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / least(x.sz, y.sz)::DOUBLE, 6) AS containment
+    FROM inter
+    JOIN sz x ON inter.id_a = x.id
+    JOIN sz y ON inter.id_b = y.id
+    WHERE n_inter / least(x.sz, y.sz)::DOUBLE >= 0.8
+    """,
+)
+def q129_containment(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.dedup import word_shingles
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    excerpts = (
+        docs.where(F.col("doc_id") % 10 == 7)
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, F.lit(1), (F.size(toks) / 2).cast("int")), " "
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(excerpts)
+    sh = word_shingles(corpus, text_col="text", id_col="doc_id", n=3)
+    sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c = F.col("n_inter") / F.least("sz_a", "sz_b").cast("double")
+    return (
+        inter.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .where(c >= 0.8)
+        .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q130: SemDeDup-style embedding pruning — cluster the corpus with the
+# IVF coarse quantizer (row-local assignment, zero shuffles), then
+# WITHIN each cluster mark every vector that has a lower-id neighbor at
+# cosine >= 0.9 as a prune candidate (keep-lowest-id screen; the full
+# transitive closure is q120's job). The pairwise stage is an equi-join
+# on bucket, so candidate volume is cluster-bounded — the entire point
+# of clustering before comparing (Abbas et al., SemDeDup). Planted
+# near-dups (q45's corpus) make the >= 0.9 regime non-vacuous.
+# --------------------------------------------------------------------------
+@register(
+    "q130_semdedup",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(64),
+               i -> v[i+1] + CAST((vec_id * 31 + i * 7) % 11 - 5 AS DOUBLE) * 0.001)
+      FROM base WHERE vec_id % 5 = 0
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, nrm, bucket FROM (
+        SELECT n.vec_id AS id, n.v, n.nrm, c.cent_id AS bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS r
+        FROM n, cents c
+      ) WHERE r = 1
+    ),
+    pairs AS (
+      SELECT a.bucket, a.id AS id_a, b.id AS id_b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM assigned a JOIN assigned b
+        ON a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT bucket, id_b AS pruned_id, min(id_a) AS keeper_id,
+           max(cos_sim) AS max_sim,
+           CAST(count(*) AS BIGINT) AS n_dominating
+    FROM pairs WHERE cos_sim >= 0.9
+    GROUP BY bucket, id_b
+    """,
+)
+def q130_semdedup(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = planted_neardup_corpus(emb)
+    assigned = ivf_assign(corpus, F.col("id") < 8)
+    pairs = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(
+                F.col("a.v"), F.col("a.nrm"), F.col("b.v"), F.col("b.nrm")
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.9)
+    )
+    return pairs.groupBy("bucket", F.col("id_b").alias("pruned_id")).agg(
+        F.min("id_a").alias("keeper_id"),
+        F.max("cos_sim").alias("max_sim"),
+        F.count(F.lit(1)).alias("n_dominating"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q131: count-min-sketch heavy hitters — the bounded-memory term-stats
+# path for 100 TB corpora: a d=4 x w=256 counter grid (1 KB of state
+# per executor, mergeable by addition) replaces an unbounded
+# per-token hash table; estimates never UNDERcount (each counter only
+# ever adds), so the emitted no_underestimate flag is constant-true.
+# Hash r of a token is md5(token || '#r') — engine-portable. The
+# sketch is built FROM the per-token aggregate here so the oracle can
+# replicate it exactly; at ingest scale the same counters accumulate
+# per-partition and merge by element-wise sum. The true top-20 (by
+# exact count, vocabulary-bounded ranking) are then probed against the
+# sketch.
+# --------------------------------------------------------------------------
+@register(
+    "q131_cms_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    exact AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    params AS (SELECT unnest(range(4)) AS r),
+    positions AS (
+      SELECT e.tok, e.cnt, p.r,
+             ('0x' || substring(md5(e.tok || '#' || CAST(p.r AS VARCHAR)), 1, 8))::BIGINT % 256 AS col
+      FROM exact e, params p
+    ),
+    counters AS (
+      SELECT r, col, sum(cnt) AS counter FROM positions GROUP BY r, col
+    ),
+    top20 AS (
+      SELECT tok, cnt FROM exact ORDER BY cnt DESC, tok LIMIT 20
+    ),
+    est AS (
+      SELECT t.tok, t.cnt, min(c.counter) AS cms_est
+      FROM top20 t
+      JOIN positions p ON t.tok = p.tok
+      JOIN counters c ON p.r = c.r AND p.col = c.col
+      GROUP BY t.tok, t.cnt
+    )
+    SELECT tok, CAST(cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= cnt AS no_underestimate
+    FROM est
+    """,
+)
+def q131_cms_heavy_hitters(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    rs = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    positions = exact.crossJoin(F.broadcast(rs)).select(
+        "tok",
+        "cnt",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("r").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        ).alias("col"),
+    )
+    counters = positions.groupBy("r", "col").agg(
+        F.sum("cnt").alias("counter")
+    )
+    # vocabulary-bounded global ranking: the single-partition window
+    # sorts |V| aggregated rows, never corpus rows
+    wtop = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    top20 = (
+        exact.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 20)
+        .drop("rk")
+    )
+    est = (
+        top20.join(positions, ["tok", "cnt"])
+        .join(counters, ["r", "col"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") >= F.col("cnt")).alias("no_underestimate"),
+    )
