@@ -429,24 +429,26 @@ def minhash_sig_expr(
     one degenerate cluster or filter them out).
     """
     toks = F.split(F.lower(F.trim(text)), r"\s+")
+    # bind the base-hash array once: ONE md5 per shingle, then 16 cheap
+    # modular folds over the numeric array (r5 — the digest used to sit
+    # inside every per-seed lambda, costing num_hashes md5 passes)
     return let(
         toks,
         lambda t: let(
-            shingle_array(t, n),
-            lambda sh: F.when(F.size(sh) == 0, F.lit("EMPTY")).otherwise(
+            F.transform(
+                shingle_array(t, n),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast(
+                    "bigint"
+                ),
+            ),
+            lambda hs: F.when(F.size(hs) == 0, F.lit("EMPTY")).otherwise(
                 F.concat_ws(
                     ":",
                     *[
                         F.array_min(
                             F.transform(
-                                sh,
-                                lambda s: (
-                                    F.lit(a)
-                                    * F.conv(
-                                        F.substring(F.md5(s), 1, 7), 16, 10
-                                    ).cast("bigint")
-                                    + F.lit(b)
-                                )
+                                hs,
+                                lambda h: (F.lit(a) * h + F.lit(b))
                                 % F.lit(MINHASH_P),
                             )
                         ).cast("string")

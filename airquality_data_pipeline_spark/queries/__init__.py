@@ -83,6 +83,7 @@ _PRIORITY = [
     "q129_containment",
     "q130_semdedup",
     "q131_cms_heavy_hitters",
+    "q132_incremental_dedup",
 ]
 
 

@@ -421,3 +421,124 @@ def q131_cms_heavy_hitters(spark, sf_dir):
         "cms_est",
         (F.col("cms_est") >= F.col("cnt")).alias("no_underestimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# q132: incremental corpus-append dedup — the reference's cursor
+# semantics (app/main.py:209-277: only-newer-than-watermark rows pass)
+# applied to a document corpus: an INCOMING batch is admitted doc by
+# doc unless its row-local MinHash signature already exists in the
+# SEEN corpus ('dup_of_corpus') or appeared earlier in the same batch
+# ('dup_in_batch', first-wins by doc id — A4's rule). The seen corpus
+# is the hash-split bucket < 50; replicas of every doc_id % 10 == 3
+# are planted INTO the batch so both dup verdicts are non-vacuous
+# (seen-sourced replica -> dup_of_corpus, batch-sourced -> dup_in_batch).
+# Plan shape: signature is a row-local expression (minhash_sig_expr —
+# no explode/agg), membership is one hash equi-join on sig, first-wins
+# is one window on the sig partition: exactly the batch twin of
+# streaming/jobs.neardup_suppression_stream's state lookups.
+# --------------------------------------------------------------------------
+def _q132_oracle() -> str:
+    from airquality_data_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        MINHASH_PARAMS,
+    )
+
+    a_sql = ", ".join(str(a) for a, _ in MINHASH_PARAMS)
+    b_sql = ", ".join(str(b) for _, b in MINHASH_PARAMS)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+                  THEN 'seen' ELSE 'incoming' END AS grp
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 400000, text, 'incoming'
+      FROM documents WHERE doc_id % 10 = 3
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    ),
+    params AS (
+      SELECT unnest(range({len(MINHASH_PARAMS)})) AS seed,
+             unnest([{a_sql}]) AS a,
+             unnest([{b_sql}]) AS b
+    ),
+    mh_long AS (
+      SELECT id, p.seed, min((p.a * h + p.b) % {MINHASH_P}) AS mh
+      FROM hashed, params p GROUP BY id, p.seed
+    ),
+    sig AS (
+      SELECT id, string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed) AS sig
+      FROM mh_long GROUP BY id
+    ),
+    labeled AS (
+      SELECT c.doc_id, c.grp, s.sig
+      FROM corpus c JOIN sig s ON c.doc_id = s.id
+    ),
+    seen AS (SELECT DISTINCT sig FROM labeled WHERE grp = 'seen'),
+    incoming AS (
+      SELECT doc_id, sig,
+             ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+      FROM labeled WHERE grp = 'incoming'
+    )
+    SELECT i.doc_id,
+           CASE WHEN s.sig IS NOT NULL THEN 'dup_of_corpus'
+                WHEN i.rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM incoming i LEFT JOIN seen s ON i.sig = s.sig
+    """
+
+
+@register("q132_incremental_dedup", oracle=_q132_oracle())
+def q132_incremental_dedup(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.dedup import minhash_sig_expr
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.when(bucket < 50, "seen").otherwise("incoming").alias("grp"),
+    )
+    planted = docs.where(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        "text",
+        F.lit("incoming").alias("grp"),
+    )
+    corpus = base.unionByName(planted).select(
+        "doc_id", "grp", minhash_sig_expr(F.col("text")).alias("sig")
+    )
+    # fixture docs all shingle (>= 10 tokens); the EMPTY sentinel
+    # branch is covered by the streaming twin's short-doc test
+    seen = corpus.where(F.col("grp") == "seen").select("sig").distinct()
+    w = Window.partitionBy("sig").orderBy("doc_id")
+    incoming = (
+        corpus.where(F.col("grp") == "incoming")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        incoming.join(
+            seen.withColumn("in_corpus", F.lit(True)), "sig", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )

@@ -238,6 +238,27 @@ def test_connected_components_star_long_chain(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_warns_when_budget_exhausted(spark):
+    # a truncated closure must not masquerade as converged: both impls
+    # warn when max_iter runs out before the labels stabilize
+    import pytest as _pytest
+
+    from airquality_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 12
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with _pytest.warns(RuntimeWarning, match="max_iter=1 exhausted"):
+        connected_components(nodes_df, edges_df, max_iter=1).collect()
+    with _pytest.warns(RuntimeWarning, match="max_iter=1 exhausted"):
+        connected_components_star(nodes_df, edges_df, max_iter=1).collect()
+
+
 def _model_chunk_dedup(docs: dict[int, str], size: int):
     """Pure-Python model of operators.text.chunk_dedup: first occurrence
     (by doc id, then chunk position) of each chunk text survives."""
