@@ -27,6 +27,7 @@ from airquality_data_pipeline_spark.queries import dedup  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import similarity  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import text  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import llmops  # noqa: E402,F401
+from airquality_data_pipeline_spark.queries import multimodal  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
@@ -84,6 +85,7 @@ _PRIORITY = [
     "q130_semdedup",
     "q131_cms_heavy_hitters",
     "q132_incremental_dedup",
+    "q133_multimodal_frames",
 ]
 
 
