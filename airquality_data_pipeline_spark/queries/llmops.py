@@ -375,32 +375,20 @@ def q130_semdedup(spark, sf_dir):
     """,
 )
 def q131_cms_heavy_hitters(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
     )
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    rs = spark.range(4).select(F.col("id").cast("int").alias("r"))
-    positions = exact.crossJoin(F.broadcast(rs)).select(
-        "tok",
-        "cnt",
-        "r",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("r").cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 256
-        ).alias("col"),
-    )
-    counters = positions.groupBy("r", "col").agg(
-        F.sum("cnt").alias("counter")
-    )
+    # the grid built from the aggregate is identical to building from
+    # raw occurrences (counters are linear); mergeability across
+    # partial builds is pinned by tests/test_operators.py
+    counters = cms_build(exact, tok_col="tok", weight_col="cnt")
     # vocabulary-bounded global ranking: the single-partition window
     # sorts |V| aggregated rows, never corpus rows
     wtop = Window.orderBy(F.desc("cnt"), F.asc("tok"))
@@ -409,17 +397,15 @@ def q131_cms_heavy_hitters(spark, sf_dir):
         .where(F.col("rk") <= 20)
         .drop("rk")
     )
-    est = (
-        top20.join(positions, ["tok", "cnt"])
-        .join(counters, ["r", "col"])
-        .groupBy("tok", "cnt")
-        .agg(F.min("counter").alias("cms_est"))
-    )
-    return est.select(
-        "tok",
-        F.col("cnt").alias("exact_cnt"),
-        "cms_est",
-        (F.col("cms_est") >= F.col("cnt")).alias("no_underestimate"),
+    return (
+        cms_estimate(counters, top20.select("tok"), tok_col="tok")
+        .join(top20, "tok")
+        .select(
+            "tok",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") >= F.col("cnt")).alias("no_underestimate"),
+        )
     )
 
 

@@ -411,6 +411,39 @@ def neardup_suppression_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def cms_counter_stream(docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch over document tokens — the
+    bounded-state ingest path for corpus term stats: whatever the
+    stream's length, aggregate state is AT MOST depth x width rows
+    (4 x 256 here), because every token occurrence folds into its d
+    grid cells. Complete-mode output of the grid equals the batch
+    cms_build on the same corpus (pinned by test); per-batch partial
+    grids merge by sum (operators.sketch.cms_merge), so the same shape
+    also works as a foreachBatch accumulator against an external
+    store. The depth fan-out is a row-local explode of a literal array
+    (no stream-static join needed)."""
+    from airquality_data_pipeline_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_position,
+    )
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    pos = toks.select(
+        "tok",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+        ).alias("r"),
+    )
+    return (
+        pos.select("r", cms_position(F.col("tok"), F.col("r"), CMS_WIDTH).alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
 def leakage_free_split_stream(docs: DataFrame) -> DataFrame:
     """Streaming twin of q124's leakage-free train/val/test split, with
     the streaming-feasible cluster notion: signature-identity. The

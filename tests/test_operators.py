@@ -548,6 +548,35 @@ def test_q63_exact_dup_containment(spark, sf_dir):
     assert len(pairs) == len(rows)
 
 
+def test_cms_merge_and_never_undercounts(spark, sf_dir):
+    # CMS defining properties: (1) partial sketches built on disjoint
+    # halves merge by sum into exactly the full-corpus grid; (2) the
+    # estimate never undercounts ANY token (not just the top-20 q131
+    # emits)
+    from airquality_data_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    full = cms_build(toks.select("tok"))
+    half_a = cms_build(toks.where(F.col("doc_id") % 2 == 0).select("tok"))
+    half_b = cms_build(toks.where(F.col("doc_id") % 2 == 1).select("tok"))
+    merged = cms_merge(half_a, half_b)
+    grid = {(r.r, r.col): r.counter for r in full.collect()}
+    grid_m = {(r.r, r.col): r.counter for r in merged.collect()}
+    assert grid == grid_m
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    est = cms_estimate(full, exact.select("tok")).join(exact, "tok")
+    bad = est.where(F.col("cms_est") < F.col("cnt")).count()
+    assert bad == 0
+
+
 def test_bloom_contamination_no_false_negatives(spark, sf_dir):
     # the bloom gate may over-flag (false positives) but must NEVER
     # miss a doc the exact operator marks contaminated

@@ -329,6 +329,27 @@ def test_leakage_free_split_stream_matches_batch(spark, sf_dir):
     assert {r.split for r in rows} == {"train", "val", "test"}
 
 
+def test_cms_counter_stream_matches_batch_grid(spark, sf_dir):
+    # the streaming sketch's complete-mode grid must equal the batch
+    # cms_build over the same corpus — and its state is bounded at
+    # depth x width cells however long the stream runs
+    from airquality_data_pipeline_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_build,
+    )
+
+    stream = jobs.read_documents_stream(spark, sf_dir)
+    got = _drain(spark, jobs.cms_counter_stream(stream), mode="complete")
+    rows = got.collect()
+    assert len(rows) <= CMS_DEPTH * CMS_WIDTH
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    batch = {(r.r, r.col): r.counter for r in cms_build(toks).collect()}
+    assert {(r.r, r.col): r.counter for r in rows} == batch
+
+
 def test_neardup_suppression_short_docs_not_collapsed(spark, sf_dir, tmp_path):
     # docs with < 3 tokens share minhash_sig_expr's 'EMPTY' sentinel;
     # the stream must keep UNRELATED short docs (distinct texts) while
