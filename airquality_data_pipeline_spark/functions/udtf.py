@@ -9,7 +9,15 @@ spark.udtf.register and callable from SQL (LATERAL joins included).
 
 from __future__ import annotations
 
+import sys
+
+from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql.functions import udtf
+
+# UDTF classes are module-level and run on Python workers: pickle by
+# value so executors need not import this package (see
+# operators/multimodal.py for the full rationale).
+_cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 @udtf(returnType="token: string, idx: int, token_len: int")

@@ -18,12 +18,24 @@ it to ~64 for MB-scale blobs).
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Worker-side closures below reference module-level helpers
+# (_fake_decode et al.). By default cloudpickle serializes those BY
+# REFERENCE (module + qualname), which breaks when the driver process
+# runs outside the repo root (executors can't import the package —
+# exactly how the external driver invokes __spark_entry__). Registering
+# the module for by-value pickling ships the code inside the closure
+# itself; the module is self-contained (no package-internal imports),
+# so the pickled payload stays small.
+_cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 MODALITIES = ("image", "audio", "video", "text")
 

@@ -15,11 +15,19 @@ survives restarts via checkpointing.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# _cursor_filter_fn is module-level and runs on Python workers: pickle
+# it by value so executors need not import this package (the external
+# driver's process may not have the repo on its path — see
+# operators/multimodal.py for the full rationale).
+_cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 OUTPUT_SCHEMA = (
     "event_id long, user_id long, event_type string, ts timestamp, value double"
