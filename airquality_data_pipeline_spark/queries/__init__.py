@@ -31,8 +31,24 @@ from airquality_data_pipeline_spark.queries import multimodal  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
+    # --- new in r5 (never driver-checked) — they lead, so they cannot
+    # fall off the ~50-entry prefix
+    "q127_weighted_sample",
+    "q128_unigram_crossentropy",
+    "q129_containment",
+    "q130_semdedup",
+    "q131_cms_heavy_hitters",
+    "q132_incremental_dedup",
+    "q133_multimodal_frames",
+    "q134_hll_shard_union",
+    # --- oracle added in r5 (was the one rows-only entry)
+    "q63_ml_minhash_lsh",
+    # --- implementation changed in r5 (registered default now 64-bit)
+    "q117_simhash_neardup",
     # --- 41 queries whose last driver-green row is r1/r2: rotate them
     # through the window so the catalog's driver evidence is current
+    # (locally parity-green; any tail the 50-entry window clips
+    # re-rotates in r6)
     "q11_window_running",
     "q12_rollup",
     "q13_cube",
@@ -74,18 +90,6 @@ _PRIORITY = [
     "q92_discrete_percentiles",
     "q95_repetition_filter",
     "q96_canonical_docs",
-    # --- oracle added in r5 (was the one rows-only entry)
-    "q63_ml_minhash_lsh",
-    # --- implementation changed in r5 (registered default now 64-bit)
-    "q117_simhash_neardup",
-    # --- new in r5 (never driver-checked) — appended as they land
-    "q127_weighted_sample",
-    "q128_unigram_crossentropy",
-    "q129_containment",
-    "q130_semdedup",
-    "q131_cms_heavy_hitters",
-    "q132_incremental_dedup",
-    "q133_multimodal_frames",
 ]
 
 

@@ -528,3 +528,72 @@ def q132_incremental_dedup(spark, sf_dir):
             .alias("verdict"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q134: sharded HLL distinct counting — Spark's native Apache
+# DataSketches integration (hll_sketch_agg / hll_union_agg,
+# Spark 3.5+): each source shard builds its own token-cardinality
+# sketch (map-side partial, fixed 2^12-register state), and the GLOBAL
+# estimate comes from UNIONING the shard sketches — never re-scanning
+# the corpus. This is the 100 TB distinct-count path: per-shard
+# sketches persist as tiny binaries and merge associatively, the same
+# mergeability contract as operators/sketch.py's CMS. The estimates
+# are library-internal (not SQL-reproducible), so the oracle checks
+# exact distinct counts plus the in-bound flag (HLL rsd at
+# lgConfigK=12 is ~1.6%; the 5% acceptance bound is > 3 sigma — the
+# q60 pattern).
+# --------------------------------------------------------------------------
+@register(
+    "q134_hll_shard_union",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT source, count(DISTINCT tok) AS exact_distinct, true AS in_bound
+    FROM toks GROUP BY source
+    UNION ALL
+    SELECT '__ALL__' AS source, count(DISTINCT tok) AS exact_distinct,
+           true AS in_bound
+    FROM toks
+    """,
+)
+def q134_hll_shard_union(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    per = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct"),
+        F.hll_sketch_agg("tok").alias("sk"),
+    )
+    bound = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) / exact <= 0.05
+    )
+    per_out = per.select(
+        "source",
+        "exact_distinct",
+        bound(
+            F.hll_sketch_estimate("sk"), F.col("exact_distinct")
+        ).alias("in_bound"),
+    )
+    glob = (
+        per.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(
+            F.broadcast(
+                toks.agg(F.countDistinct("tok").alias("exact_distinct"))
+            )
+        )
+        .select(
+            F.lit("__ALL__").alias("source"),
+            "exact_distinct",
+            bound(
+                F.hll_sketch_estimate("sk"), F.col("exact_distinct")
+            ).alias("in_bound"),
+        )
+    )
+    return per_out.unionByName(glob)
