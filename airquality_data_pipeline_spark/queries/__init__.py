@@ -41,6 +41,7 @@ _PRIORITY = [
     "q132_incremental_dedup",
     "q133_multimodal_frames",
     "q134_hll_shard_union",
+    "q135_char_entropy",
     # --- oracle added in r5 (was the one rows-only entry)
     "q63_ml_minhash_lsh",
     # --- implementation changed in r5 (registered default now 64-bit)

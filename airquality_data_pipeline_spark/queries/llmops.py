@@ -597,3 +597,71 @@ def q134_hll_shard_union(spark, sf_dir):
         )
     )
     return per_out.unionByName(glob)
+
+
+# --------------------------------------------------------------------------
+# q135: character-entropy quality scoring — the gibberish / low-entropy
+# detector quality pipelines run alongside q49's ratio features:
+# Shannon entropy of the per-doc character distribution (low = repeated
+# filler or binary junk, high ~ log2(alphabet) for natural text).
+# Cross-engine exactness: each -p*log2(p) term quantizes to
+# DECIMAL(18,10) BEFORE the order-dependent sum (the repo's decimal
+# rule), so partition/fold order cannot drift the hash; the final
+# entropy rounds to 6. Plan: substring-explode on codepoint positions
+# -> groupBy(doc, char) -> groupBy(doc) — two keyed shuffles, both
+# bounded by doc x alphabet.
+# --------------------------------------------------------------------------
+@register(
+    "q135_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substring(text, CAST(g.i AS INT), 1) AS ch
+      FROM documents, UNNEST(range(1, length(text) + 1)) AS g(i)
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    n AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id),
+    terms AS (
+      SELECT counts.doc_id,
+             CAST(round((c / n::DOUBLE) * log2(c / n::DOUBLE), 10)
+                  AS DECIMAL(18,10)) AS term
+      FROM counts JOIN n ON counts.doc_id = n.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(n.n AS BIGINT) AS n_chars_counted,
+           round(CAST(-sum(t.term) AS DOUBLE), 6) AS entropy,
+           round(CAST(-sum(t.term) AS DOUBLE), 6) < 3.0 AS low_entropy
+    FROM terms t JOIN n ON t.doc_id = n.doc_id
+    GROUP BY t.doc_id, n.n
+    """,
+)
+def q135_char_entropy(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    terms = counts.join(n, "doc_id").select(
+        "doc_id",
+        "n",
+        F.round(p * F.log2(p), 10).cast("decimal(18,10)").alias("term"),
+    )
+    ent = F.round((-F.sum("term")).cast("double"), 6)
+    return terms.groupBy("doc_id", "n").agg(
+        ent.alias("entropy"),
+        (ent < 3.0).alias("low_entropy"),
+    ).select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        "entropy",
+        "low_entropy",
+    )
