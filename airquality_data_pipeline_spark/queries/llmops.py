@@ -1,14 +1,16 @@
-"""Round-5 LLM-curation operators: weighted reservoir sampling,
-unigram-LM cross-entropy scoring, shingle-containment excerpt
-detection, SemDeDup-style within-cluster embedding pruning, and
-count-min-sketch heavy hitters.
+"""Round-5 LLM-curation operators: weighted reservoir sampling (q127),
+unigram-LM cross-entropy scoring (q128), shingle-containment excerpt
+detection (q129), SemDeDup-style within-cluster embedding pruning
+(q130), count-min-sketch heavy hitters (q131), incremental
+corpus-append dedup (q132), sharded HLL distinct counting (q134), and
+character-entropy quality scoring (q135).
 
-All five are the batch shapes a 100 TB training-data pipeline needs:
-every plan is equi-join / groupBy keyed work (no all-pairs stage), the
-only driver-side materialization is bounded model state (IVF
-centroids), and randomness is integer-derived (md5) so any engine
-reproduces identical results — which is what makes the DuckDB oracles
-possible.
+All are the batch shapes a 100 TB training-data pipeline needs: every
+plan is equi-join / groupBy keyed work (no all-pairs stage), the only
+driver-side materialization is bounded model state (IVF centroids),
+and randomness is integer-derived (md5) so any engine reproduces
+identical results — which is what makes the DuckDB oracles possible.
+Scale-growth measurements for each live in PLANS.md's round-5 audit.
 """
 
 from __future__ import annotations
