@@ -42,6 +42,8 @@ _PRIORITY = [
     "q133_multimodal_frames",
     "q134_hll_shard_union",
     "q135_char_entropy",
+    "q136_bigram_crossentropy",
+    "q137_split_ngram_leakage",
     # --- oracle added in r5 (was the one rows-only entry)
     "q63_ml_minhash_lsh",
     # --- implementation changed in r5 (registered default now 64-bit)

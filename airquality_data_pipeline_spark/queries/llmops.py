@@ -2,8 +2,9 @@
 unigram-LM cross-entropy scoring (q128), shingle-containment excerpt
 detection (q129), SemDeDup-style within-cluster embedding pruning
 (q130), count-min-sketch heavy hitters (q131), incremental
-corpus-append dedup (q132), sharded HLL distinct counting (q134), and
-character-entropy quality scoring (q135).
+corpus-append dedup (q132), sharded HLL distinct counting (q134),
+character-entropy quality scoring (q135), interpolated bigram-LM
+scoring (q136), and the cross-split n-gram leakage matrix (q137).
 
 All are the batch shapes a 100 TB training-data pipeline needs: every
 plan is equi-join / groupBy keyed work (no all-pairs stage), the only
@@ -666,4 +667,236 @@ def q135_char_entropy(spark, sf_dir):
         F.col("n").alias("n_chars_counted"),
         "entropy",
         "low_entropy",
+    )
+
+
+# --------------------------------------------------------------------------
+# q136: interpolated bigram-LM scoring — the next rung above q128's
+# unigram model on the perplexity-filter ladder: p(w2|w1) =
+# lambda * c(w1 w2)/c(w1) + (1-lambda) * (c(w2)+1)/(N+V), fitted on
+# the train hash-split, scoring every val doc by mean -ln p over its
+# bigram positions. OOV/unseen history degrades smoothly to the
+# smoothed unigram term. Plan: two vocabulary-bounded model aggregates
+# (bigram + unigram), scalar totals broadcast, val bigrams LEFT-join
+# both models on their keys — all hash equi-joins; nothing quadratic.
+# --------------------------------------------------------------------------
+_LAMBDA = 0.7
+
+
+@register(
+    "q136_bigram_crossentropy",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t,
+             {_BUCKET_SQL} AS bucket
+      FROM documents
+    ),
+    train_uni AS (
+      SELECT unnest(t) AS w FROM split WHERE bucket < 80
+    ),
+    uni AS (SELECT w, count(*) AS c1 FROM train_uni GROUP BY w),
+    totals AS (SELECT sum(c1) AS n, count(*) AS v FROM uni),
+    train_bi AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM split, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE bucket < 80 AND len(t) >= 2
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM train_bi GROUP BY w1, w2),
+    val_bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM split, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE bucket >= 80 AND bucket < 90 AND len(t) >= 2
+    ),
+    scored AS (
+      SELECT vb.doc_id,
+             -ln({_LAMBDA} * COALESCE(b.c12 / u.c1::DOUBLE, 0.0)
+                 + (1.0 - {_LAMBDA}) * (COALESCE(u2.c1, 0) + 1.0) / (t.n + t.v))
+               AS nll
+      FROM val_bi vb
+      LEFT JOIN bi b ON vb.w1 = b.w1 AND vb.w2 = b.w2
+      LEFT JOIN uni u ON vb.w1 = u.w
+      LEFT JOIN uni u2 ON vb.w2 = u2.w
+      CROSS JOIN totals t
+    )
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q136_bigram_crossentropy(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    base = docs.select("doc_id", bucket.alias("bucket"), toks.alias("t"))
+    uni_toks = base.where(F.col("bucket") < 80).select(
+        F.explode("t").alias("w")
+    )
+    uni = uni_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    totals = uni.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v"))
+    bigrams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), "
+                "slice(t, 2, size(t) - 1), (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bi = (
+        bigrams(base.where(F.col("bucket") < 80))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    val = bigrams(base.where((F.col("bucket") >= 80) & (F.col("bucket") < 90)))
+    p_bi = F.coalesce(F.col("c12") / F.col("c1").cast("double"), F.lit(0.0))
+    p_uni = (F.coalesce(F.col("c1_w2"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("n") + F.col("v")
+    )
+    scored = (
+        val.join(bi, ["w1", "w2"], "left")
+        .join(uni, F.col("w1") == F.col("w"), "left")
+        .drop("w")
+        .join(
+            uni.select(F.col("w").alias("w2_key"), F.col("c1").alias("c1_w2")),
+            F.col("w2") == F.col("w2_key"),
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (-F.log(F.lit(_LAMBDA) * p_bi + F.lit(1.0 - _LAMBDA) * p_uni)).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q137: cross-split n-gram leakage matrix — the QA report a leakage-
+# free split pipeline (q124) has to publish: for every pair of splits,
+# how many distinct 8-grams they share and what fraction of each
+# side's gram inventory that overlap is. Complements q99 (train vs
+# external benchmark) by auditing the INTERNAL train/val/test
+# boundaries. The fixture's random text shares almost no natural
+# 8-grams across splits, so leakage is planted: replicas of
+# doc_id % 10 == 1 are forced into val and % 10 == 2 into test (ids
+# +600000/+700000) — each leaks its source doc's grams across exactly
+# one boundary (and a second planted-planted boundary when source docs
+# land in val/test themselves). Plan: distinct (split, gram) pairs,
+# one equi-join on the gram key, one groupBy on the split pair —
+# bounded by the gram inventory, never doc^2.
+# --------------------------------------------------------------------------
+@register(
+    "q137_split_ngram_leakage",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t,
+             CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 600000, string_split_regex(lower(trim(text)), '\\s+'),
+             'val'
+      FROM documents WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 700000, string_split_regex(lower(trim(text)), '\\s+'),
+             'test'
+      FROM documents WHERE doc_id % 10 = 2
+    ),
+    grams AS (
+      SELECT DISTINCT split, array_to_string(t[i:i+7], ' ') AS gram
+      FROM labeled, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)
+      WHERE len(t) >= 8
+    ),
+    sizes AS (SELECT split, count(*) AS n FROM grams GROUP BY split),
+    shared AS (
+      SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_shared
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.split < b.split
+      GROUP BY a.split, b.split
+    )
+    SELECT split_a, split_b, n_shared,
+           sa.n AS n_grams_a, sb.n AS n_grams_b,
+           round(n_shared / sa.n::DOUBLE, 6) AS leak_share_a,
+           round(n_shared / sb.n::DOUBLE, 6) AS leak_share_b
+    FROM shared
+    JOIN sizes sa ON shared.split_a = sa.split
+    JOIN sizes sb ON shared.split_b = sb.split
+    """,
+)
+def q137_split_ngram_leakage(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    labeled = base.unionByName(
+        docs.where(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 600000).alias("doc_id"),
+            "text",
+            F.lit("val").alias("split"),
+        )
+    ).unionByName(
+        docs.where(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 700000).alias("doc_id"),
+            "text",
+            F.lit("test").alias("split"),
+        )
+    )
+    from airquality_data_pipeline_spark.operators.dedup import word_shingles
+
+    grams = word_shingles(
+        labeled, text_col="text", id_col="split", n=8
+    ).select(F.col("id").alias("split"), F.col("shingle").alias("gram")).distinct()
+    sizes = grams.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("split").alias("split_a"), F.col("n").alias("n_grams_a")),
+            "split_a",
+        )
+        .join(
+            sizes.select(F.col("split").alias("split_b"), F.col("n").alias("n_grams_b")),
+            "split_b",
+        )
+        .select(
+            "split_a",
+            "split_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            F.round(F.col("n_shared") / F.col("n_grams_a").cast("double"), 6).alias(
+                "leak_share_a"
+            ),
+            F.round(F.col("n_shared") / F.col("n_grams_b").cast("double"), 6).alias(
+                "leak_share_b"
+            ),
+        )
     )
