@@ -4,7 +4,8 @@ detection (q129), SemDeDup-style within-cluster embedding pruning
 (q130), count-min-sketch heavy hitters (q131), incremental
 corpus-append dedup (q132), sharded HLL distinct counting (q134),
 character-entropy quality scoring (q135), interpolated bigram-LM
-scoring (q136), and the cross-split n-gram leakage matrix (q137).
+scoring (q136), the cross-split n-gram leakage matrix (q137), and
+df-capped containment (q138).
 
 All are the batch shapes a 100 TB training-data pipeline needs: every
 plan is equi-join / groupBy keyed work (no all-pairs stage), the only
@@ -899,4 +900,101 @@ def q137_split_ngram_leakage(spark, sf_dir):
                 "leak_share_b"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q138: df-capped shingle containment — q129 with the scale guard
+# EXECUTED rather than documented: shingles whose document frequency
+# exceeds a cap (64 here) are boilerplate/stop-grams that contribute
+# little containment evidence while causing the equi-join's quadratic
+# docs-per-shingle term (PLANS.md measures q129's clone-16x blowup).
+# Dropping them bounds pair fanout at cap^2/2 per shingle — the same
+# hot-key treatment as q97's boilerplate logic and suffix-array
+# dedup's stop-gram pass. Containment is computed over the surviving
+# (informative) shingles, with set sizes recomputed post-filter so the
+# ratio stays a true containment of the filtered sets. The planted
+# prefix excerpts (q129's corpus) keep df well under the cap, so
+# detection survives the filter.
+# --------------------------------------------------------------------------
+@register(
+    "q138_containment_capped",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, t FROM toks0
+      UNION ALL
+      SELECT doc_id + 300000, t[1:len(t) // 2] FROM toks0
+      WHERE doc_id % 10 = 7
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM corpus, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    df AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (
+      SELECT sh0.id, sh0.shingle FROM sh0
+      JOIN df ON sh0.shingle = df.shingle WHERE df.df <= 64
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / least(x.sz, y.sz)::DOUBLE, 6) AS containment
+    FROM inter
+    JOIN sz x ON inter.id_a = x.id
+    JOIN sz y ON inter.id_b = y.id
+    WHERE n_inter / least(x.sz, y.sz)::DOUBLE >= 0.8
+    """,
+)
+def q138_containment_capped(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.dedup import word_shingles
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    excerpts = (
+        docs.where(F.col("doc_id") % 10 == 7)
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, F.lit(1), (F.size(toks) / 2).cast("int")), " "
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(excerpts)
+    sh0 = word_shingles(corpus, text_col="text", id_col="doc_id", n=3)
+    dfreq = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh0.join(dfreq.where(F.col("df") <= 64), "shingle").select(
+        "id", "shingle"
+    )
+    sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c = F.col("n_inter") / F.least("sz_a", "sz_b").cast("double")
+    return (
+        inter.join(
+            sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .where(c >= 0.8)
+        .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
     )
