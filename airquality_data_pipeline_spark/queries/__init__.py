@@ -45,6 +45,8 @@ _PRIORITY = [
     "q136_bigram_crossentropy",
     "q137_split_ngram_leakage",
     "q138_containment_capped",
+    "q139_funnel",
+    "q140_cohort_retention",
     # --- oracle added in r5 (was the one rows-only entry)
     "q63_ml_minhash_lsh",
     # --- implementation changed in r5 (registered default now 64-bit)

@@ -443,3 +443,168 @@ def q98_sequence_packing(spark, sf_dir):
         "tokens_before",
         F.floor(F.col("tokens_before") / F.lit(_PACK_BUDGET)).alias("bin_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q139: sequential funnel analysis — the classic product-analytics
+# rollup the reference's event model implies but never computes: how
+# many users progress view -> click -> purchase IN ORDER. Stage
+# timestamps chain by min-after-predecessor (t1 = first view, t2 =
+# first click AFTER t1, t3 = first purchase AFTER t2), computed as
+# three stacked window aggregates over the SAME user_id partition —
+# Catalyst plans ONE exchange + one sort for all three (same
+# partitioning + ordering requirement), so the funnel costs a single
+# shuffle at any scale. Output: per-stage user counts and conversion
+# shares.
+# --------------------------------------------------------------------------
+@register(
+    "q139_funnel",
+    oracle="""
+    WITH t1s AS (
+      SELECT user_id, min(ts) FILTER (event_type = 'view') AS t1
+      FROM events GROUP BY user_id
+    ),
+    t2s AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1s ON e.user_id = t1s.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1s.t1
+      GROUP BY e.user_id
+    ),
+    t3s AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2s ON e.user_id = t2s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2s.t2
+      GROUP BY e.user_id
+    ),
+    stages AS (
+      SELECT t1s.user_id,
+             CASE WHEN t3s.t3 IS NOT NULL THEN 3
+                  WHEN t2s.t2 IS NOT NULL THEN 2
+                  WHEN t1s.t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM t1s
+      LEFT JOIN t2s ON t1s.user_id = t2s.user_id
+      LEFT JOIN t3s ON t1s.user_id = t3s.user_id
+    ),
+    total AS (SELECT count(DISTINCT user_id) AS n FROM events)
+    SELECT s.stage_name, s.n_users,
+           round(s.n_users / total.n::DOUBLE, 6) AS share_of_users
+    FROM (
+      SELECT 'view' AS stage_name, count(*) AS n_users
+      FROM stages WHERE stage >= 1
+      UNION ALL
+      SELECT 'view>click', count(*) FROM stages WHERE stage >= 2
+      UNION ALL
+      SELECT 'view>click>purchase', count(*) FROM stages WHERE stage >= 3
+    ) s, total
+    """,
+)
+def q139_funnel(spark, sf_dir):
+    utc(spark)
+    events = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("t3").isNotNull(), 3)
+                .when(F.col("t2").isNotNull(), 2)
+                .when(F.col("t1").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("stage")
+        )
+    )
+    # ONE pass over the staged users: all three cumulative stage counts
+    # and the denominator in a single scalar aggregate, then unpivoted
+    # to the 3-row report (re-filtering per stage would recompute the
+    # window subtree once per row)
+    report = staged.agg(
+        F.sum((F.col("stage") >= 1).cast("long")).alias("n1"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("n2"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("n3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return report.select(
+        F.expr(
+            "stack(3, 'view', n1, 'view>click', n2, "
+            "'view>click>purchase', n3) AS (stage_name, n_users)"
+        ),
+        "n",
+    ).select(
+        "stage_name",
+        "n_users",
+        F.round(F.col("n_users") / F.col("n").cast("double"), 6).alias(
+            "share_of_users"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q140: cohort retention matrix — q139's sibling product-analytics
+# rollup: users grouped by first-activity week (the cohort), then for
+# each cohort x week-offset, how many of its users were active.
+# Both date_trunc('week', ...) implementations start weeks on Monday,
+# and the session is pinned UTC, so the cohort keys agree bit-exactly;
+# cohort week leaves as epoch millis (the repo's timestamp rule).
+# Plan: distinct (user, week) activity -> one min-per-user aggregate
+# broadcast back -> one groupBy(cohort, offset) — two shuffles on
+# user_id and the (cohort, offset) key.
+# --------------------------------------------------------------------------
+@register(
+    "q140_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id
+    )
+    SELECT epoch_ms(c.cohort_wk) AS cohort_week_ms,
+           CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS INT)
+             AS week_offset,
+           count(*) AS n_active_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY c.cohort_wk, week_offset
+    """,
+)
+def q140_cohort_retention(spark, sf_dir):
+    utc(spark)
+    events = table(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            ts_ms("cohort_wk", "cohort_week_ms"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
