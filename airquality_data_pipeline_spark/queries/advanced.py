@@ -608,3 +608,94 @@ def q140_cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# q141: Z-order layout index — the data-layout lever behind file
+# skipping at 100 TB (Delta OPTIMIZE ZORDER, Iceberg sort orders):
+# interleaving the bits of two quantized key columns gives a 1-D sort
+# key whose contiguous ranges are bounded in BOTH dimensions, so
+# min/max file statistics prune scans on either predicate. Here each
+# key normalizes to an 8-bit cell over its observed min/max (integer
+# arithmetic only — both engines agree bit-exactly), the 16-bit
+# z-value interleaves the cells, and the report shows what the layout
+# buys: grouping by the top 6 z-bits (64 "files"), BOTH per-bucket
+# cell widths stay <= 32 of 256 — whereas sorting by one key alone
+# leaves the other dimension's width at the full 256. The width
+# guarantee is structural (top-3 bits of each dimension pin a 32-cell
+# window), so the emitted bounded_both flag is constant-true.
+# --------------------------------------------------------------------------
+@register(
+    "q141_zorder_layout",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(l_orderkey) AS xmin, max(l_orderkey) AS xmax,
+             min(l_partkey) AS ymin, max(l_partkey) AS ymax
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT CAST(((l_orderkey - xmin) * 256) // (xmax - xmin + 1) AS BIGINT) AS cx,
+             CAST(((l_partkey - ymin) * 256) // (ymax - ymin + 1) AS BIGINT) AS cy
+      FROM lineitem, bounds
+    ),
+    z AS (
+      SELECT cx, cy,
+             (((cx >> 0) & 1) << 0)  + (((cy >> 0) & 1) << 1)
+           + (((cx >> 1) & 1) << 2)  + (((cy >> 1) & 1) << 3)
+           + (((cx >> 2) & 1) << 4)  + (((cy >> 2) & 1) << 5)
+           + (((cx >> 3) & 1) << 6)  + (((cy >> 3) & 1) << 7)
+           + (((cx >> 4) & 1) << 8)  + (((cy >> 4) & 1) << 9)
+           + (((cx >> 5) & 1) << 10) + (((cy >> 5) & 1) << 11)
+           + (((cx >> 6) & 1) << 12) + (((cy >> 6) & 1) << 13)
+           + (((cx >> 7) & 1) << 14) + (((cy >> 7) & 1) << 15) AS zv
+      FROM cells
+    )
+    SELECT zv >> 10 AS z_bucket,
+           count(*) AS n_rows,
+           max(cx) - min(cx) AS cx_width,
+           max(cy) - min(cy) AS cy_width,
+           (max(cx) - min(cx) < 32) AND (max(cy) - min(cy) < 32)
+             AS bounded_both
+    FROM z GROUP BY z_bucket
+    """,
+)
+def q141_zorder_layout(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("xmin"),
+        F.max("l_orderkey").alias("xmax"),
+        F.min("l_partkey").alias("ymin"),
+        F.max("l_partkey").alias("ymax"),
+    )
+    cells = li.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            (F.col("l_orderkey") - F.col("xmin")) * 256
+            / (F.col("xmax") - F.col("xmin") + 1)
+        ).alias("cx"),
+        F.floor(
+            (F.col("l_partkey") - F.col("ymin")) * 256
+            / (F.col("ymax") - F.col("ymin") + 1)
+        ).alias("cy"),
+    )
+    zv = None
+    for i in range(8):
+        xbit = F.shiftleft(
+            F.shiftright("cx", i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        ybit = F.shiftleft(
+            F.shiftright("cy", i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        term = xbit + ybit
+        zv = term if zv is None else zv + term
+    z = cells.select("cx", "cy", zv.alias("zv"))
+    width = lambda c: F.max(c) - F.min(c)  # noqa: E731
+    return (
+        z.groupBy(F.shiftright("zv", 10).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            width("cx").alias("cx_width"),
+            width("cy").alias("cy_width"),
+            ((width("cx") < 32) & (width("cy") < 32)).alias("bounded_both"),
+        )
+    )
