@@ -48,6 +48,7 @@ _PRIORITY = [
     "q139_funnel",
     "q140_cohort_retention",
     "q141_zorder_layout",
+    "q142_basket_lift",
     # --- oracle added in r5 (was the one rows-only entry)
     "q63_ml_minhash_lsh",
     # --- implementation changed in r5 (registered default now 64-bit)

@@ -699,3 +699,84 @@ def q141_zorder_layout(spark, sf_dir):
             ((width("cx") < 32) & (width("cy") < 32)).alias("bounded_both"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q142: market-basket co-occurrence lift — the association-rule
+# primitive (Apriori's first pass): for part pairs appearing in >= 2
+# common orders, support and lift = P(a,b) / (P(a) P(b)). The pair
+# stage self-joins the DISTINCT (order, part) set on l_orderkey, so
+# fanout is bounded by items-per-order squared (~5^2 here), never
+# parts^2 — the basket key is what makes this linear in order count at
+# any scale. Lift arithmetic stays in integer counts until one final
+# rounded double division.
+# --------------------------------------------------------------------------
+@register(
+    "q142_basket_lift",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM d),
+    item AS (SELECT l_partkey, count(*) AS c FROM d GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS c_ab
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, c_ab,
+           ia.c AS c_a, ib.c AS c_b,
+           round((c_ab::DOUBLE * n.n_orders) / (ia.c * ib.c), 6) AS lift
+    FROM pairs
+    JOIN item ia ON pairs.part_a = ia.l_partkey
+    JOIN item ib ON pairs.part_b = ib.l_partkey
+    CROSS JOIN n
+    """,
+)
+def q142_basket_lift(spark, sf_dir):
+    utc(spark)
+    d = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = d.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")),
+            "part_a",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                (F.col("c_ab").cast("double") * F.col("n_orders"))
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
