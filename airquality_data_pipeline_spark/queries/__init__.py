@@ -28,11 +28,16 @@ from airquality_data_pipeline_spark.queries import similarity  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import text  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import llmops  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import multimodal  # noqa: E402,F401
+from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q143_repetition_filter",
+    "q144_mixture_reweight",
+    "q145_mad_outliers",
+    "q146_ewma",
     "q127_weighted_sample",
     "q128_unigram_crossentropy",
     "q129_containment",
