@@ -34,6 +34,18 @@ from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q155_ohlc_bars",
+    "q156_scd2_intervals",
+    "q157_triangle_count",
+    "q158_snowflake_rollup",
+    "q151_markov_transitions",
+    "q152_rfm_segmentation",
+    "q153_stratified_kfold",
+    "q154_winsorized_scaling",
+    "q147_fuzzy_string_join",
+    "q148_equidepth_histogram",
+    "q149_pagerank",
+    "q150_seasonal_anomaly",
     "q143_repetition_filter",
     "q144_mixture_reweight",
     "q145_mad_outliers",

@@ -318,3 +318,919 @@ def q146_ewma(spark, sf_dir):
             F.round("_e", 6).alias("ewma"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q147: blocked fuzzy string join (Ed-join/PassJoin family) — candidate
+# pairs come from an EQUI-join on a cheap blocking key (the name's last
+# token), and the O(len^2) edit-distance DP runs only inside blocks.
+# The blocking key bounds candidates at block_size^2 instead of
+# names^2 — the only way a string-similarity join survives 100 TB.
+# Distinct-name extraction first: the verify cost scales with the name
+# VOCABULARY, not the row count.
+# --------------------------------------------------------------------------
+@register(
+    "q147_fuzzy_string_join",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    keyed AS (
+      SELECT p_name, n_parts,
+             list_extract(string_split(p_name, ' '),
+                          len(string_split(p_name, ' '))) AS block
+      FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM keyed a JOIN keyed b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q147_fuzzy_string_join(spark, sf_dir):
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    keyed = names.withColumn(
+        "block", F.element_at(F.split("p_name", " "), -1)
+    )
+    a = keyed.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        "block",
+    )
+    b = keyed.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        "block",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(dist <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("dist"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q148: equi-depth histogram via ntile — 16 equal-population buckets
+# over l_extendedprice with a DETERMINISTIC total order (price, then
+# the unique line key, so both engines tile identically). ntile is the
+# one global-sort operator in the catalog; at scale the same statistic
+# comes from approx_percentile boundaries (q37/q61) — this is the exact
+# small-dimension variant, and the bucket profile (count/min/max/mass)
+# is what a cost-based optimizer's column histogram stores.
+# --------------------------------------------------------------------------
+@register(
+    "q148_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_extendedprice,
+             ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi,
+           {{}}
+    FROM t GROUP BY bucket
+    """.format("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS mass"),
+)
+def q148_equidepth_histogram(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    t = li.select(
+        "l_extendedprice",
+        F.ntile(16)
+        .over(
+            W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        )
+        .alias("bucket"),
+    )
+    return t.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.sum(dec("l_extendedprice", 6)).cast("double").alias("mass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q149: PageRank, 3 unrolled power iterations with damping 0.85, over
+# the part co-occurrence graph (parts linked when they share an order —
+# q142's basket key bounds edge generation by items-per-order, never
+# parts^2). Per iteration the plan is: broadcast the rank vector onto
+# the edge list, groupBy dst — the textbook distributed PageRank shape
+# where only the edge scan is big.
+#
+# Arithmetic is FIXED-POINT: ranks are BIGINT micro-units (1e15 = total
+# mass), every step is integer division and exact integer sums, and no
+# float exists until the final display column. A first draft kept
+# double ranks with DECIMAL(18,12)-quantized neighbor sums and drifted:
+# each iteration's output lands exactly ON the decimal grid, so the
+# next quantization rounds at a knife edge where Spark (exact-binary
+# half-up) and DuckDB (scaled-multiply) disagree — 30 nodes flipped at
+# sf0.01. Fixed-point floor arithmetic is the general recipe for
+# making iterative float algorithms reproducible across engines AND
+# across partitionings (integer sums commute; float sums don't). Mass
+# leaks <= 1 micro-unit per edge per iteration — 1e-10 relative.
+# The undirected graph guarantees every node has in-edges, so no
+# dangling-mass term.
+# --------------------------------------------------------------------------
+_PR_SCALE = 10**15
+
+
+_PR_CTES = f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST({_PR_SCALE} // nn.n AS BIGINT) AS r
+           FROM deg CROSS JOIN nn)
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    c{out} AS (
+      SELECT e.dst AS node, CAST(SUM(p.r // deg.deg) AS BIGINT) AS s
+      FROM e JOIN {prev} p ON e.src = p.node
+             JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT node,
+             CAST((15 * {_PR_SCALE}) // (100 * nn.n) + (85 * s) // 100
+                  AS BIGINT) AS r
+      FROM c{out} CROSS JOIN nn
+    )"""
+
+
+@register(
+    "q149_pagerank",
+    oracle=_PR_CTES
+    + ","
+    + _pr_iter_sql("r0", "r1")
+    + ","
+    + _pr_iter_sql("r1", "r2")
+    + ","
+    + _pr_iter_sql("r2", "r3")
+    + f"""
+    SELECT node, round(CAST(r AS DOUBLE) / {_PR_SCALE // 1000}, 8)
+             AS rank_permille
+    FROM r3
+    """,
+)
+def q149_pagerank(spark, sf_dir):
+    d = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = d.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    # materialize the edge list and degree vector ONCE: every unrolled
+    # iteration references both, and without lineage truncation the
+    # final plan re-derives the distinct+self-join edge build per
+    # iteration (measured 11.7 s -> 3.4 s at sf0.1). Same pattern as
+    # operators/graph.py's per-round localCheckpoint; on a cluster this
+    # is a cached/persisted edge RDD, the standard PageRank layout.
+    e = e.localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        F.expr(f"{_PR_SCALE}L div n").alias("r"),
+    )
+    for _ in range(3):
+        contrib = (
+            e.join(F.broadcast(r), e.src == r.node)
+            .join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).cast("long").alias("s"))
+        )
+        r = contrib.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"(15 * {_PR_SCALE}L) div (100 * n) + (85 * s) div 100"
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    return r.select(
+        "node",
+        F.round(F.col("r").cast("double") / (_PR_SCALE // 1000), 8).alias(
+            "rank_permille"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q150: seasonal-baseline anomaly detection — per (event_type, hour of
+# day) mean/std baseline, then flag events deviating > 3 sigma from
+# their own seasonal slot (the time-series shape of fleet monitoring).
+# The baseline is a ~120-row aggregate that broadcasts back onto the
+# fact scan, so events shuffle once for their own groupBy and never for
+# the enrichment. Std comes from decimal-exact sum/sum-of-squares
+# (stddev_samp's float accumulation order differs between engines);
+# the anomaly predicate is multiplication-form, no division.
+# --------------------------------------------------------------------------
+@register(
+    "q150_seasonal_anomaly",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hh,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(18,6)))
+                       AS VARCHAR) AS DOUBLE) AS ss
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hh, n,
+             s / n AS mean,
+             sqrt((ss - s * s / n) / (n - 1)) AS std
+      FROM base WHERE n > 1
+    )
+    SELECT e.event_type,
+           CAST(EXTRACT(hour FROM e.ts) AS BIGINT) AS hh,
+           x.n,
+           round(x.mean, 6) AS mean_r,
+           round(x.std, 6) AS std_r,
+           CAST(SUM(CASE WHEN abs(e.value - x.mean) > 3 * x.std
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+    FROM events e
+    JOIN stats x
+      ON e.event_type = x.event_type
+     AND CAST(EXTRACT(hour FROM e.ts) AS BIGINT) = x.hh
+    GROUP BY 1, 2, x.n, x.mean, x.std
+    """,
+)
+def q150_seasonal_anomaly(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hh"), "value"
+    )
+    base = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 6)).cast("double").alias("s"),
+        F.sum(dec(F.col("value") * F.col("value"), 6))
+        .cast("double")
+        .alias("ss"),
+    )
+    stats = base.where(F.col("n") > 1).select(
+        "event_type",
+        "hh",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    j = ev.join(F.broadcast(stats), ["event_type", "hh"])
+    return j.groupBy("event_type", "hh", "n", "mean", "std").agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_anom")
+    ).select(
+        "event_type",
+        "hh",
+        "n",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("std", 6).alias("std_r"),
+        "n_anom",
+    )
+
+
+# --------------------------------------------------------------------------
+# q151: Markov transition matrix over event sequences — P(next | cur)
+# from consecutive event pairs per user (lead window on the (user, ts)
+# order). One window pass + one groupBy: the events table shuffles
+# once on user_id and the 25-cell transition matrix aggregates
+# map-side. The per-row probability divides two exact BIGINTs.
+# --------------------------------------------------------------------------
+@register(
+    "q151_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, c,
+           CAST(SUM(c) OVER (PARTITION BY cur) AS BIGINT) AS row_total,
+           round(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY cur), 6)
+             AS p
+    FROM c
+    """,
+)
+def q151_markov_transitions(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    c = (
+        s.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row_w = W.partitionBy("cur")
+    return c.select(
+        "cur",
+        "nxt",
+        "c",
+        F.sum("c").over(row_w).cast("long").alias("row_total"),
+        F.round(F.col("c").cast("double") / F.sum("c").over(row_w), 6).alias(
+            "p"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q152: RFM customer segmentation — recency / frequency / monetary
+# quintiles (the classic CRM scoring), with a DETERMINISTIC total order
+# (metric, then custkey) so ntile assigns identically everywhere.
+# Aggregation is per-customer (one shuffle on o_custkey); the quintile
+# windows run over the customer DIMENSION (~1.5 k rows/sf0.01), not the
+# fact table — at 100 TB the same scores come from approx-percentile
+# cutoffs (q37/q61 pattern) instead of a global sort, which is why the
+# ntile stays on the dimension side only.
+# --------------------------------------------------------------------------
+@register(
+    "q152_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(datediff('day', max(o_orderdate), max(a.mx))
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS monetary
+      FROM orders CROSS JOIN anchor a
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             CAST(ntile(5) OVER (ORDER BY recency_days, c_custkey)
+                  AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, c_custkey)
+                  AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, c_custkey)
+                  AS BIGINT) AS m_score
+      FROM rfm
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+    FROM scored
+    """,
+)
+def q152_rfm_segmentation(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.max("mx"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("o_totalprice", 2)).cast("double").alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(5)
+        .over(W.orderBy("recency_days", "c_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), "c_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary").desc(), "c_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q153: stratified k-fold assignment audit — md5-derived fold (the
+# catalog's deterministic splitter) crossed with the label column, and
+# a per-(fold, label) balance check against the ideal n_label/k. The
+# fold hash makes assignment reproducible on any engine/cluster; the
+# audit is the QA step before cross-validation training. One groupBy;
+# label totals broadcast back.
+# --------------------------------------------------------------------------
+@register(
+    "q153_stratified_kfold",
+    oracle="""
+    WITH f AS (
+      SELECT label,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 5 AS fold
+      FROM embeddings
+    ),
+    cell AS (
+      SELECT fold, label, CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY fold, label
+    ),
+    tot AS (
+      SELECT label, CAST(SUM(n) AS BIGINT) AS n_label FROM cell GROUP BY label
+    )
+    SELECT c.fold, c.label, c.n, t.n_label,
+           round(CAST(t.n_label AS DOUBLE) / 5, 2) AS expected,
+           round(abs(c.n - CAST(t.n_label AS DOUBLE) / 5)
+                 / (CAST(t.n_label AS DOUBLE) / 5), 6) AS rel_dev,
+           abs(c.n - CAST(t.n_label AS DOUBLE) / 5)
+             * 4 < CAST(t.n_label AS DOUBLE) AS balanced
+    FROM cell c JOIN tot t USING (label)
+    """,
+)
+def q153_stratified_kfold(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    )
+    cell = (
+        emb.select("label", fold.alias("fold"))
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cell.groupBy("label").agg(F.sum("n").cast("long").alias("n_label"))
+    exp = F.col("n_label").cast("double") / 5
+    return cell.join(F.broadcast(tot), "label").select(
+        "fold",
+        "label",
+        "n",
+        "n_label",
+        F.round(exp, 2).alias("expected"),
+        F.round(F.abs(F.col("n") - exp) / exp, 6).alias("rel_dev"),
+        (F.abs(F.col("n") - exp) * 4 < F.col("n_label").cast("double")).alias(
+            "balanced"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q154: winsorized robust scaling — clip each group's values at its
+# exact interpolated [p05, p95] (Spark `percentile` == DuckDB
+# `quantile_cont`, the q37-established pair), then report the clipped
+# mass and mean. The percentile frame is a 5-row aggregate broadcast
+# back onto the fact scan; clip counts are exact integers and the
+# clipped mean goes through decimal accumulation.
+# --------------------------------------------------------------------------
+@register(
+    "q154_winsorized_scaling",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(p.p05, 6) AS p05_r,
+           round(p.p95, 6) AS p95_r,
+           CAST(SUM(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi,
+           round(CAST(CAST(SUM(CAST(least(greatest(e.value, p.p05), p.p95)
+                                    AS DECIMAL(18,6))) AS VARCHAR)
+                      AS DOUBLE) / count(*), 6) AS mean_winsorized
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type, p.p05, p.p95
+    """,
+)
+def q154_winsorized_scaling(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    p = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(p), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return j.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_hi"),
+        F.round(F.sum(dec(clipped, 6)).cast("double") / F.count(F.lit(1)), 6)
+        .alias("mean_winsorized"),
+    ).select(
+        "event_type",
+        "n",
+        F.round("p05", 6).alias("p05_r"),
+        F.round("p95", 6).alias("p95_r"),
+        "n_clip_lo",
+        "n_clip_hi",
+        "mean_winsorized",
+    )
+
+
+# --------------------------------------------------------------------------
+# q155: OHLC downsampling — open/high/low/close bars per
+# (event_type, hour), the TSDB compaction primitive. Open/close are
+# argmin/argmax by (ts, event_id) via struct min/max (the q38 pattern:
+# lexicographic struct ordering gives deterministic tie-breaks without
+# a window), so the whole query is ONE partial-aggregatable groupBy —
+# at 100 TB it's a map-side-combine scan, no window sort anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "q155_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           epoch_ms(date_trunc('hour', ts)) AS bar_ms,
+           CAST(count(*) AS BIGINT) AS n,
+           (min(struct_pack(t := ts, e := event_id, v := value))).v
+             AS open,
+           max(value) AS high,
+           min(value) AS low,
+           (max(struct_pack(t := ts, e := event_id, v := value))).v
+             AS close,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS volume
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q155_ohlc_bars(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    bar = F.date_trunc("hour", "ts")
+    return ev.groupBy("event_type", bar.alias("bar")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("ts", "event_id", "value"))
+        .getField("value")
+        .alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("ts", "event_id", "value"))
+        .getField("value")
+        .alias("close"),
+        F.sum(dec("value", 6)).cast("double").alias("volume"),
+    ).select(
+        "event_type",
+        F.unix_millis(F.col("bar").cast("timestamp")).alias("bar_ms"),
+        "n",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+# --------------------------------------------------------------------------
+# q156: SCD2 interval reconstruction — collapse each user's event
+# stream into type-2 slowly-changing-dimension rows: consecutive
+# duplicate states merge, each surviving state gets
+# [valid_from, valid_to) from its own ts and the next change's ts
+# (NULL = currently open). Two stacked windows over the SAME
+# (user_id | ts, event_id) partitioning share one exchange+sort; the
+# lakehouse MERGE twin of this shape is operators/lakehouse.py.
+# --------------------------------------------------------------------------
+@register(
+    "q156_scd2_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts, event_id FROM o
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_ms,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS version
+    FROM changes
+    """,
+)
+def q156_scd2_intervals(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("state")
+    )
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_state", F.lag("state").over(seq))
+        .where(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+        .select("user_id", "state", "ts", "event_id")
+    )
+    return changes.select(
+        "user_id",
+        "state",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(seq).cast("timestamp")).alias(
+            "valid_to_ms"
+        ),
+        F.row_number().over(seq).cast("long").alias("version"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q157: triangle counting with degree-ordered orientation — the
+# classic bounded-fanout trick (cf. Suri & Vassilvitskii's MR-friendly
+# scheme): orient every undirected co-occurrence edge from its
+# lower-(degree, id) endpoint to the higher one, so out-degrees are
+# O(sqrt(E)) and the wedge self-join cannot blow up on hub nodes.
+# Wedges normalize to the SAME total order, so the closing edge is a
+# single equi-join against the oriented edge list — no OR-join, no
+# direction probing. Output is the global edge/wedge/triangle census
+# plus the clustering coefficient.
+#
+# The census runs on a DETERMINISTIC md5 sample of orders (1-in-4):
+# wedge volume grows superlinearly in edge density, and the full
+# sf0.1 graph measured 111 s — graph-census-on-a-hash-sample is the
+# standard estimator at scale (the sample is reproducible on any
+# engine, so the oracle sees the identical graph). The edge list,
+# degree vector, and oriented edges are localCheckpoint-materialized
+# once and reused by every census branch.
+# --------------------------------------------------------------------------
+@register(
+    "q157_triangle_count",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+              ::BIGINT % 4 = 0
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+      ) GROUP BY node
+    ),
+    oe AS (
+      SELECT CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v)
+                  THEN e0.u ELSE e0.v END AS src,
+             CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v)
+                  THEN e0.v ELSE e0.u END AS dst,
+             CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v)
+                  THEN dv.deg ELSE du.deg END AS dst_deg
+      FROM e0 JOIN deg du ON du.node = e0.u
+              JOIN deg dv ON dv.node = e0.v
+    ),
+    w AS (
+      SELECT CASE WHEN (x.dst_deg, x.dst) < (y.dst_deg, y.dst)
+                  THEN x.dst ELSE y.dst END AS b,
+             CASE WHEN (x.dst_deg, x.dst) < (y.dst_deg, y.dst)
+                  THEN y.dst ELSE x.dst END AS c
+      FROM oe x JOIN oe y
+        ON x.src = y.src AND x.dst < y.dst
+    ),
+    census AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_wedge_checks,
+             CAST(count(oe.src) AS BIGINT) AS n_triangles
+      FROM w LEFT JOIN oe ON w.b = oe.src AND w.c = oe.dst
+    )
+    SELECT CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           n_wedge_checks, n_triangles,
+           round(CAST(3 * n_triangles AS DOUBLE)
+                 / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6)
+             AS clustering_coeff
+    FROM census
+    """,
+)
+def q157_triangle_count(spark, sf_dir):
+    keep = (
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 4
+        == 0
+    )
+    d = (
+        table(spark, sf_dir, "lineitem")
+        .where(keep)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = d.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = e0.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+    ).localCheckpoint()
+    x = oe.select(
+        "src",
+        F.col("dst").alias("xd"),
+        F.col("dst_deg").alias("xdeg"),
+    )
+    y = oe.select(
+        "src",
+        F.col("dst").alias("yd"),
+        F.col("dst_deg").alias("ydeg"),
+    )
+    x_first = (F.col("xdeg") < F.col("ydeg")) | (
+        (F.col("xdeg") == F.col("ydeg")) & (F.col("xd") < F.col("yd"))
+    )
+    w = (
+        x.join(y, "src")
+        .where(F.col("xd") < F.col("yd"))
+        .select(
+            F.when(x_first, F.col("xd")).otherwise(F.col("yd")).alias("b"),
+            F.when(x_first, F.col("yd")).otherwise(F.col("xd")).alias("c"),
+        )
+    )
+    # wedge + triangle counts FUSED into one pass: the closing edge is
+    # a LEFT join, count(*) = wedges, count(matched) = triangles — the
+    # expensive wedge stream is materialized exactly once. Census
+    # combined via single-row crossJoins (all broadcasts); no
+    # driver-side .count().
+    census = (
+        w.join(
+            oe.select(
+                F.col("src").alias("b"),
+                F.col("dst").alias("c"),
+                F.lit(1).alias("hit"),
+            ),
+            ["b", "c"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_wedge_checks"),
+            F.count("hit").alias("n_triangles"),
+        )
+    )
+    ec = e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    # the TRUE wedge count (all length-2 paths) comes straight from the
+    # degree vector — sum C(deg, 2); the oriented wedge stream above is
+    # only the (much smaller) triangle CHECK set
+    nc = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    return (
+        ec.crossJoin(nc)
+        .crossJoin(census)
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_wedges",
+            "n_wedge_checks",
+            "n_triangles",
+            F.round(
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q158: snowflake star-join rollup (TPC-H Q5 shape) — revenue per
+# (region, order-year) through the full
+# lineitem->orders->customer->nation->region chain. The three
+# dimension hops collapse into ONE broadcast (customer joined to
+# nation/region first, then broadcast onto orders); the only shuffle
+# in the plan is the lineitem<->orders join on orderkey — which is the
+# join you bucket/co-partition at 100 TB. Revenue terms
+# price*(1-discount) are exact 4-decimal products, so the decimal sum
+# reproduces bit-exactly.
+# --------------------------------------------------------------------------
+@register(
+    "q158_snowflake_rollup",
+    oracle="""
+    SELECT r.r_name,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def q158_snowflake_rollup(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    enriched = o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey).select(
+        "o_orderkey", "r_name", F.year("o_orderdate").cast("long").alias("order_year")
+    )
+    j = li.join(enriched, li.l_orderkey == enriched.o_orderkey)
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return j.groupBy("r_name", "order_year").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
