@@ -34,6 +34,14 @@ from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q163_grouped_linear_trend",
+    "q164_chi_square",
+    "q165_revenue_concentration",
+    "q166_series_correlation",
+    "q161_dq_audit",
+    "q162_incremental_agg_merge",
+    "q159_semantic_decontamination",
+    "q160_entry_paths",
     "q155_ohlc_bars",
     "q156_scd2_intervals",
     "q157_triangle_count",

@@ -1234,3 +1234,703 @@ def q158_snowflake_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(rev).cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q159: semantic (embedding-space) benchmark decontamination — the
+# vector sibling of q113's n-gram bloom gate and q99's 8-gram join:
+# flag train vectors whose cosine vs ANY benchmark vector >= 0.95,
+# with the candidate set gated by a shared IVF bucket (nprobe=1), so
+# the pair term is bucket-local — never |train| x |bench|. The planted
+# near-dup corpus (operators/similarity.planted_neardup_corpus)
+# provides ground truth: replicas (id >= 100000) act as the benchmark
+# set, so every 5th original MUST be flagged. Natural random-Gaussian
+# cosine tops out ~0.51, far under the threshold.
+# --------------------------------------------------------------------------
+@register(
+    "q159_semantic_decontamination",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(64),
+               i -> v[i+1] + CAST((vec_id * 31 + i * 7) % 11 - 5 AS DOUBLE) * 0.001)
+      FROM base WHERE vec_id % 5 = 0
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, nrm, bucket FROM (
+        SELECT n.vec_id AS id, n.v, n.nrm, c.cent_id AS bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS r
+        FROM n, cents c
+      ) WHERE r = 1
+    ),
+    hits AS (
+      SELECT t.bucket, t.id AS train_id, b.id AS bench_id,
+             round(list_dot_product(t.v, b.v) / (t.nrm * b.nrm), 6) AS cos_sim
+      FROM assigned t JOIN assigned b
+        ON t.bucket = b.bucket AND t.id < 100000 AND b.id >= 100000
+      WHERE round(list_dot_product(t.v, b.v) / (t.nrm * b.nrm), 6) >= 0.95
+    )
+    SELECT bucket, train_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           max(cos_sim) AS max_sim,
+           min(bench_id) AS first_bench_id
+    FROM hits GROUP BY bucket, train_id
+    """,
+)
+def q159_semantic_decontamination(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        planted_neardup_corpus,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = planted_neardup_corpus(emb)
+    assigned = ivf_assign(corpus, F.col("id") < 8)
+    train = assigned.where(F.col("id") < 100000).select(
+        "bucket",
+        F.col("id").alias("train_id"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tn"),
+    )
+    bench = assigned.where(F.col("id") >= 100000).select(
+        "bucket",
+        F.col("id").alias("bench_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    hits = (
+        train.join(bench, "bucket")
+        .select(
+            "bucket",
+            "train_id",
+            "bench_id",
+            cosine(
+                F.col("tv"), F.col("tn"), F.col("bv"), F.col("bn")
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.95)
+    )
+    return hits.groupBy("bucket", "train_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max("cos_sim").alias("max_sim"),
+        F.min("bench_id").alias("first_bench_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q160: clickstream entry-path analysis — the distribution of each
+# user's FIRST THREE events (the funnel-entry fingerprint). One window
+# pass to rank, one groupBy per user to assemble the path (sorted
+# in-row, q39's deterministic collect pattern), one tiny groupBy to
+# histogram — everything shuffles on user_id once.
+# --------------------------------------------------------------------------
+@register(
+    "q160_entry_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    """,
+)
+def q160_entry_paths(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    p = (
+        r.where(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x.getField("event_type"),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return p.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# q161: data-quality audit suite — the dbt-tests / Deequ shape: one
+# query, one row per constraint, violation counts from anti-join /
+# groupBy probes. Checks: FK lineitem->orders, FK orders->customer,
+# PK uniqueness of (l_orderkey, l_linenumber), NOT NULL on
+# events.value, accepted-values on event_type. Orphans and duplicate
+# keys are PLANTED (shifted-key unions) so the violation paths are
+# non-vacuous. Each probe is a keyed equi-anti-join or aggregate —
+# the checks compose into one plan and share the fact scans.
+# --------------------------------------------------------------------------
+@register(
+    "q161_dq_audit",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      UNION ALL
+      SELECT l_orderkey + 1000000000, l_linenumber
+      FROM lineitem WHERE l_orderkey % 997 = 0
+    ),
+    orr AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey + 1000000000
+      FROM orders WHERE o_orderkey % 499 = 0
+    ),
+    pk AS (
+      SELECT l_orderkey, l_linenumber FROM li
+      UNION ALL
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_orderkey % 1009 = 0
+    ),
+    fk_li AS (
+      SELECT CAST(count(*) AS BIGINT) AS v, CAST((SELECT count(*) FROM li) AS BIGINT) AS n
+      FROM li WHERE NOT EXISTS
+        (SELECT 1 FROM orr WHERE orr.o_orderkey = li.l_orderkey)
+    ),
+    fk_o AS (
+      SELECT CAST(count(*) AS BIGINT) AS v, CAST((SELECT count(*) FROM orr) AS BIGINT) AS n
+      FROM orr WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = orr.o_custkey)
+    ),
+    pk_dup AS (
+      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v,
+             CAST((SELECT count(*) FROM pk) AS BIGINT) AS n
+      FROM (SELECT count(*) AS c FROM pk
+            GROUP BY l_orderkey, l_linenumber) WHERE c > 1
+    ),
+    nn AS (
+      SELECT CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+    ),
+    av AS (
+      SELECT CAST(SUM(CASE WHEN event_type NOT IN
+                   ('view','click','signup','error','purchase')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+    )
+    SELECT 'fk_lineitem_orders' AS check_name, v AS n_violations, n AS n_checked FROM fk_li
+    UNION ALL
+    SELECT 'fk_orders_customer', v, n FROM fk_o
+    UNION ALL
+    SELECT 'pk_lineitem_unique', v, n FROM pk_dup
+    UNION ALL
+    SELECT 'not_null_event_value', v, n FROM nn
+    UNION ALL
+    SELECT 'accepted_event_types', v, n FROM av
+    """,
+)
+def q161_dq_audit(spark, sf_dir):
+    utc(spark)
+    li0 = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    li = li0.unionByName(
+        li0.where(F.col("l_orderkey") % 997 == 0).select(
+            (F.col("l_orderkey") + 1000000000).alias("l_orderkey"),
+            "l_linenumber",
+        )
+    )
+    o0 = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orr = o0.unionByName(
+        o0.where(F.col("o_orderkey") % 499 == 0).select(
+            (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+            (F.col("o_custkey") + 1000000000).alias("o_custkey"),
+        )
+    )
+    pk = li.unionByName(li0.where(F.col("l_orderkey") % 1009 == 0))
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    ev = table(spark, sf_dir, "events").select("value", "event_type")
+
+    def check(name, v_df, n_df):
+        return v_df.crossJoin(n_df).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+
+    fk_li = check(
+        "fk_lineitem_orders",
+        li.join(
+            orr.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v")),
+        li.agg(F.count(F.lit(1)).alias("n")),
+    )
+    fk_o = check(
+        "fk_orders_customer",
+        orr.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v")),
+        orr.agg(F.count(F.lit(1)).alias("n")),
+    )
+    dup_counts = (
+        pk.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    pk_dup = check(
+        "pk_lineitem_unique",
+        dup_counts.agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("v")
+        ),
+        pk.agg(F.count(F.lit(1)).alias("n")),
+    )
+    nn = check(
+        "not_null_event_value",
+        ev.agg(
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("v")
+        ),
+        ev.agg(F.count(F.lit(1)).alias("n")),
+    )
+    allowed = ["view", "click", "signup", "error", "purchase"]
+    av = check(
+        "accepted_event_types",
+        ev.agg(
+            F.sum(
+                F.when(~F.col("event_type").isin(allowed), 1).otherwise(0)
+            ).alias("v")
+        ),
+        ev.agg(F.count(F.lit(1)).alias("n")),
+    )
+    return fk_li.unionByName(fk_o).unionByName(pk_dup).unionByName(nn).unionByName(av)
+
+
+# --------------------------------------------------------------------------
+# q162: incremental aggregate-state merge — the materialized-view
+# maintenance primitive: per-key partial aggregates computed BEFORE a
+# cutoff (the stored state) merge with the delta AFTER the cutoff via
+# associative combination (cnt+cnt, sum+sum, min/min, max/max), and
+# the result is checked IN-QUERY against the direct full aggregate —
+# the `matches` column is constant-true and oracle-asserted. The sum
+# is decimal-exact, so merge == direct holds bit-for-bit; this is the
+# algebra that lets a 100 TB rollup update by scanning only the new
+# partition. Cutoff derives from the data (max ts - 72 h), broadcast
+# as a one-row anchor.
+# --------------------------------------------------------------------------
+@register(
+    "q162_incremental_agg_merge",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(ts) - INTERVAL 72 HOURS AS cutoff FROM events
+    ),
+    state AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM events CROSS JOIN anchor WHERE ts < cutoff GROUP BY event_type
+    ),
+    delta AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM events CROSS JOIN anchor WHERE ts >= cutoff GROUP BY event_type
+    ),
+    direct AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY event_type
+    ),
+    merged AS (
+      SELECT COALESCE(st.event_type, d.event_type) AS event_type,
+             COALESCE(st.cnt, 0) + COALESCE(d.cnt, 0) AS cnt,
+             COALESCE(st.s, 0) + COALESCE(d.s, 0) AS s,
+             least(COALESCE(st.mn, d.mn), COALESCE(d.mn, st.mn)) AS mn,
+             greatest(COALESCE(st.mx, d.mx), COALESCE(d.mx, st.mx)) AS mx
+      FROM state st FULL OUTER JOIN delta d USING (event_type)
+    )
+    SELECT m.event_type,
+           m.cnt,
+           CAST(CAST(m.s AS VARCHAR) AS DOUBLE) AS total,
+           m.mn AS vmin, m.mx AS vmax,
+           (m.cnt = x.cnt AND m.s = x.s AND m.mn = x.mn AND m.mx = x.mx)
+             AS matches
+    FROM merged m JOIN direct x USING (event_type)
+    """,
+)
+def q162_incremental_agg_merge(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    anchor = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 72 HOURS")).alias("cutoff")
+    )
+    tagged = ev.crossJoin(F.broadcast(anchor))
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("value", 6)).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    state = agg(tagged.where(F.col("ts") < F.col("cutoff")))
+    delta = agg(tagged.where(F.col("ts") >= F.col("cutoff")))
+    direct = agg(ev)
+    st = state.select(
+        "event_type",
+        F.col("cnt").alias("s_cnt"),
+        F.col("s").alias("s_s"),
+        F.col("mn").alias("s_mn"),
+        F.col("mx").alias("s_mx"),
+    )
+    d = delta.select(
+        "event_type",
+        F.col("cnt").alias("d_cnt"),
+        F.col("s").alias("d_s"),
+        F.col("mn").alias("d_mn"),
+        F.col("mx").alias("d_mx"),
+    )
+    merged = st.join(d, "event_type", "full_outer").select(
+        "event_type",
+        (
+            F.coalesce("s_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+        ).alias("cnt"),
+        (
+            F.coalesce("s_s", F.lit(0).cast("decimal(18,6)"))
+            + F.coalesce("d_s", F.lit(0).cast("decimal(18,6)"))
+        ).alias("s"),
+        F.least(
+            F.coalesce("s_mn", "d_mn"), F.coalesce("d_mn", "s_mn")
+        ).alias("mn"),
+        F.greatest(
+            F.coalesce("s_mx", "d_mx"), F.coalesce("d_mx", "s_mx")
+        ).alias("mx"),
+    )
+    x = direct.select(
+        "event_type",
+        F.col("cnt").alias("x_cnt"),
+        F.col("s").alias("x_s"),
+        F.col("mn").alias("x_mn"),
+        F.col("mx").alias("x_mx"),
+    )
+    return merged.join(F.broadcast(x), "event_type").select(
+        "event_type",
+        "cnt",
+        F.col("s").cast("double").alias("total"),
+        F.col("mn").alias("vmin"),
+        F.col("mx").alias("vmax"),
+        (
+            (F.col("cnt") == F.col("x_cnt"))
+            & (F.col("s") == F.col("x_s"))
+            & (F.col("mn") == F.col("x_mn"))
+            & (F.col("mx") == F.col("x_mx"))
+        ).alias("matches"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q163: grouped linear trend (least squares per key) — slope/intercept
+# of value over time per event_type from the closed-form normal
+# equations, all five sufficient statistics (n, Sx, Sy, Sxx, Sxy)
+# decimal-quantized so both engines accumulate identically. ONE
+# partial-aggregatable groupBy over the fact scan — the map-side
+# pattern that makes per-key regression free at 100 TB (sufficient
+# statistics are the associative-merge trick in sketch form).
+# x = hours since the global min ts (broadcast one-row anchor), so the
+# magnitudes stay in decimal(18,6) range.
+# --------------------------------------------------------------------------
+@register(
+    "q163_grouped_linear_trend",
+    oracle="""
+    WITH anchor AS (SELECT min(ts) AS t0 FROM events),
+    pts AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) - epoch_ms(t0) AS DOUBLE) / 3600000 AS x,
+             value AS y
+      FROM events CROSS JOIN anchor
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+)
+def q163_grouped_linear_trend(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    anchor = ev.agg(F.min("ts").alias("t0"))
+    pts = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        (
+            (F.unix_millis("ts") - F.unix_millis("t0")).cast("double")
+            / 3600000
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x", 6)).cast("double").alias("sx"),
+        F.sum(dec("y", 6)).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"), 6)).cast("double").alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"), 6)).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 8).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q164: chi-square independence test — event_type x day-of-week
+# contingency table, expected counts from the marginals, and the
+# chi-square statistic with each cell's term decimal-quantized before
+# the order-dependent sum. Observed counts are one groupBy; marginals
+# broadcast back. The acceptance flag compares against the 0.995
+# quantile for (5-1)(7-1)=24 dof in INTEGER-free double arithmetic on
+# both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q164_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    cm AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM obs),
+    cells AS (
+      SELECT obs.event_type, obs.dow, obs.o,
+             CAST(rm.r AS DOUBLE) * cm.c / tot.t AS e
+      FROM obs JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,8)))
+                           AS VARCHAR) AS DOUBLE), 6) AS chi2,
+           CAST(CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,8)))
+                     AS VARCHAR) AS DOUBLE) < 45.56 AS independent_995
+    FROM cells
+    """,
+)
+def q164_chi_square(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rm = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    cm = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(F.sum("o").cast("long").alias("t"))
+    cells = (
+        obs.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            (F.col("r").cast("double") * F.col("c") / F.col("t")).alias("e"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    chi2 = F.sum(dec(term, 8)).cast("double")
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 < 45.56).alias("independent_995"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q165: revenue concentration — Pareto/Gini over customer revenue.
+# Customers sorted by revenue descending (deterministic tiebreak on
+# custkey), cumulative revenue share, the top-20% share (the 80/20
+# check), and the Gini coefficient from the rank-weighted closed form
+# G = (2*sum(i*y_i_sorted_asc)/(n*sum(y)) - (n+1)/n). The sort runs
+# over the CUSTOMER aggregate (dimension-sized); revenue itself is one
+# fact groupBy. All sums decimal-exact.
+# --------------------------------------------------------------------------
+@register(
+    "q165_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, r,
+             row_number() OVER (ORDER BY r ASC, o_custkey) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             SUM(r) OVER () AS tot
+      FROM rev
+    ),
+    g AS (
+      SELECT max(n) AS n,
+             CAST(CAST(max(tot) AS VARCHAR) AS DOUBLE) AS tot,
+             CAST(CAST(SUM(i * r) AS VARCHAR) AS DOUBLE) AS iw,
+             CAST(CAST(SUM(CASE WHEN i > n - n // 5 THEN r
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR)
+                  AS DOUBLE) AS top_rev
+      FROM ranked
+    )
+    SELECT n,
+           round(tot, 2) AS total_revenue,
+           round(2.0 * iw / (n * tot) - CAST(n + 1 AS DOUBLE) / n, 6)
+             AS gini,
+           round(top_rev / tot, 6) AS top20_share
+    FROM g
+    """,
+)
+def q165_revenue_concentration(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 2)).alias("r")
+    )
+    everything = W.partitionBy()
+    ranked = rev.select(
+        "o_custkey",
+        "r",
+        F.row_number()
+        .over(W.orderBy(F.col("r").asc(), F.col("o_custkey"))).alias("i"),
+        F.count(F.lit(1)).over(everything).cast("long").alias("n"),
+        F.sum("r").over(everything).alias("tot"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    g = ranked.agg(
+        F.max("n").alias("n"),
+        F.max("tot").cast("double").alias("tot"),
+        F.sum(F.col("i") * F.col("r")).cast("double").alias("iw"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("n div 5"), F.col("r")
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("top_rev"),
+    )
+    return g.select(
+        "n",
+        F.round("tot", 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("iw") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_rev") / F.col("tot"), 6).alias("top20_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q166: cross-series Pearson correlation — hourly volumes of every
+# event-type PAIR, correlated over the aligned hour spine. The series
+# pivot is one groupBy(hour); the pair stage self-joins the 5-series
+# AGGREGATE (25 pairs), never the fact table, and each correlation
+# reduces to decimal-exact sufficient statistics. The fact table is
+# scanned once.
+# --------------------------------------------------------------------------
+@register(
+    "q166_series_correlation",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             a.v AS x, b.v AS y
+      FROM hourly a JOIN hourly b
+        ON a.h = b.h AND a.event_type < b.event_type
+    ),
+    s AS (
+      SELECT et_a, et_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY et_a, et_b
+    )
+    SELECT et_a, et_b, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+    FROM s
+    """,
+)
+def q166_series_correlation(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    a = hourly.select(
+        "h", F.col("event_type").alias("et_a"), F.col("v").alias("x")
+    )
+    b = hourly.select(
+        "h", F.col("event_type").alias("et_b"), F.col("v").alias("y")
+    )
+    pairs = a.join(b, "h").where(F.col("et_a") < F.col("et_b"))
+    s = pairs.groupBy("et_a", "et_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "et_a",
+        "et_b",
+        "n",
+        F.round(num / (denx * deny), 6).alias("r"),
+    )

@@ -479,3 +479,44 @@ def leakage_free_split_stream(docs: DataFrame) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def ohlc_stream(
+    events: DataFrame, size: str = "1 hour", delay: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of the q155 OHLC compaction: append-mode tumbling
+    bars with open/close as struct-argmin/argmax over (ts, event_id) —
+    the same ONE-aggregate shape as the batch query, so closed windows
+    carry identical values (pinned by
+    tests/test_streaming.test_ohlc_stream_matches_batch). Struct
+    min/max aggregates merge associatively, so partial state per
+    (window, event_type) is O(1) regardless of event volume — the
+    compaction keeps running at any input rate."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("ts", "event_id", "value"))
+            .getField("value")
+            .alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))
+            .getField("value")
+            .alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type",
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

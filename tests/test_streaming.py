@@ -388,3 +388,45 @@ def test_neardup_suppression_short_docs_not_collapsed(spark, sf_dir, tmp_path):
     assert sigs[1].startswith("EMPTY:") and sigs[2].startswith("EMPTY:")
     assert sigs[1] != sigs[2]
     assert not sigs[4].startswith("EMPTY")
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir):
+    """Closed streaming OHLC bars must equal the batch q155 aggregate
+    bit-for-bit (open/close argmin/argmax and the decimal volume are
+    all order-insensitive)."""
+    utc(spark)
+    stream = jobs.read_events_stream(spark, sf_dir)
+    got = _drain(spark, jobs.ohlc_stream(stream))
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bar"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("ts", "event_id", "value"))
+            .getField("value")
+            .alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))
+            .getField("value")
+            .alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )
+    got_rows = {
+        (r.bar_start, r.event_type): (
+            r.n, r.open, r.high, r.low, r.close, r.volume
+        )
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r.bar, r.event_type): (
+            r.n, r.open, r.high, r.low, r.close, r.volume
+        )
+        for r in batch.collect()
+    }
+    assert got_rows, "no closed bars emitted"
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
