@@ -34,6 +34,12 @@ from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q170_mom_growth",
+    "q171_anova_f",
+    "q172_knn_label_noise",
+    "q167_ab_test",
+    "q168_fulfillment_latency",
+    "q169_bounce_rate",
     "q163_grouped_linear_trend",
     "q164_chi_square",
     "q165_revenue_concentration",

@@ -1934,3 +1934,493 @@ def q166_series_correlation(spark, sf_dir):
         "n",
         F.round(num / (denx * deny), 6).alias("r"),
     )
+
+
+# --------------------------------------------------------------------------
+# q167: A/B experiment analysis — md5-hash variant assignment (the
+# deterministic splitter every experimentation platform uses so
+# assignment is reproducible and join-free), per-variant purchase
+# conversion, and the two-proportion z-test with a |z| < 1.96
+# no-difference flag. An A/A test by construction: the hash split is
+# independent of behavior, so the flag doubles as a randomization
+# sanity check. Two fact-scan groupBys; everything else is one-row
+# arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "q167_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS variant,
+             CASE WHEN (min(struct_pack(t := ts, e := event_id,
+                                        et := event_type))).et = 'purchase'
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM u GROUP BY variant
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM v
+    )
+    SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+           round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)),
+                 6) AS z,
+           abs((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)))
+             < 1.96 AS no_difference
+    FROM wide
+    """,
+)
+def q167_ab_test(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    first_type = F.min(F.struct("ts", "event_id", "event_type")).getField(
+        "event_type"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.when(first_type == "purchase", 1).otherwise(0).alias("converted")
+    ).select(variant.alias("variant"), "converted")
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (p0 - p1) / F.sqrt(
+        pp
+        * (1 - pp)
+        * (
+            F.lit(1).cast("double") / F.col("n0")
+            + F.lit(1).cast("double") / F.col("n1")
+        )
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) < 1.96).alias("no_difference"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q168: fulfillment-latency distribution — ship-minus-order days per
+# order priority, bucketed into service-level bands. The
+# lineitem-orders equi-join is the only shuffle (q158's bucketing
+# candidate); banding is integer arithmetic, so every count is exact.
+# --------------------------------------------------------------------------
+@register(
+    "q168_fulfillment_latency",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CASE WHEN lag_days <= 30 THEN 'fast'
+                WHEN lag_days <= 60 THEN 'normal'
+                WHEN lag_days <= 90 THEN 'slow'
+                ELSE 'late' END AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(lag_days) AS BIGINT) AS min_days,
+           CAST(max(lag_days) AS BIGINT) AS max_days
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q168_fulfillment_latency(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_days"),
+    )
+    band = (
+        F.when(F.col("lag_days") <= 30, "fast")
+        .when(F.col("lag_days") <= 60, "normal")
+        .when(F.col("lag_days") <= 90, "slow")
+        .otherwise("late")
+    )
+    return j.groupBy("o_orderpriority", band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lag_days").cast("long").alias("min_days"),
+        F.max("lag_days").cast("long").alias("max_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q169: session bounce rate — 30-minute-gap sessionization
+# (operators/windows.sessionize: gaps-and-islands, one sort+window
+# stage), then the fraction of single-event sessions per entry event
+# type. The product-analytics KPI that needs real sessionization, not
+# fixed windows. Shuffles once on user_id; session aggregation rides
+# the same partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "q169_bounce_rate",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                          > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    ),
+    agg AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             (min(struct_pack(t := ts, e := event_id, et := event_type))).et
+               AS entry_type
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS bounce_rate
+    FROM agg GROUP BY entry_type
+    """,
+)
+def q169_bounce_rate(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.windows import sessionize
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    s = sessionize(
+        ev, key="user_id", ts_col="ts", gap_seconds=1800,
+        order_tiebreak="event_id",
+    )
+    agg = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("entry_type"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return agg.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounces.cast("long").alias("n_bounces"),
+        F.round(
+            bounces.cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q170: month-over-month growth — revenue per (region, month) with lag
+# window growth rates, the BI staple. The star join reuses q158's
+# one-broadcast shape; the growth window runs over the (region, month)
+# AGGREGATE (~300 rows), so the lag sort never touches the fact table.
+# --------------------------------------------------------------------------
+@register(
+    "q170_mom_growth",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name,
+             epoch_ms(date_trunc('month', o.o_orderdate)) AS month_ms,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name, month_ms,
+           CAST(CAST(m AS VARCHAR) AS DOUBLE) AS revenue,
+           round(CASE WHEN lag(m) OVER w IS NULL THEN NULL
+                 ELSE (CAST(CAST(m AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(lag(m) OVER w AS VARCHAR) AS DOUBLE))
+                      / CAST(CAST(lag(m) OVER w AS VARCHAR) AS DOUBLE)
+                 END, 6) AS mom_growth
+    FROM rev
+    WINDOW w AS (PARTITION BY r_name ORDER BY month_ms)
+    """,
+)
+def q170_mom_growth(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    rev = (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy(
+            "r_name",
+            F.unix_millis(
+                F.date_trunc("month", "o_orderdate").cast("timestamp")
+            ).alias("month_ms"),
+        )
+        .agg(F.sum(dec("o_totalprice", 2)).alias("m"))
+    )
+    w = W.partitionBy("r_name").orderBy("month_ms")
+    prev = F.lag(F.col("m").cast("double")).over(w)
+    cur = F.col("m").cast("double")
+    return rev.select(
+        "r_name",
+        "month_ms",
+        cur.alias("revenue"),
+        F.round((cur - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q171: one-way ANOVA — does mean value differ across event types?
+# Between/within sum-of-squares decomposition from per-group decimal
+# sufficient statistics (ONE map-side-combinable groupBy over the fact
+# scan, then 5-row arithmetic), F = (SSB/(k-1)) / (SSW/(N-k)), plus
+# the eta-squared effect size. The grand totals ride the same
+# aggregate — no second scan.
+# --------------------------------------------------------------------------
+@register(
+    "q171_anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(18,6)))
+                       AS VARCHAR) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+             CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS gs,
+             CAST(CAST(SUM(CAST(ss AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS gss
+      FROM g
+    ),
+    parts AS (
+      SELECT max(t.nn) AS nn, max(t.k) AS k,
+             CAST(CAST(SUM(CAST(g.s * g.s / g.n AS DECIMAL(18,6)))
+                       AS VARCHAR) AS DOUBLE)
+               - max(t.gs) * max(t.gs) / max(t.nn) AS ssb,
+             max(t.gss)
+               - CAST(CAST(SUM(CAST(g.s * g.s / g.n AS DECIMAL(18,6)))
+                           AS VARCHAR) AS DOUBLE) AS ssw
+      FROM g CROSS JOIN tot t
+    )
+    SELECT nn, k,
+           round(ssb, 6) AS ss_between,
+           round(ssw, 6) AS ss_within,
+           round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM parts
+    """,
+)
+def q171_anova_f(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 6)).cast("double").alias("s"),
+        F.sum(dec(F.col("value") * F.col("value"), 6))
+        .cast("double")
+        .alias("ss"),
+    )
+    parts = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(dec("s", 6)).cast("double").alias("gs"),
+        F.sum(dec("ss", 6)).cast("double").alias("gss"),
+        F.sum(dec(F.col("s") * F.col("s") / F.col("n"), 6))
+        .cast("double")
+        .alias("between_raw"),
+    )
+    ssb = F.col("between_raw") - F.col("gs") * F.col("gs") / F.col("nn")
+    ssw = F.col("gss") - F.col("between_raw")
+    return parts.select(
+        "nn",
+        "k",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q172: label-noise detection via in-bucket kNN disagreement (the
+# Confident-Learning-lite screen): each vector's 3 nearest neighbors
+# (exact cosine, WITHIN its IVF bucket — nprobe=1 candidate gating, so
+# the pair term is bucket-local), majority neighbor label vs own
+# label, flag disagreements. Deterministic top-k via (cos desc, id
+# asc) ranking; majority via count desc + label asc argmax.
+# --------------------------------------------------------------------------
+@register(
+    "q172_knn_label_noise",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, nrm, label, bucket FROM (
+        SELECT n.vec_id AS id, n.v, n.nrm, n.label, c.cent_id AS bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS r
+        FROM n, cents c
+      ) WHERE r = 1
+    ),
+    knn AS (
+      SELECT id, own_label, nb_label FROM (
+        SELECT a.id, a.label AS own_label, b.label AS nb_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.id
+                 ORDER BY round(list_dot_product(a.v, b.v)
+                                / (a.nrm * b.nrm), 6) DESC, b.id
+               ) AS rk
+        FROM assigned a JOIN assigned b
+          ON a.bucket = b.bucket AND a.id <> b.id
+      ) WHERE rk <= 3
+    ),
+    vote AS (
+      SELECT id, own_label,
+             (max(struct_pack(c := cnt, neg_l := -nb_label))).neg_l * -1
+               AS majority_label
+      FROM (
+        SELECT id, own_label, nb_label, CAST(count(*) AS BIGINT) AS cnt
+        FROM knn GROUP BY id, own_label, nb_label
+      ) GROUP BY id, own_label
+    )
+    SELECT own_label AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN majority_label <> own_label
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(CAST(SUM(CASE WHEN majority_label <> own_label
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS noise_rate
+    FROM vote GROUP BY own_label
+    """,
+)
+def q172_knn_label_noise(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    assigned = ivf_assign(emb, F.col("id") < 8).join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    a = assigned.select(
+        "bucket",
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("label").alias("own_label"),
+    )
+    b = assigned.select(
+        "bucket",
+        F.col("id").alias("nid"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn_"),
+        F.col("label").alias("nb_label"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "own_label",
+            "nid",
+            "nb_label",
+            cosine(
+                F.col("qv"), F.col("qn"), F.col("nv"), F.col("nn_")
+            ).alias("cos_sim"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    )
+    knn = scored.withColumn("rk", rk).where(F.col("rk") <= 3)
+    counts = knn.groupBy("qid", "own_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vote = counts.groupBy("qid", "own_label").agg(
+        (
+            F.max(
+                F.struct(
+                    F.col("cnt").alias("c"),
+                    (-F.col("nb_label")).alias("neg_l"),
+                )
+            ).getField("neg_l")
+            * -1
+        ).alias("majority_label")
+    )
+    flagged = F.sum(
+        F.when(F.col("majority_label") != F.col("own_label"), 1).otherwise(0)
+    )
+    return vote.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        flagged.cast("long").alias("n_flagged"),
+        F.round(flagged.cast("double") / F.count(F.lit(1)), 6).alias(
+            "noise_rate"
+        ),
+    )
