@@ -166,3 +166,47 @@ def connected_components_star(
             "id", F.coalesce("component", F.col("id")).alias("component")
         )
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, iterations: int = 3, scale: int = 10**15
+) -> DataFrame:
+    """PageRank power iterations in FIXED-POINT BIGINT arithmetic:
+    ranks are integer micro-units of `scale` total mass, every step is
+    integer division (`div`) and exact integer sums. Floats never enter
+    the iteration, so the result is bit-reproducible across engines,
+    partitionings, and run orders — the property q149's DuckDB oracle
+    (and test_properties' pure-Python model) exploits. Damping 0.85;
+    mass leaks <= 1 unit per edge per iteration to floor rounding.
+
+    `edges` must be DIRECTED rows (src, dst) with every node appearing
+    as a src (undirected graphs: emit both directions). Edge list and
+    degree vector are localCheckpoint-materialized once — per
+    iteration the plan is broadcast-rank-onto-edges + groupBy(dst),
+    the standard distributed PageRank layout (a persisted edge RDD on
+    a real cluster)."""
+    e = edges.select("src", "dst").localCheckpoint()
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        F.expr(f"{scale}L div n").alias("r"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(F.broadcast(r), e.src == r.node)
+            .join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).cast("long").alias("s"))
+        )
+        r = contrib.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("node"),
+            F.expr(f"(15 * {scale}L) div (100 * n) + (85 * s) div 100")
+            .cast("long")
+            .alias("r"),
+        )
+    return r

@@ -5,12 +5,12 @@ shared registry. Importing this package populates it.
 
 Registration order is deliberate: the external driver checks a ~50-entry
 prefix of the catalog each round, so _PRIORITY below puts the queries
-that most need a fresh CORRECTNESS row first. Round-5 rotation: the 41
-queries whose last driver-green row dates from r1/r2 (two fixture
-regens ago — locally parity-green, but the driver record is the hard
-signal) lead, then q63 (oracle added this round: derived constant-true
-booleans), then q117 (registered default flipped to 64-bit SimHash this
-round), then the queries that are new in round 5.
+that most need a fresh CORRECTNESS row first. Round-5 order: the
+never-driver-checked round-5 additions lead (newest first — they can't
+fall off the prefix), then q63 (oracle added this round) and q117
+(64-bit default flipped this round), then the 41 queries whose last
+driver-green row dates from r1/r2 (locally parity-green; whatever the
+window clips re-rotates in r6).
 """
 
 from __future__ import annotations
@@ -34,6 +34,8 @@ from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q173_grid_nn_join",
+    "q174_time_travel_lookup",
     "q170_mom_growth",
     "q171_anova_f",
     "q172_knn_label_noise",

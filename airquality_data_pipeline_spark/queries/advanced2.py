@@ -32,11 +32,13 @@ from airquality_data_pipeline_spark.queries.registry import register
 # --------------------------------------------------------------------------
 # q143: intra-document repetition filter — the Gopher quality rule
 # "fraction of duplicate word n-grams within the document" (n=5 here).
+# q95 is the 3-gram organic-corpus variant of the same rule; this one
+# PLANTS positives (the fixture corpus has no natural repetition, so
+# q95's flag path is vacuous): every 7th doc gets a self-doubled twin
+# under a shifted id — those must be the flagged rows.
 # Everything happens inside the row (split -> shingle -> distinct), so
 # the plan is a single scan projection: no explode, no shuffle, and at
-# 100 TB it's embarrassingly parallel. The fixture corpus has no
-# natural repetition, so every 7th doc gets a planted self-doubled twin
-# under a shifted id — those must be the flagged rows.
+# 100 TB it's embarrassingly parallel.
 # The flag threshold (20% duplicated grams) is evaluated in integer
 # arithmetic (dup*5 >= total) so no float comparison sits on the
 # decision boundary.
@@ -501,6 +503,10 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     """,
 )
 def q149_pagerank(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
     d = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -514,34 +520,10 @@ def q149_pagerank(spark, sf_dir):
         .select("src", "dst")
         .distinct()
     )
-    # materialize the edge list and degree vector ONCE: every unrolled
-    # iteration references both, and without lineage truncation the
-    # final plan re-derives the distinct+self-join edge build per
-    # iteration (measured 11.7 s -> 3.4 s at sf0.1). Same pattern as
-    # operators/graph.py's per-round localCheckpoint; on a cluster this
-    # is a cached/persisted edge RDD, the standard PageRank layout.
-    e = e.localCheckpoint()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
-    nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    r = deg.crossJoin(F.broadcast(nn)).select(
-        F.col("src").alias("node"),
-        F.expr(f"{_PR_SCALE}L div n").alias("r"),
-    )
-    for _ in range(3):
-        contrib = (
-            e.join(F.broadcast(r), e.src == r.node)
-            .join(F.broadcast(deg), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r div deg")).cast("long").alias("s"))
-        )
-        r = contrib.crossJoin(F.broadcast(nn)).select(
-            F.col("dst").alias("node"),
-            F.expr(
-                f"(15 * {_PR_SCALE}L) div (100 * n) + (85 * s) div 100"
-            )
-            .cast("long")
-            .alias("r"),
-        )
+    # the operator localCheckpoints edges+degrees once: without lineage
+    # truncation the unrolled plan re-derives the distinct+self-join
+    # edge build per iteration (measured 11.7 s -> 3.4 s at sf0.1)
+    r = pagerank_fixed_point(e, iterations=3, scale=_PR_SCALE)
     return r.select(
         "node",
         F.round(F.col("r").cast("double") / (_PR_SCALE // 1000), 8).alias(
@@ -2423,4 +2405,212 @@ def q172_knn_label_noise(spark, sf_dir):
         F.round(flagged.cast("double") / F.count(F.lit(1)), 6).alias(
             "noise_rate"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q173: grid-bucketed nearest-neighbor spatial join — the air-quality
+# domain's "nearest station" primitive (reference S3 discovers WGS84
+# station coords) on synthetic md5-derived coordinates: candidates
+# come from the query point's 3x3 grid neighborhood (explode of 9
+# offsets — a BOUNDED fanout — then a grid-cell EQUI-join), and only
+# candidates get the exact distance + rank. This is how a spatial
+# join survives 100 TB: the grid key turns O(n*m) into O(n * cell
+# density). Distance is squared degrees (pure multiplication — trig
+# would differ in the last ULP between libms; swap in haversine on a
+# real deployment where a 1-ULP tie cannot flip a ranking decision).
+# Cell size 10 degrees; customers whose 3x3 neighborhood holds no
+# supplier are dropped (counted by the coverage row in the invariant
+# test).
+# --------------------------------------------------------------------------
+@register(
+    "q173_grid_nn_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey AS id,
+             (('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                ::BIGINT % 120000) / 1000.0 - 60 AS lat,
+             (('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 9, 8))
+                ::BIGINT % 360000) / 1000.0 - 180 AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey AS sid,
+             (('0x' || substring(md5('s' || CAST(s_suppkey AS VARCHAR)), 1, 8))
+                ::BIGINT % 120000) / 1000.0 - 60 AS slat,
+             (('0x' || substring(md5('s' || CAST(s_suppkey AS VARCHAR)), 9, 8))
+                ::BIGINT % 360000) / 1000.0 - 180 AS slon
+      FROM supplier
+    ),
+    sg AS (
+      SELECT sid, slat, slon,
+             CAST(floor(slat / 10) AS BIGINT) AS gy,
+             CAST(floor(slon / 10) AS BIGINT) AS gx
+      FROM supp
+    ),
+    probes AS (
+      SELECT c.id, c.lat, c.lon,
+             CAST(floor(c.lat / 10) AS BIGINT) + dy.d AS gy,
+             CAST(floor(c.lon / 10) AS BIGINT) + dx.d AS gx
+      FROM cust c,
+           (SELECT unnest([-1, 0, 1]) AS d) dy,
+           (SELECT unnest([-1, 0, 1]) AS d) dx
+    ),
+    scored AS (
+      SELECT p.id, s.sid,
+             round((p.lat - s.slat) * (p.lat - s.slat)
+                   + (p.lon - s.slon) * (p.lon - s.slon), 6) AS d2
+      FROM probes p JOIN sg s ON p.gy = s.gy AND p.gx = s.gx
+    )
+    SELECT id AS c_custkey, sid AS nearest_supplier, d2 FROM (
+      SELECT id, sid, d2,
+             row_number() OVER (PARTITION BY id ORDER BY d2, sid) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def q173_grid_nn_join(spark, sf_dir):
+    def coord(expr, start, mod, scale, shift):
+        return (
+            F.conv(F.substring(F.md5(expr), start, 8), 16, 10).cast("long")
+            % mod
+        ) / scale - shift
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        coord(F.col("c_custkey").cast("string"), 1, 120000, 1000.0, 60).alias("lat"),
+        coord(F.col("c_custkey").cast("string"), 9, 360000, 1000.0, 180).alias("lon"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        coord(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")), 1,
+              120000, 1000.0, 60).alias("slat"),
+        coord(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")), 9,
+              360000, 1000.0, 180).alias("slon"),
+    )
+    sg = supp.select(
+        "sid",
+        "slat",
+        "slon",
+        F.floor(F.col("slat") / 10).cast("long").alias("gy"),
+        F.floor(F.col("slon") / 10).cast("long").alias("gx"),
+    )
+    offsets = F.explode(
+        F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    )
+    probes = (
+        cust.withColumn("dy", offsets)
+        .withColumn("dx", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .select(
+            "id",
+            "lat",
+            "lon",
+            (F.floor(F.col("lat") / 10).cast("long") + F.col("dy")).alias("gy"),
+            (F.floor(F.col("lon") / 10).cast("long") + F.col("dx")).alias("gx"),
+        )
+    )
+    scored = probes.join(F.broadcast(sg), ["gy", "gx"]).select(
+        "id",
+        "sid",
+        F.round(
+            (F.col("lat") - F.col("slat")) * (F.col("lat") - F.col("slat"))
+            + (F.col("lon") - F.col("slon")) * (F.col("lon") - F.col("slon")),
+            6,
+        ).alias("d2"),
+    )
+    rk = F.row_number().over(W.partitionBy("id").orderBy("d2", "sid"))
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.col("sid").alias("nearest_supplier"),
+            "d2",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q174: point-in-time (bitemporal) lookup — "what state was every user
+# in at time T?" answered over q156's SCD2 intervals: the interval
+# containing T via a range predicate on the CHANGE rows. T is the
+# fixture midpoint (anchor-derived, broadcast). The interval build
+# shuffles once on user_id; the containment filter is a projection.
+# This is the AS OF query every warehouse dimension table needs.
+# --------------------------------------------------------------------------
+@register(
+    "q174_time_travel_lookup",
+    oracle="""
+    WITH anchor AS (
+      SELECT epoch_ms(min(ts))
+             + (epoch_ms(max(ts)) - epoch_ms(min(ts))) // 2 AS t_ms
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts, event_id FROM o
+      WHERE prev_state IS NULL OR state <> prev_state
+    ),
+    iv AS (
+      SELECT user_id, state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    )
+    SELECT iv.user_id, iv.state,
+           epoch_ms(iv.valid_from) AS since_ms
+    FROM iv CROSS JOIN anchor a
+    WHERE epoch_ms(iv.valid_from) <= a.t_ms
+      AND (iv.valid_to IS NULL OR epoch_ms(iv.valid_to) > a.t_ms)
+    """,
+)
+def q174_time_travel_lookup(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("state")
+    )
+    anchor = ev.agg(
+        (
+            F.unix_millis(F.min("ts"))
+            + F.expr(
+                "(unix_millis(max(ts)) - unix_millis(min(ts))) div 2"
+            )
+        ).alias("t_ms")
+    )
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_state", F.lag("state").over(seq))
+        .where(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+        .select("user_id", "state", "ts", "event_id")
+    )
+    iv = changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(seq).alias("valid_to"),
+    )
+    return (
+        iv.crossJoin(F.broadcast(anchor))
+        .where(
+            (F.unix_millis(F.col("valid_from").cast("timestamp")) <= F.col("t_ms"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.unix_millis(F.col("valid_to").cast("timestamp")) > F.col("t_ms"))
+            )
+        )
+        .select(
+            "user_id",
+            "state",
+            F.unix_millis(F.col("valid_from").cast("timestamp")).alias(
+                "since_ms"
+            ),
+        )
     )

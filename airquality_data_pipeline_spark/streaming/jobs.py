@@ -520,3 +520,27 @@ def ohlc_stream(
             "volume",
         )
     )
+
+
+def anomaly_scoring_stream(
+    events: DataFrame, baseline: DataFrame
+) -> DataFrame:
+    """STREAM-STATIC join: score each streaming event against a
+    batch-computed seasonal baseline (q150's (event_type, hour)
+    mean/std frame) and emit only the > 3-sigma anomalies. The static
+    side is re-planned per micro-batch (so a refreshed baseline table
+    is picked up on the next trigger) and broadcast — the enrichment
+    adds no stream-side state at all, which is why scoring keeps up at
+    any input rate. Completes the streaming join matrix next to
+    stream_stream_join; pinned against the batch q150 flag set by
+    tests/test_streaming.test_anomaly_scoring_stream_matches_batch."""
+    b = baseline.select(
+        "event_type", "hh", F.col("mean").alias("b_mean"),
+        F.col("std").alias("b_std"),
+    )
+    scored = events.withColumn(
+        "hh", F.hour("ts").cast("long")
+    ).join(F.broadcast(b), ["event_type", "hh"])
+    return scored.where(
+        F.abs(F.col("value") - F.col("b_mean")) > 3 * F.col("b_std")
+    ).select("event_id", "event_type", "hh", "value")

@@ -328,3 +328,49 @@ def test_span_scrub_fully_boilerplate_doc(spark):
         assert got[d].n_kept == 0
         assert got[d].cleaned_len == 0
         assert got[d].cleaned_md5 == hashlib.md5(b"").hexdigest()
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(pairs=edge_lists)
+@SETTINGS
+def test_pagerank_fixed_point_matches_model(spark, pairs):
+    """Fixed-point PageRank == pure-Python integer model, exactly —
+    the bit-reproducibility claim the q149 oracle relies on."""
+    from airquality_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # undirected: both directions, distinct
+    edges = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    scale = 10**12
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.r
+        for r in pagerank_fixed_point(e, iterations=3, scale=scale).collect()
+    }
+
+    # pure-Python model of the identical integer arithmetic
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    nodes = sorted(out)
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    for _ in range(3):
+        s = defaultdict(int)
+        for a in nodes:
+            share = r[a] // len(out[a])
+            for b in out[a]:
+                s[b] += share
+        r = {v: (15 * scale) // (100 * n) + (85 * s[v]) // 100 for v in s}
+    assert got == dict(r)

@@ -430,3 +430,42 @@ def test_ohlc_stream_matches_batch(spark, sf_dir):
     assert got_rows, "no closed bars emitted"
     for k, v in got_rows.items():
         assert batch_rows[k] == v
+
+
+def test_anomaly_scoring_stream_matches_batch(spark, sf_dir):
+    """Stream-static join: streaming anomaly set == batch anomaly set
+    (the enrichment is stateless, so no window-closing caveats)."""
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.hour("ts").cast("long").alias("hh"),
+        "value",
+    )
+    from airquality_data_pipeline_spark.queries.common import dec
+
+    base = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 6)).cast("double").alias("s"),
+        F.sum(dec(F.col("value") * F.col("value"), 6))
+        .cast("double")
+        .alias("ss"),
+    )
+    stats = base.where(F.col("n") > 1).select(
+        "event_type",
+        "hh",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    stream = jobs.read_events_stream(spark, sf_dir)
+    got = _drain(spark, jobs.anomaly_scoring_stream(stream, stats))
+    batch_ids = {
+        r.event_id
+        for r in ev.join(stats, ["event_type", "hh"])
+        .where(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"))
+        .collect()
+    }
+    got_ids = {r.event_id for r in got.collect()}
+    assert got_ids == batch_ids
+    assert got_ids, "no anomalies scored — test is vacuous"
