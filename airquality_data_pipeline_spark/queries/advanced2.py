@@ -2614,3 +2614,225 @@ def q174_time_travel_lookup(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q175: two-sample Kolmogorov-Smirnov test — are doc-length
+# distributions the same across the two largest sources? KS statistic
+# = max |ECDF_a - ECDF_b| over the POOLED sorted sample: one global
+# sort of per-doc lengths (dimension-scale: docs, not tokens), running
+# per-source counts via windows, and a max. ECDF values divide exact
+# integer ranks, so both engines agree bit-for-bit. The accept flag
+# compares against the alpha=0.01 large-sample threshold
+# 1.63*sqrt((na+nb)/(na*nb)).
+# --------------------------------------------------------------------------
+@register(
+    "q175_ks_test",
+    oracle="""
+    WITH pick AS (
+      SELECT source, row_number() OVER (ORDER BY count(*) DESC, source)
+               AS prio
+      FROM documents GROUP BY source
+    ),
+    ab AS (SELECT source, prio FROM pick WHERE prio <= 2),
+    docs2 AS (
+      SELECT d.doc_id, ab.prio, len(d.text) AS x
+      FROM documents d JOIN ab ON d.source = ab.source
+    ),
+    walk AS (
+      SELECT x, prio,
+             SUM(CASE WHEN prio = 1 THEN 1 ELSE 0 END)
+               OVER (ORDER BY x, doc_id ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(CASE WHEN prio = 2 THEN 1 ELSE 0 END)
+               OVER (ORDER BY x, doc_id ROWS UNBOUNDED PRECEDING) AS cb
+      FROM docs2
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN prio = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN prio = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM docs2
+    )
+    SELECT t.na, t.nb,
+           round(max(abs(CAST(w.ca AS DOUBLE) / t.na
+                         - CAST(w.cb AS DOUBLE) / t.nb)), 6) AS ks_stat,
+           max(abs(CAST(w.ca AS DOUBLE) / t.na
+                   - CAST(w.cb AS DOUBLE) / t.nb))
+             < 1.63 * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb))
+             AS same_distribution_01
+    FROM walk w CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def q175_ks_test(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("x")
+    )
+    pick = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "source",
+            F.row_number()
+            .over(W.orderBy(F.desc("c"), F.asc("source")))
+            .alias("prio"),
+        )
+        .where(F.col("prio") <= 2)
+    )
+    d2 = docs.join(F.broadcast(pick), "source").select(
+        "doc_id", "prio", "x"
+    )
+    walk_w = W.orderBy("x", "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    walk = d2.select(
+        F.sum(F.when(F.col("prio") == 1, 1).otherwise(0))
+        .over(walk_w)
+        .alias("ca"),
+        F.sum(F.when(F.col("prio") == 2, 1).otherwise(0))
+        .over(walk_w)
+        .alias("cb"),
+    )
+    tot = d2.agg(
+        F.sum(F.when(F.col("prio") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("prio") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    j = walk.crossJoin(F.broadcast(tot))
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    thresh = 1.63 * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double")
+        / (F.col("na") * F.col("nb"))
+    )
+    return j.groupBy("na", "nb").agg(
+        F.round(F.max(diff), 6).alias("ks_stat"),
+        (F.max(diff) < thresh).alias("same_distribution_01"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q176: quantile normalization — map every doc's length onto the
+# POOLED distribution's quantile grid (16 bins), the cross-source
+# normalization step that makes per-source scores comparable (and the
+# batch shape of sklearn's QuantileTransformer). percent_rank within
+# source -> pooled ntile bin lookup via a range-free integer
+# computation: bin = floor(pct_rank * 16), capped at 15. Everything is
+# exact integer rank arithmetic; output is the per-(source, bin)
+# histogram that must be near-uniform per source.
+# --------------------------------------------------------------------------
+@register(
+    "q176_quantile_normalization",
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY len(text), doc_id) AS pr
+      FROM documents
+    ),
+    binned AS (
+      SELECT source,
+             least(CAST(floor(pr * 16) AS BIGINT), 15) AS bin
+      FROM ranked
+    )
+    SELECT source, bin, CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY source, bin
+    """,
+)
+def q176_quantile_normalization(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("x")
+    )
+    pr = F.percent_rank().over(
+        W.partitionBy("source").orderBy("x", "doc_id")
+    )
+    binned = docs.select(
+        "source",
+        F.least(F.floor(pr * 16).cast("long"), F.lit(15).cast("long")).alias(
+            "bin"
+        ),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# q177: inter-event-time fit — per event type, the gaps between
+# consecutive events (one lag window on the GLOBAL per-type stream),
+# the exponential-fit rate lambda = 1/mean_gap, and a dispersion check
+# (variance/mean^2 ~ 1 for a Poisson process). Gap moments run
+# through decimal quantization; the CV^2 flag is the
+# burstiness-detection rule used in event-stream monitoring.
+# --------------------------------------------------------------------------
+@register(
+    "q177_interevent_fit",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts)
+                  - lag(epoch_ms(ts)) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id)
+                  AS DOUBLE) / 1000 AS gap_s
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(gap_s) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(gap_s AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sg,
+             CAST(CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(18,6)))
+                       AS VARCHAR) AS DOUBLE) AS sgg
+      FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(sg / n, 6) AS mean_gap_s,
+           round(n / sg, 6) AS lambda_per_s,
+           round(((sgg - sg * sg / n) / (n - 1)) / ((sg / n) * (sg / n)),
+                 6) AS cv_squared,
+           ((sgg - sg * sg / n) / (n - 1)) / ((sg / n) * (sg / n))
+             < 1.5 AS poisson_like
+    FROM s
+    """,
+)
+def q177_interevent_fit(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).cast(
+                "double"
+            )
+            / 1000
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    s = gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n"),
+        F.sum(dec("gap_s", 6)).cast("double").alias("sg"),
+        F.sum(dec(F.col("gap_s") * F.col("gap_s"), 6))
+        .cast("double")
+        .alias("sgg"),
+    )
+    mean = F.col("sg") / F.col("n")
+    var = (F.col("sgg") - F.col("sg") * F.col("sg") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    cv2 = var / (mean * mean)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(F.col("n") / F.col("sg"), 6).alias("lambda_per_s"),
+        F.round(cv2, 6).alias("cv_squared"),
+        (cv2 < 1.5).alias("poisson_like"),
+    )
