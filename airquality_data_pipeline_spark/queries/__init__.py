@@ -34,6 +34,9 @@ from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q178_embedding_dim_stats",
+    "q179_hub_detection",
+    "q180_join_cardinality",
     "q175_ks_test",
     "q176_quantile_normalization",
     "q177_interevent_fit",

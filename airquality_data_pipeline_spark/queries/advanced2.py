@@ -2836,3 +2836,249 @@ def q177_interevent_fit(spark, sf_dir):
         F.round(cv2, 6).alias("cv_squared"),
         (cv2 < 1.5).alias("poisson_like"),
     )
+
+
+# --------------------------------------------------------------------------
+# q178: embedding-dimension QA — per-dimension mean/std over the
+# vector corpus, the collapse/bias screen run before any ANN index is
+# trusted (a collapsed dimension silently destroys cosine contrast).
+# Dimension 8 is PLANTED near-constant (0.042) on every 3rd vector to
+# make the flags non-vacuous. posexplode fans each vector into
+# (dim, value) — 64x, bounded by the dimensionality — and one groupBy
+# with decimal-exact moments does the rest.
+# --------------------------------------------------------------------------
+@register(
+    "q178_embedding_dim_stats",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 3 = 0 THEN
+               list_transform(range(len(embedding)),
+                 i -> CASE WHEN i = 8 THEN 0.042
+                      ELSE CAST(embedding[i+1] AS DOUBLE) END)
+             ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT CAST(g.i AS BIGINT) AS dim, v[g.i + 1] AS x
+      FROM base, UNNEST(generate_series(0, len(v) - 1)) AS g(i)
+    ),
+    s AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS sxx
+      FROM expl GROUP BY dim
+    )
+    SELECT dim, n,
+           round(sx / n, 6) AS mean,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std,
+           sqrt((sxx - sx * sx / n) / (n - 1)) < 0.5 AS collapsed,
+           abs(sx / n) > 0.1 AS biased
+    FROM s
+    """,
+)
+def q178_embedding_dim_stats(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.transform(
+                "v",
+                lambda x, i: F.when(i == 8, F.lit(0.042)).otherwise(x),
+            ),
+        )
+        .otherwise(F.col("v"))
+        .alias("v"),
+    )
+    expl = planted.select(
+        F.posexplode("v").alias("dim", "x")
+    ).select(F.col("dim").cast("long").alias("dim"), "x")
+    s = expl.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x", 8)).cast("double").alias("sx"),
+        F.sum(dec(F.col("x") * F.col("x"), 8)).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return s.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(std, 6).alias("std"),
+        (std < 0.5).alias("collapsed"),
+        (F.abs(mean) > 0.1).alias("biased"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q179: boilerplate hub detection — degree distribution of the
+# shingle-sharing graph. Documents that near-match MANY others are
+# boilerplate/template suspects (the hub pathology that poisons
+# near-dup closures — one hub fuses unrelated clusters). Candidate
+# edges come from the df-capped shingle join (q138's guard: shingles
+# with df > 64 are dropped, so no shingle contributes more than
+# C(64,2) pairs) with >= 3 shared shingles. A 30-doc boilerplate
+# CLIQUE is planted: exactly those docs must surface at degree 29.
+# Output is the degree histogram with the hub flag.
+# --------------------------------------------------------------------------
+@register(
+    "q179_hub_detection",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT 300000 + g.i AS doc_id,
+             'standard boilerplate footer all rights reserved contact us' AS text
+      FROM UNNEST(generate_series(0, 29)) AS g(i)
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h
+      FROM sh
+    ),
+    df AS (
+      SELECT h FROM hashed GROUP BY h
+      HAVING count(*) BETWEEN 2 AND 64
+    ),
+    kept AS (SELECT hashed.id, hashed.h FROM hashed JOIN df USING (h)),
+    edges AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id
+      GROUP BY a.id, b.id HAVING count(*) >= 3
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS node FROM edges
+        UNION ALL SELECT id_b AS node FROM edges
+      ) GROUP BY node
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs,
+           degree >= 10 AS is_hub_degree
+    FROM deg GROUP BY degree
+    """,
+)
+def q179_hub_detection(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = spark.range(30).select(
+        (F.col("id") + 300000).alias("doc_id"),
+        F.lit(
+            "standard boilerplate footer all rights reserved contact us"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(boiler)
+    from airquality_data_pipeline_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(corpus, text_col="text", id_col="doc_id", n=3)
+    hashed = sh.select(
+        "id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    df_ok = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c").between(2, 64))
+        .select("h")
+    )
+    kept = hashed.join(df_ok, "h")
+    a = kept.select(F.col("id").alias("id_a"), "h")
+    b = kept.select(F.col("id").alias("id_b"), "h")
+    edges = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 3)
+    )
+    deg = (
+        edges.select(F.col("id_a").alias("node"))
+        .unionAll(edges.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        "degree", "n_docs", (F.col("degree") >= 10).alias("is_hub_degree")
+    )
+
+
+# --------------------------------------------------------------------------
+# q180: join cardinality from key histograms — the cost-based
+# optimizer's core primitive: the size of lineitem JOIN orders is
+# computed WITHOUT running the join, as sum over matching keys of
+# count_a * count_b (two tiny per-key aggregates + one histogram
+# join). The constant-true `exact` column checks the prediction
+# against the real join count in-query — the algebra a CBO's estimate
+# degrades from (it samples/bounds the same histogram product).
+# --------------------------------------------------------------------------
+@register(
+    "q180_join_cardinality",
+    oracle="""
+    WITH ha AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    hb AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+      FROM orders GROUP BY o_orderkey
+    ),
+    pred AS (
+      SELECT CAST(SUM(ca * cb) AS BIGINT) AS predicted,
+             CAST(count(*) AS BIGINT) AS n_matching_keys,
+             CAST(max(ca * cb) AS BIGINT) AS max_key_contribution
+      FROM ha JOIN hb USING (k)
+    ),
+    act AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT p.predicted, p.n_matching_keys, p.max_key_contribution,
+           a.actual, p.predicted = a.actual AS exact
+    FROM pred p CROSS JOIN act a
+    """,
+)
+def q180_join_cardinality(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    ha = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    hb = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    pred = ha.join(hb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("predicted"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max(F.col("ca") * F.col("cb")).cast("long").alias(
+            "max_key_contribution"
+        ),
+    )
+    act = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    return pred.crossJoin(act).select(
+        "predicted",
+        "n_matching_keys",
+        "max_key_contribution",
+        "actual",
+        (F.col("predicted") == F.col("actual")).alias("exact"),
+    )
