@@ -3082,3 +3082,361 @@ def q180_join_cardinality(spark, sf_dir):
         "actual",
         (F.col("predicted") == F.col("actual")).alias("exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# q181: Theil-Sen robust trend — median of pairwise slopes over each
+# event type's HOURLY series (outlier-resistant alternative to q163's
+# least squares; one contaminated hour cannot move the estimate). The
+# pair stage self-joins the ~720-point-per-type AGGREGATE, never the
+# fact table — C(720,2) slope pairs per type is the deliberate,
+# bounded cost of the exact estimator (at larger series, Theil-Sen is
+# run on a deterministic hash sample of pairs, same shape).
+# --------------------------------------------------------------------------
+@register(
+    "q181_theil_sen",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_ms(date_trunc('hour', ts)) / 3600000 AS BIGINT)
+               AS hx,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / (b.hx - a.hx) AS slope
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.hx < b.hx
+    )
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(median(s.slope), 8) AS slope_per_hour,
+           round(median(s.slope) * 24, 6) AS slope_per_day
+    FROM slopes s GROUP BY s.event_type
+    """,
+)
+def q181_theil_sen(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_millis(F.date_trunc("hour", "ts")) / 3600000)
+        .cast("long")
+        .alias("hx"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = hourly.select(
+        "event_type", F.col("hx").alias("xa"), F.col("y").alias("ya")
+    )
+    b = hourly.select(
+        "event_type", F.col("hx").alias("xb"), F.col("y").alias("yb")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa"))
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.median("slope"), 8).alias("slope_per_hour"),
+        F.round(F.median("slope") * 24, 6).alias("slope_per_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q182: windowed token PMI — pointwise mutual information of token
+# pairs co-occurring within 2 positions (the distributional-semantics
+# primitive under word2vec-era embeddings). Pair generation is the
+# q146 bounded-lag trick: explode d in {1,2}, equi-join on
+# (doc, position - d) — fanout exactly 2x, shuffle keyed on the doc.
+# Marginals are unigram corpus counts; PMI = log2(c_ab N / (c_a c_b))
+# on pairs with support >= 5, rounded. Pair canonicalization is
+# lexicographic so (a,b) and (b,a) merge.
+# --------------------------------------------------------------------------
+@register(
+    "q182_token_pmi",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, g.i AS pos, t[g.i] AS tok
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+            FROM documents),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    pairs AS (
+      SELECT least(a.tok, b.tok) AS tok_a,
+             greatest(a.tok, b.tok) AS tok_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM toks a
+      JOIN (SELECT 1 AS d UNION ALL SELECT 2) off ON true
+      JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos - off.d
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT p.tok_a, p.tok_b, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+           round(log2(CAST(p.c_ab AS DOUBLE) * t.n / (ua.c * ub.c)), 6)
+             AS pmi
+    FROM pairs p
+    JOIN uni ua ON p.tok_a = ua.tok
+    JOIN uni ub ON p.tok_b = ub.tok
+    CROSS JOIN tot t
+    """,
+)
+def q182_token_pmi(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim("text")), r"\s+")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    a = toks.withColumn("d", F.explode(F.array(F.lit(1), F.lit(2))))
+    b = toks.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("b_pos"),
+        F.col("tok").alias("b_tok"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("b_doc") == F.col("doc_id"))
+            & (F.col("b_pos") == F.col("pos") - F.col("d")),
+        )
+        .groupBy(
+            F.least("tok", "b_tok").alias("tok_a"),
+            F.greatest("tok", "b_tok").alias("tok_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log2(
+                    F.col("c_ab").cast("double")
+                    * F.col("n")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q183: Benford's-law audit — first-significant-digit distribution of
+# order totals vs the Benford expectation, with a chi-square
+# conformity flag (the fraud/data-fabrication screen auditors run on
+# financial facts). The first digit comes from STRING truncation of
+# the integer part (log10-based extraction can mis-floor at exact
+# powers of ten); expected shares are hard-coded 6-decimal constants
+# so no libm log enters the comparison.
+# --------------------------------------------------------------------------
+_BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910,
+    5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@register(
+    "q183_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY digit
+    ),
+    exp AS (
+      SELECT * FROM (VALUES
+        (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        (9, 0.045757)) AS t(digit, p)
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.digit, obs.o,
+           CAST(round(CAST(exp.p AS DOUBLE) * tot.n * 1000) AS BIGINT)
+             AS expected_milli,
+           round(CAST(obs.o AS DOUBLE) / tot.n, 6) AS share,
+           round((obs.o - CAST(exp.p AS DOUBLE) * tot.n)
+                 * (obs.o - CAST(exp.p AS DOUBLE) * tot.n)
+                 / (CAST(exp.p AS DOUBLE) * tot.n), 6) AS chi2_term
+    FROM obs JOIN exp USING (digit) CROSS JOIN tot
+    """,
+)
+def q183_benford_audit(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        o.where(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    exp = spark.createDataFrame(
+        sorted(_BENFORD.items()), "digit long, p double"
+    )
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("p").cast("double") * F.col("n")
+    return (
+        obs.join(F.broadcast(exp), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "o",
+            F.round(e * 1000, 0).cast("long").alias("expected_milli"),
+            F.round(F.col("o").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q184: retention half-life — fit ln(retention) ~ a + b * week_offset
+# over q140's cohort matrix (pooled across cohorts) by least squares
+# on the log scale, and report the decay half-life -ln(2)/b. The
+# regression consumes the ~8-row offset aggregate; the only real work
+# is the two fact-scan groupBys that build the retention curve.
+# --------------------------------------------------------------------------
+@register(
+    "q184_retention_halflife",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(datediff('week', f.cohort, date_trunc('week', e.ts))
+                  AS BIGINT) AS wk
+      FROM events e JOIN firsts f USING (user_id)
+    ),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n0 FROM firsts
+      GROUP BY cohort
+    ),
+    curve AS (
+      SELECT a.wk,
+             CAST(count(*) AS BIGINT) AS active,
+             CAST(SUM(s.n0) AS BIGINT) AS base
+      FROM activity a JOIN sizes s USING (cohort)
+      GROUP BY a.wk
+      HAVING a.wk >= 1
+    ),
+    pts AS (
+      SELECT CAST(wk AS DOUBLE) AS x,
+             ln(CAST(active AS DOUBLE) / base) AS y
+      FROM curve
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT n, decay_b,
+           -- half-life from the ROUNDED slope, NULL when the curve is
+           -- flat: 1/b at b ~ 1e-15 lands where doubles are spaced
+           -- coarser than 4 decimals and engines disagree in the ULP
+           CASE WHEN abs(decay_b) < 1e-6 THEN NULL
+                ELSE round(-0.693147 / decay_b, 4) + 0.0 END
+             AS half_life_weeks
+    FROM (
+      SELECT n,
+             -- + 0.0 folds IEEE negative zero to +0.0
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+               AS decay_b
+      FROM s
+    )
+    """,
+)
+def q184_retention_halflife(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort"))
+                / 7
+            )
+            .cast("long")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n0"))
+    curve = (
+        activity.join(F.broadcast(sizes), "cohort")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("active"),
+            F.sum("n0").cast("long").alias("base"),
+        )
+        .where(F.col("wk") >= 1)
+    )
+    pts = curve.select(
+        F.col("wk").cast("double").alias("x"),
+        F.log(F.col("active").cast("double") / F.col("base")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x", 8)).cast("double").alias("sx"),
+        F.sum(dec("y", 8)).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"), 8)).cast("double").alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"), 8)).cast("double").alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    rounded = s.select("n", (F.round(b, 6) + 0.0).alias("decay_b"))
+    return rounded.select(
+        "n",
+        "decay_b",
+        F.when(
+            F.abs(F.col("decay_b")) < 1e-6, F.lit(None).cast("double")
+        )
+        .otherwise(F.round(F.lit(-0.693147) / F.col("decay_b"), 4) + 0.0)
+        .alias("half_life_weeks"),
+    )
