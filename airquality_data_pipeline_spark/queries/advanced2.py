@@ -2286,6 +2286,13 @@ def q171_anova_f(spark, sf_dir):
 # the pair term is bucket-local), majority neighbor label vs own
 # label, flag disagreements. Deterministic top-k via (cos desc, id
 # asc) ranking; majority via count desc + label asc argmax.
+# The cluster count SCALES WITH THE CORPUS (k = max(8, isqrt(n)), the
+# classic IVF k ~ sqrt(n) balance between row-local assignment cost
+# (linear in k) and per-bucket pair volume (n^2/k); one
+# count-star on the driver) so per-bucket density — and with it the
+# in-bucket pair term — stays constant as the corpus grows; a frozen k
+# measured 3.2x wall at 4x vectors (the q130 dial, here applied as the
+# registered default).
 # --------------------------------------------------------------------------
 @register(
     "q172_knn_label_noise",
@@ -2296,7 +2303,9 @@ def q171_anova_f(spark, sf_dir):
     n AS (
       SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM base
     ),
-    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+              WHERE vec_id < greatest(8, CAST(floor(sqrt(
+                        (SELECT count(*) FROM embeddings))) AS BIGINT))),
     assigned AS (
       SELECT id, v, nrm, label, bucket FROM (
         SELECT n.vec_id AS id, n.v, n.nrm, n.label, c.cent_id AS bucket,
@@ -2348,7 +2357,10 @@ def q172_knn_label_noise(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    assigned = ivf_assign(emb, F.col("id") < 8).join(
+    import math
+
+    k = max(8, math.isqrt(emb.count()))
+    assigned = ivf_assign(emb, F.col("id") < k).join(
         emb.select(F.col("vec_id").alias("id"), "label"), "id"
     )
     a = assigned.select(
