@@ -34,6 +34,8 @@ from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q185_weighted_median",
+    "q186_funnel_latency",
     "q181_theil_sen",
     "q182_token_pmi",
     "q183_benford_audit",

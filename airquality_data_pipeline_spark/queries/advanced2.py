@@ -3452,3 +3452,160 @@ def q184_retention_halflife(spark, sf_dir):
         .otherwise(F.round(F.lit(-0.693147) / F.col("decay_b"), 4) + 0.0)
         .alias("half_life_weeks"),
     )
+
+
+# --------------------------------------------------------------------------
+# q185: weighted median — order price weighted by line count (the
+# "median dollar" / weighted-quantile primitive ordinary median can't
+# express: each order counts proportionally to its mass). Cumulative
+# weights over a per-priority window with a deterministic total order,
+# then the first row where 2*cumw >= total wins (argmin via the q38
+# struct-min pattern). Weights are exact integers; no float enters the
+# selection.
+# --------------------------------------------------------------------------
+@register(
+    "q185_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+             CAST(count(*) AS BIGINT) AS wt
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, wt,
+             SUM(wt) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(wt) OVER (PARTITION BY o_orderpriority) AS totw
+      FROM w
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(totw) AS BIGINT) AS total_weight,
+           (min(CASE WHEN 2 * cumw >= totw
+                THEN struct_pack(p := o_totalprice, k := o_orderkey)
+                END)).p AS weighted_median_price
+    FROM c GROUP BY o_orderpriority
+    """,
+)
+def q185_weighted_median(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority", "o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    part = W.partitionBy("o_orderpriority")
+    c = w.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "wt",
+        F.sum("wt")
+        .over(
+            part.orderBy("o_totalprice", "o_orderkey").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("cumw"),
+        F.sum("wt").over(part).alias("totw"),
+    )
+    pick = F.when(
+        2 * F.col("cumw") >= F.col("totw"),
+        F.struct("o_totalprice", "o_orderkey"),
+    )
+    return c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("totw").cast("long").alias("total_weight"),
+        F.min(pick).getField("o_totalprice").alias("weighted_median_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q186: funnel step latency — median and p90 seconds between the
+# funnel's chained stage timestamps (q139's min-after-predecessor
+# semantics: first view, first click AFTER that view, first purchase
+# AFTER that click). Three grouped-FILTER aggregates per user ride one
+# shuffle; the latency percentiles run over the per-user stage frame
+# with the q37-established percentile/quantile_cont pair.
+# --------------------------------------------------------------------------
+@register(
+    "q186_funnel_latency",
+    oracle="""
+    WITH t1s AS (
+      SELECT user_id, min(ts) FILTER (event_type = 'view') AS t1
+      FROM events GROUP BY user_id
+    ),
+    t2s AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1s ON e.user_id = t1s.user_id
+      WHERE e.event_type = 'click' AND t1s.t1 IS NOT NULL
+        AND e.ts > t1s.t1
+      GROUP BY e.user_id
+    ),
+    t3s AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2s ON e.user_id = t2s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2s.t2
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT 'view_to_click' AS step,
+             CAST(epoch_ms(t2s.t2) - epoch_ms(t1s.t1) AS DOUBLE) / 1000
+               AS secs
+      FROM t2s JOIN t1s USING (user_id)
+      UNION ALL
+      SELECT 'click_to_purchase',
+             CAST(epoch_ms(t3s.t3) - epoch_ms(t2s.t2) AS DOUBLE) / 1000
+      FROM t3s JOIN t2s USING (user_id)
+    )
+    SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(secs, 0.5), 3) AS median_secs,
+           round(quantile_cont(secs, 0.9), 3) AS p90_secs
+    FROM lat GROUP BY step
+    """,
+)
+def q186_funnel_latency(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    ).where(F.col("t1").isNotNull())
+    t2s = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(t1s), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3s = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2s.select("user_id", "t2")), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = t2s.select(
+        F.lit("view_to_click").alias("step"),
+        (
+            (F.unix_millis("t2") - F.unix_millis("t1")).cast("double") / 1000
+        ).alias("secs"),
+    ).unionByName(
+        t3s.select(
+            F.lit("click_to_purchase").alias("step"),
+            (
+                (F.unix_millis("t3") - F.unix_millis("t2")).cast("double")
+                / 1000
+            ).alias("secs"),
+        )
+    )
+    return lat.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.expr("percentile(secs, 0.5)"), 3).alias("median_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 3).alias("p90_secs"),
+    )
