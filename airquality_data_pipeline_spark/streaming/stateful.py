@@ -135,3 +135,52 @@ def cursor_filter_stream_tws(events: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: per-user exponential smoothing state — the numeric-
+# accumulator shape of custom state (the cursor above is the watermark
+# shape). State holds (last EWMA, last event position); each batch
+# folds its rows in (ts, event_id) order, so replays and batch splits
+# produce the SAME sequential fold a single-pass batch computation
+# does — pinned bit-equal to a driver-side model in
+# tests/test_stateful.py. Emits one row per (user, batch) with the
+# post-batch EWMA (update-mode analytics: a live per-entity score).
+# ---------------------------------------------------------------------------
+EWMA_OUTPUT_SCHEMA = "user_id long, n_seen long, ewma double"
+EWMA_STATE_SCHEMA = "n_seen long, ewma double"
+EWMA_ALPHA = 0.5  # power of two: the fold is exact binary arithmetic
+
+
+def _ewma_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_seen, ewma = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        ordered = pdf.sort_values(["ts", "event_id"])
+        for v in ordered["value"]:
+            v = float(v)
+            ewma = v if ewma is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
+            n_seen += 1
+    if ewma is not None:
+        state.update((n_seen, ewma))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_seen": [n_seen], "ewma": [ewma]}
+        )
+    else:
+        yield pd.DataFrame(columns=["user_id", "n_seen", "ewma"])
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA (alpha=1/2) via applyInPandasWithState."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

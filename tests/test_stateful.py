@@ -262,3 +262,42 @@ def test_cursor_transform_with_state(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ewma_stream_matches_sequential_model(spark, sf_dir):
+    """The streaming EWMA's final per-user value must equal the exact
+    sequential fold over the batch-ordered events — bit-equal, because
+    both apply the same alpha=1/2 binary arithmetic in the same
+    (ts, event_id) order regardless of micro-batch boundaries."""
+    from airquality_data_pipeline_spark.queries.common import table, utc
+    from airquality_data_pipeline_spark.streaming import jobs, stateful
+
+    utc(spark)
+    stream = jobs.read_events_stream(spark, sf_dir)
+    name = "ewma_sink"
+    jobs.run_to_memory(stateful.ewma_stream(stream), name, output_mode="update")
+    rows = spark.sql(
+        f"SELECT user_id, n_seen, ewma FROM {name}"
+    ).collect()
+    # update mode re-emits per batch; keep the final (max n_seen) row
+    got: dict[int, tuple[int, float]] = {}
+    for r in rows:
+        if r.user_id not in got or r.n_seen > got[r.user_id][0]:
+            got[r.user_id] = (r.n_seen, r.ewma)
+
+    batch = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in batch:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    for uid, evs in series.items():
+        ewma = None
+        for _, _, v in sorted(evs):
+            v = float(v)
+            ewma = v if ewma is None else 0.5 * v + 0.5 * ewma
+        n, got_ewma = got[uid]
+        assert n == len(evs)
+        assert got_ewma == ewma, (uid, got_ewma, ewma)
