@@ -34,6 +34,9 @@ from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q187_rate_change_alert",
+    "q188_invoice_reconciliation",
+    "q189_duplicate_payments",
     "q185_weighted_median",
     "q186_funnel_latency",
     "q181_theil_sen",

@@ -3609,3 +3609,215 @@ def q186_funnel_latency(spark, sf_dir):
         F.round(F.expr("percentile(secs, 0.5)"), 3).alias("median_secs"),
         F.round(F.expr("percentile(secs, 0.9)"), 3).alias("p90_secs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q187: rate-of-change monitor — hourly volume deltas per event type,
+# flagged where |delta| exceeds 3 sigma of the type's own delta
+# distribution (jump detection; q150 catches level anomalies, this
+# catches steps). Everything after the hourly rollup runs on the
+# ~720-row-per-type aggregate: a lag window for deltas, decimal-exact
+# moments for sigma, a broadcast join back. Integer deltas keep the
+# flag arithmetic exact.
+# --------------------------------------------------------------------------
+@register(
+    "q187_rate_change_alert",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT event_type, h,
+             v - lag(v) OVER (PARTITION BY event_type ORDER BY h) AS d
+      FROM hourly
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(d) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sd,
+             CAST(CAST(SUM(CAST(d * d AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sdd
+      FROM deltas WHERE d IS NOT NULL GROUP BY event_type
+    )
+    SELECT x.event_type, x.n,
+           round(x.sd / x.n, 6) AS mean_delta,
+           round(sqrt((x.sdd - x.sd * x.sd / x.n) / (x.n - 1)), 6)
+             AS sigma_delta,
+           CAST(SUM(CASE WHEN abs(dl.d - x.sd / x.n)
+                         > 3 * sqrt((x.sdd - x.sd * x.sd / x.n) / (x.n - 1))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_jumps
+    FROM deltas dl JOIN stats x USING (event_type)
+    WHERE dl.d IS NOT NULL
+    GROUP BY x.event_type, x.n, x.sd, x.sdd
+    """,
+)
+def q187_rate_change_alert(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    deltas = hourly.select(
+        "event_type",
+        (
+            F.col("v")
+            - F.lag("v").over(W.partitionBy("event_type").orderBy("h"))
+        ).alias("d"),
+    ).where(F.col("d").isNotNull())
+    stats = deltas.groupBy("event_type").agg(
+        F.count("d").alias("n"),
+        F.sum(dec("d", 6)).cast("double").alias("sd"),
+        F.sum(dec(F.col("d") * F.col("d"), 6)).cast("double").alias("sdd"),
+    )
+    mean = F.col("sd") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    j = deltas.join(F.broadcast(stats), "event_type")
+    return j.groupBy("event_type", "n", "sd", "sdd").agg(
+        F.sum(
+            F.when(F.abs(F.col("d") - mean) > 3 * sigma, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_jumps")
+    ).select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_delta"),
+        F.round(sigma, 6).alias("sigma_delta"),
+        "n_jumps",
+    )
+
+
+# --------------------------------------------------------------------------
+# q188: invoice reconciliation — o_totalprice vs the recomputed
+# sum(extendedprice * (1+tax) * (1-discount)) per order, banded by
+# relative difference (the cross-table consistency audit run before
+# trusting any revenue rollup; on this synthetic fixture the columns
+# are independent, so the audit REPORTS the inconsistency instead of
+# assuming it away). One lineitem groupBy + an orderkey join; the
+# recomputed charge is a 6-decimal-exact product sum and band edges
+# are evaluated in multiplication form (no division).
+# --------------------------------------------------------------------------
+@register(
+    "q188_invoice_reconciliation",
+    oracle="""
+    WITH calc AS (
+      SELECT l_orderkey,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 + l_tax)
+                                * (1 - l_discount)
+                                AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS charge
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CASE
+             WHEN abs(o.o_totalprice - c.charge) <= 0.01 * o.o_totalprice
+               THEN 'reconciled_1pct'
+             WHEN abs(o.o_totalprice - c.charge) <= 0.25 * o.o_totalprice
+               THEN 'off_25pct'
+             WHEN abs(o.o_totalprice - c.charge) <= o.o_totalprice
+               THEN 'off_100pct'
+             ELSE 'gross_mismatch' END AS band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           -- gaps carry <= 6 decimals exactly: scale-6 quantization is
+           -- identity (scale-2 sat ON decimal ties and flipped rounding)
+           round(CAST(CAST(SUM(CAST(abs(o.o_totalprice - c.charge)
+                                    AS DECIMAL(18,6))) AS VARCHAR)
+                      AS DOUBLE), 2) AS abs_gap_total
+    FROM orders o JOIN calc c ON o.o_orderkey = c.l_orderkey
+    GROUP BY band
+    """,
+)
+def q188_invoice_reconciliation(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_tax", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    charge = dec(
+        F.col("l_extendedprice")
+        * (1 + F.col("l_tax"))
+        * (1 - F.col("l_discount")),
+        6,
+    )
+    calc = li.groupBy("l_orderkey").agg(
+        F.sum(charge).cast("double").alias("charge")
+    )
+    j = o.join(calc, o.o_orderkey == calc.l_orderkey)
+    gap = F.abs(F.col("o_totalprice") - F.col("charge"))
+    band = (
+        F.when(gap <= 0.01 * F.col("o_totalprice"), "reconciled_1pct")
+        .when(gap <= 0.25 * F.col("o_totalprice"), "off_25pct")
+        .when(gap <= F.col("o_totalprice"), "off_100pct")
+        .otherwise("gross_mismatch")
+    )
+    return j.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(dec(gap, 6)).cast("double"), 2).alias("abs_gap_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q189: duplicate-payment detection — orders identical on
+# (custkey, totalprice, orderdate) under DIFFERENT keys (the classic
+# accounts-payable audit). The fixture has no natural duplicates, so
+# every 503rd order is planted again under a shifted key; the audit
+# must recover exactly those groups. Grouping on the natural key is
+# one shuffle; output is per-duplicate-group with deterministic
+# min/max key evidence.
+# --------------------------------------------------------------------------
+@register(
+    "q189_duplicate_payments",
+    oracle="""
+    WITH corpus AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+      UNION ALL
+      SELECT o_orderkey + 5000000, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 503 = 0
+    )
+    SELECT o_custkey, o_totalprice,
+           epoch_ms(o_orderdate) AS orderdate_ms,
+           CAST(count(*) AS BIGINT) AS n_payments,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key
+    FROM corpus
+    GROUP BY o_custkey, o_totalprice, o_orderdate
+    HAVING count(*) > 1
+    """,
+)
+def q189_duplicate_payments(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    corpus = o.unionByName(
+        o.where(F.col("o_orderkey") % 503 == 0).select(
+            (F.col("o_orderkey") + 5000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+        )
+    )
+    return (
+        corpus.groupBy("o_custkey", "o_totalprice", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_payments"),
+            F.min("o_orderkey").cast("long").alias("first_key"),
+            F.max("o_orderkey").cast("long").alias("last_key"),
+        )
+        .where(F.col("n_payments") > 1)
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+            "n_payments",
+            "first_key",
+            "last_key",
+        )
+    )
