@@ -29,11 +29,20 @@ from airquality_data_pipeline_spark.queries import text  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import llmops  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import multimodal  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
+from airquality_data_pipeline_spark.queries import advanced3  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q190_roc_auc",
+    "q191_acf",
+    "q192_cusum_changepoint",
+    "q193_survival_km",
+    "q194_interval_union",
+    "q195_activity_streaks",
+    "q196_decile_lift",
+    "q197_last_touch_attribution",
     "q187_rate_change_alert",
     "q188_invoice_reconciliation",
     "q189_duplicate_payments",

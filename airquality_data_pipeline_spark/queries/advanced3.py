@@ -1,0 +1,679 @@
+"""Third advanced-coverage batch (round 5, session 5): model-eval and
+reliability analytics — rank-sum ROC-AUC, lag-k autocorrelation, CUSUM
+changepoint localization, Kaplan-Meier risk sets, interval-union
+coverage, consecutive-day activity streaks, decile lift/gains tables,
+and last-touch revenue attribution.
+
+Design rules follow the catalog conventions (queries/common.py):
+integer arithmetic carries every order-dependent computation (rank
+sums, risk sets, island ids, cumulative counts) so cross-engine hashes
+are bit-exact; doubles appear only in final single-expression ratios
+(identical expression tree on both engines => identical IEEE ops) or
+behind round(..., 6); windows are keyed (user/supplier/event-type)
+except where the input is a pre-shrunk aggregate (documented per
+query). No reference analog: the reference app
+(/root/reference/app/main.py, a single-thread requests/psycopg loop)
+has no analytics surface; these rows extend SURVEY.md §2.5's
+"not present" families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.queries.common import (
+    dec,
+    table,
+    utc,
+)
+from airquality_data_pipeline_spark.queries.registry import register
+
+
+# --------------------------------------------------------------------------
+# q190: ROC-AUC via the Mann-Whitney rank-sum identity — how well does
+# `value` separate purchases (positives) from clicks (negatives)?
+# AUC = U / (n_pos * n_neg) where U counts (pos, neg) pairs with
+# pos.score > neg.score (+ 1/2 per tie). Computed WITHOUT any pairwise
+# join: group by score (2-decimal values -> exact bigint cents), one
+# running sum over the ~6.5k distinct scores gives the
+# negatives-strictly-below count, and U*2 stays integer (the tie 1/2
+# becomes +nn). The only double op is the final division. At 100 TB the
+# groupBy shrinks the input to |distinct scores| rows before the
+# single-partition window — the scalable shape for rank statistics.
+# --------------------------------------------------------------------------
+@register(
+    "q190_roc_auc",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    g AS (
+      SELECT s, CAST(SUM(pos) AS BIGINT) AS np_,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn_
+      FROM s GROUP BY s
+    ),
+    c AS (
+      SELECT np_, nn_,
+             COALESCE(SUM(nn_) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS below
+      FROM g
+    )
+    SELECT CAST(SUM(np_) AS BIGINT) AS n_pos,
+           CAST(SUM(nn_) AS BIGINT) AS n_neg,
+           round(CAST(SUM(np_ * (2 * below + nn_)) AS DOUBLE)
+                 / (2.0 * SUM(np_) * SUM(nn_)), 6) AS auc
+    FROM c
+    """,
+)
+def q190_roc_auc(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("s").agg(
+        F.sum("pos").alias("np_"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("nn_"),
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select(
+        "np_",
+        "nn_",
+        F.coalesce(F.sum("nn_").over(w), F.lit(0)).alias("below"),
+    )
+    return c.agg(
+        F.sum("np_").alias("n_pos"),
+        F.sum("nn_").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np_") * (2 * F.col("below") + F.col("nn_")))
+            .cast("double")
+            / (2.0 * F.sum("np_") * F.sum("nn_")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q191: autocorrelation function at lags 1..3 over the hourly event
+# count series — the seasonality screen run before picking window sizes
+# for q150/q187-style anomaly baselines. The hourly rollup shrinks the
+# table to ~720 rows/month BEFORE the (single-partition, documented)
+# lag window; Pearson moments stay in pure int64 (counts and their
+# products), and the correlation is assembled as
+# (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2)) — the
+# two sqrt factors keep every intermediate inside int64/double range
+# (the product of the two variance terms would overflow int64).
+# --------------------------------------------------------------------------
+@register(
+    "q191_acf",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT v AS y,
+             lag(v, 1) OVER (ORDER BY h) AS v1,
+             lag(v, 2) OVER (ORDER BY h) AS v2,
+             lag(v, 3) OVER (ORDER BY h) AS v3
+      FROM hourly
+    ),
+    pairs AS (
+      SELECT 1 AS lag, v1 AS x, y FROM lagged WHERE v1 IS NOT NULL
+      UNION ALL
+      SELECT 2 AS lag, v2 AS x, y FROM lagged WHERE v2 IS NOT NULL
+      UNION ALL
+      SELECT 3 AS lag, v3 AS x, y FROM lagged WHERE v3 IS NOT NULL
+    ),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+    FROM m
+    """,
+)
+def q191_acf(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("ts")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w = W.orderBy("h")
+    lagged = hourly.select(
+        F.col("v").alias("y"),
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    pairs = lagged.select(
+        F.col("y"),
+        F.expr("stack(3, 1, v1, 2, v2, 3, v3) AS (lag, x)"),
+    ).where(F.col("x").isNotNull())
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "lag",
+        "n",
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q192: CUSUM changepoint localization — per event type, the day where
+# the cumulative deviation from the series mean peaks (the classic
+# step-change locator; q187 flags WHICH deltas jumped, this answers
+# WHEN the level shifted). S_t = cumsum(v)[t] - t * mean is computed
+# from an exact integer running sum plus one double product, so both
+# engines see identical IEEE values; the argmax is a deterministic
+# (|S| desc, day asc) rank over the ~30-row-per-type daily aggregate.
+# Windows are keyed by event_type — at 100 TB the daily rollup
+# shrinks each partition to O(days), never O(events).
+# --------------------------------------------------------------------------
+@register(
+    "q192_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(v) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type
+    ),
+    cum AS (
+      SELECT event_type, d,
+             CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+               AS BIGINT) AS t
+      FROM daily
+    ),
+    s AS (
+      SELECT c.event_type, c.d, x.n,
+             c.cum - c.t * (CAST(x.tot AS DOUBLE) / x.n) AS s_t
+      FROM cum c JOIN tot x USING (event_type)
+    ),
+    r AS (
+      SELECT event_type, d, n, s_t,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(s_t) DESC, d ASC) AS rk
+      FROM s
+    )
+    SELECT event_type, n AS n_days,
+           date_diff('day', DATE '1970-01-01', d) AS chg_epoch_day,
+           round(s_t, 6) AS cusum_peak
+    FROM r WHERE rk = 1
+    """,
+)
+def q192_cusum_changepoint(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("v").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).cast("long").alias("t"),
+    )
+    s = cum.join(F.broadcast(tot), "event_type").withColumn(
+        "s_t",
+        F.col("cum")
+        - F.col("t") * (F.col("tot").cast("double") / F.col("n")),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.abs(F.col("s_t")).desc(), F.col("d").asc()
+        )
+    )
+    return (
+        s.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.datediff("d", F.lit("1970-01-01")).alias("chg_epoch_day"),
+            F.round("s_t", 6).alias("cusum_peak"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q193: Kaplan-Meier risk sets over customer lifetimes — per distinct
+# event time (lifetime in weeks between first and last order), the
+# number at risk, the number of events, and the discrete hazard
+# d_t / n_t. Customers whose last order falls within 180 days of the
+# dataset horizon are right-censored (they leave the risk set without
+# an event). Emitting the (t, n_risk, d, hazard) table keeps every
+# value integer-or-single-division — the survival curve itself is a
+# cumulative PRODUCT whose float fold order is engine-dependent, so
+# the catalog pins the exact risk-set decomposition instead. n_risk
+# comes from one running count over the ~hundreds of distinct weeks,
+# never a per-customer window.
+# --------------------------------------------------------------------------
+@register(
+    "q193_survival_km",
+    oracle="""
+    WITH span AS (
+      SELECT o_custkey,
+             CAST(min(o_orderdate) AS DATE) AS first_d,
+             CAST(max(o_orderdate) AS DATE) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    horizon AS (
+      SELECT CAST(max(o_orderdate) AS DATE) AS max_d FROM orders
+    ),
+    life AS (
+      SELECT CAST(floor(date_diff('day', first_d, last_d) / 7.0) AS INT)
+               AS wk,
+             CASE WHEN last_d <= max_d - INTERVAL 180 DAY
+                  THEN 1 ELSE 0 END AS ev
+      FROM span, horizon
+    ),
+    bywk AS (
+      SELECT wk, CAST(SUM(ev) AS BIGINT) AS d_events,
+             CAST(count(*) AS BIGINT) AS c_all
+      FROM life GROUP BY wk
+    ),
+    risk AS (
+      SELECT wk, d_events,
+             CAST((SELECT count(*) FROM life)
+               - COALESCE(SUM(c_all) OVER (ORDER BY wk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+      FROM bywk
+    )
+    SELECT wk, n_risk, d_events,
+           round(CAST(d_events AS DOUBLE) / n_risk, 6) AS hazard
+    FROM risk WHERE d_events > 0
+    """,
+)
+def q193_survival_km(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    span = o.groupBy("o_custkey").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    horizon = o.agg(F.max("d").alias("max_d"))
+    life = span.crossJoin(F.broadcast(horizon)).select(
+        F.floor(F.datediff("last_d", "first_d") / 7)
+        .cast("int")
+        .alias("wk"),
+        F.when(
+            F.col("last_d") <= F.date_sub(F.col("max_d"), 180), 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    bywk = life.groupBy("wk").agg(
+        F.sum("ev").alias("d_events"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    total = life.agg(F.count(F.lit(1)).alias("n_total"))
+    w = W.orderBy("wk").rowsBetween(W.unboundedPreceding, -1)
+    risk = bywk.crossJoin(F.broadcast(total)).select(
+        "wk",
+        "d_events",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c_all").over(w), F.lit(0))
+        ).alias("n_risk"),
+    )
+    return risk.where(F.col("d_events") > 0).select(
+        "wk",
+        "n_risk",
+        "d_events",
+        F.round(
+            F.col("d_events").cast("double") / F.col("n_risk"), 6
+        ).alias("hazard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q194: interval-union coverage — per supplier, merge overlapping
+# shipment busy-windows [shipdate, shipdate + quantity days) and report
+# interval counts plus total covered days. The sweep is the standard
+# running-max-of-end island construction: a new island starts exactly
+# when the interval's start clears every earlier end (window over
+# PRECEDING rows only), island ids are a running sum of those starts,
+# and coverage is max(end)-min(start) per island. Everything is epoch-
+# day int64, the windows are keyed by l_suppkey with a fully
+# deterministic (start, end, orderkey, linenumber) order, and at
+# 100 TB each supplier partition sorts locally — no global sort, no
+# self-join of intervals.
+# --------------------------------------------------------------------------
+@register(
+    "q194_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE)) AS s,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + CAST(l_quantity AS BIGINT) AS e,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    marked AS (
+      SELECT l_suppkey, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY l_suppkey
+                    ORDER BY s, e, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR s > max(e) OVER (PARTITION BY l_suppkey
+                    ORDER BY s, e, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island,
+             l_orderkey, l_linenumber
+      FROM iv
+    ),
+    islands AS (
+      SELECT l_suppkey, s, e,
+             SUM(new_island) OVER (PARTITION BY l_suppkey
+               ORDER BY s, e, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT l_suppkey, island,
+             CAST(count(*) AS BIGINT) AS n_in_island,
+             max(e) - min(s) AS cov
+      FROM islands GROUP BY l_suppkey, island
+    )
+    SELECT l_suppkey,
+           CAST(SUM(n_in_island) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(SUM(cov) AS BIGINT) AS covered_days
+    FROM merged GROUP BY l_suppkey
+    """,
+)
+def q194_interval_union(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("s"),
+        (
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+            + F.col("l_quantity").cast("long")
+        ).alias("e"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("l_suppkey").orderBy(
+        "s", "e", "l_orderkey", "l_linenumber"
+    )
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    marked = li.withColumn(
+        "new_island",
+        F.when(
+            prev_max.isNull() | (F.col("s") > prev_max), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("l_suppkey", "island").agg(
+        F.count(F.lit(1)).alias("n_in_island"),
+        (F.max("e") - F.min("s")).alias("cov"),
+    )
+    return merged.groupBy("l_suppkey").agg(
+        F.sum("n_in_island").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum("cov").alias("covered_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q195: consecutive-day activity streaks — the classic gaps-and-islands
+# row_number trick (epoch_day - per-user row_number is constant within
+# a run of consecutive active days), reduced to a histogram of each
+# user's LONGEST streak. Pure integer arithmetic end to end; the only
+# windows are keyed by user_id over that user's distinct active days
+# (≤ series length), so partitions stay tiny at any corpus scale.
+# --------------------------------------------------------------------------
+@register(
+    "q195_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS day
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM runs GROUP BY user_id, grp
+    ),
+    longest AS (
+      SELECT user_id, max(len) AS best FROM streaks GROUP BY user_id
+    )
+    SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY best
+    """,
+)
+def q195_activity_streaks(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    runs = days.select(
+        "user_id",
+        (F.col("day") - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("best"))
+    return longest.groupBy(F.col("best").alias("streak_len")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# q196: decile lift / gains table — rank all purchase-vs-rest events by
+# `value` descending, cut into 10 equal-width rank deciles, and report
+# per-decile positive counts, cumulative capture rate, and lift. The
+# decile is assigned by explicit integer arithmetic over row_number
+# (((r-1)*10) div N + 1) rather than ntile, so both engines share one
+# bucket convention by construction. The ranking is the catalog's one
+# deliberate global sort family (like q90 pagination): Spark executes
+# it as a range-partitioned total sort; every later step is integer
+# aggregation over 10 rows. Lift/capture are single integer-ratio
+# divisions.
+# --------------------------------------------------------------------------
+@register(
+    "q196_decile_lift",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(SUM(pos) AS BIGINT) AS pos_total
+      FROM base
+    ),
+    ranked AS (
+      SELECT pos,
+             CAST(row_number() OVER (ORDER BY value DESC, event_id)
+               AS BIGINT) AS r
+      FROM base
+    ),
+    dec AS (
+      SELECT CAST(((r - 1) * 10) // n_total AS BIGINT) + 1 AS decile,
+             pos
+      FROM ranked, tot
+    ),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM dec GROUP BY decile
+    )
+    SELECT decile, n, n_pos,
+           round(CAST(SUM(n_pos) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / t.pos_total, 6) AS capture,
+           round(CAST(n_pos * t.n_total AS DOUBLE)
+                 / (n * t.pos_total), 6) AS lift
+    FROM g, tot t
+    """,
+)
+def q196_decile_lift(spark, sf_dir):
+    utc(spark)
+    base = table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("pos").alias("pos_total"),
+    )
+    r = F.row_number().over(
+        W.orderBy(F.col("value").desc(), F.col("event_id"))
+    ).cast("long")
+    ranked = base.select("pos", r.alias("r"))
+    dec_ = ranked.crossJoin(F.broadcast(tot)).select(
+        (F.expr("((r - 1) * 10) div n_total") + 1).alias("decile"),
+        "pos",
+        "n_total",
+        "pos_total",
+    )
+    g = dec_.groupBy("decile", "n_total", "pos_total").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(
+            F.sum("n_pos").over(wc).cast("double") / F.col("pos_total"),
+            6,
+        ).alias("capture"),
+        F.round(
+            (F.col("n_pos") * F.col("n_total")).cast("double")
+            / (F.col("n") * F.col("pos_total")),
+            6,
+        ).alias("lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q197: last-touch revenue attribution — each purchase's value is
+# credited to the most recent preceding non-purchase event type for
+# that user (the marketing-attribution primitive; purchases with no
+# prior touch fall into 'none'). One keyed window per user with a
+# fully deterministic (ts, event_id) order and an IGNORE NULLS last()
+# over PRECEDING rows — no self-join, no per-purchase scan. Revenue
+# sums go through the catalog's decimal quantization.
+# --------------------------------------------------------------------------
+@register(
+    "q197_last_touch_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'none') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS revenue
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q197_last_touch_attribution(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(
+                F.col("event_type") != "purchase", F.col("event_type")
+            ),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch"),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(dec("value", 6)).cast("double").alias("revenue"),
+        )
+    )
