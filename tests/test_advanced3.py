@@ -1,0 +1,199 @@
+"""Semantic invariants for the session-5 batch (q190-q197) — pure-Python
+model replays and conservation laws the DuckDB hash-match can't express."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.queries import QUERIES
+from airquality_data_pipeline_spark.queries.common import table
+
+
+def test_roc_auc_matches_pairwise_model(spark, sf_dir):
+    # O(n_pos * n_neg) literal pair count — feasible at sf0.001 only,
+    # which is what the default test fixture is.
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", F.round(F.col("value") * 100, 0).alias("s"))
+        .collect()
+    )
+    pos = sorted(r.s for r in ev if r.event_type == "purchase")
+    neg = sorted(r.s for r in ev if r.event_type != "purchase")
+    wins = ties = 0
+    import bisect
+
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        wins += lo
+        ties += hi - lo
+    expect = (wins + ties / 2) / (len(pos) * len(neg))
+    row = QUERIES["q190_roc_auc"](spark, sf_dir).first()
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert abs(row.auc - expect) < 1e-6
+
+
+def test_acf_bounded(spark, sf_dir):
+    rows = QUERIES["q191_acf"](spark, sf_dir).collect()
+    assert sorted(r.lag for r in rows) == [1, 2, 3]
+    assert all(abs(r.acf) <= 1.0 + 1e-9 for r in rows)
+    # lag-k pair count shrinks by exactly one pair per extra lag step
+    by_lag = {r.lag: r.n for r in rows}
+    assert by_lag[1] - 1 == by_lag[2] == by_lag[3] + 1
+
+
+def test_cusum_matches_python_model(spark, sf_dir):
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("v"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.d, r.v))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        tot = sum(v for _, v in pts)
+        mean = tot / len(pts)
+        cum, best = 0, None
+        for t, (d, v) in enumerate(pts, start=1):
+            cum += v
+            s = cum - t * mean
+            key = (-abs(s), d)
+            if best is None or key < best[0]:
+                best = (key, d, s)
+        expect[et] = (len(pts), best[1], round(best[2], 6))
+    rows = QUERIES["q192_cusum_changepoint"](spark, sf_dir).collect()
+    assert len(rows) == len(expect)
+    import datetime as dt
+
+    epoch = dt.date(1970, 1, 1)
+    for r in rows:
+        n, d, s = expect[r.event_type]
+        assert r.n_days == n
+        assert r.chg_epoch_day == (d - epoch).days
+        assert abs(r.cusum_peak - s) < 1e-6
+
+
+def test_km_risk_sets_monotone(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q193_survival_km"](spark, sf_dir).collect(),
+        key=lambda r: r.wk,
+    )
+    n_cust = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert rows, "no event weeks"
+    assert rows[0].n_risk <= n_cust
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_risk < a.n_risk or (
+            b.n_risk == a.n_risk and a.d_events == 0
+        )
+    for r in rows:
+        assert 0 < r.d_events <= r.n_risk
+        assert 0 < r.hazard <= 1.0
+
+
+def test_interval_union_matches_python_sweep(spark, sf_dir):
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01")).alias(
+                "s"
+            ),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .collect()
+    )
+    iv = defaultdict(list)
+    for r in li:
+        iv[r.l_suppkey].append((r.s, r.s + r.q))
+    expect = {}
+    for k, items in iv.items():
+        items.sort()
+        merged = []
+        for s, e in items:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect[k] = (
+            len(items),
+            len(merged),
+            sum(e - s for s, e in merged),
+        )
+    rows = QUERIES["q194_interval_union"](spark, sf_dir).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (
+            r.n_intervals,
+            r.n_merged,
+            r.covered_days,
+        ) == expect[r.l_suppkey]
+
+
+def test_streaks_match_python_model(spark, sf_dir):
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"))
+        .distinct()
+        .collect()
+    )
+    days = defaultdict(set)
+    for r in ev:
+        days[r.user_id].add(r.day)
+    hist = defaultdict(int)
+    for u, ds in days.items():
+        best = cur = 0
+        prev = None
+        for d in sorted(ds):
+            cur = cur + 1 if prev is not None and d == prev + 1 else 1
+            best = max(best, cur)
+            prev = d
+        hist[best] += 1
+    rows = QUERIES["q195_activity_streaks"](spark, sf_dir).collect()
+    assert {r.streak_len: r.n_users for r in rows} == dict(hist)
+
+
+def test_decile_lift_conservation(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q196_decile_lift"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    ev = table(spark, sf_dir, "events")
+    n_total = ev.count()
+    pos_total = ev.where(F.col("event_type") == "purchase").count()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n for r in rows) == n_total
+    assert sum(r.n_pos for r in rows) == pos_total
+    captures = [r.capture for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(captures, captures[1:]))
+    assert abs(captures[-1] - 1.0) < 1e-9
+    # rank-decile sizes differ by at most 1 from n/10
+    import math
+
+    for r in rows:
+        assert abs(r.n - n_total / 10) <= math.ceil(n_total / 10) - n_total // 10 + 1
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    rows = QUERIES["q197_last_touch_attribution"](spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    n_purchases = ev.count()
+    total = ev.agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+    ).first()[0]
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    assert abs(sum(r.revenue for r in rows) - total) < 1e-4
+    assert all(r.channel in {"click", "view", "signup", "error", "none"} for r in rows)
