@@ -35,6 +35,9 @@ from airquality_data_pipeline_spark.queries import advanced3  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q198_hierarchy_rollup",
+    "q199_calibration_bins",
+    "q200_ols_two_feature",
     "q190_roc_auc",
     "q191_acf",
     "q192_cusum_changepoint",

@@ -197,3 +197,68 @@ def test_attribution_conserves_revenue(spark, sf_dir):
     assert sum(r.n_purchases for r in rows) == n_purchases
     assert abs(sum(r.revenue for r in rows) - total) < 1e-4
     assert all(r.channel in {"click", "view", "signup", "error", "none"} for r in rows)
+
+
+def test_hierarchy_rollup_conserves_revenue(spark, sf_dir):
+    rows = QUERIES["q198_hierarchy_rollup"](spark, sf_dir).collect()
+    by_node = {r.node: r for r in rows}
+    leaves = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("rev")
+        )
+        .collect()
+    )
+    # every supplier's revenue lands in each of its ancestors' subtotals
+    for leaf in leaves:
+        node = leaf.l_suppkey
+        while True:
+            assert node in by_node
+            assert by_node[node].subtree_revenue >= leaf.rev - 1e-6
+            if node == 0:
+                break
+            node //= 10
+    # root node 0 carries the grand total over all suppliers
+    total = sum(leaf.rev for leaf in leaves)
+    assert abs(by_node[0].subtree_revenue - total) < 1e-4
+    assert by_node[0].n_members == len(leaves)
+
+
+def test_calibration_bins_mass_and_bounds(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q199_calibration_bins"](spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    n_total = table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        lo, hi = r.bin / 10, (r.bin + 1) / 10 if r.bin < 9 else 1.0 + 1e-9
+        assert lo - 1e-6 <= r.mean_pred <= hi + 1e-6
+        assert 0.0 <= r.obs_rate <= 1.0
+        assert 0.0 <= r.brier <= 1.0 + 1e-9
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    X = np.array([[1.0, r.l_quantity, r.l_discount] for r in li])
+    y = np.array([r.l_extendedprice for r in li])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    row = QUERIES["q200_ols_two_feature"](spark, sf_dir).first()
+    assert row.n == len(li)
+    assert abs(row.beta0 - beta[0]) < 1e-3
+    assert abs(row.beta1 - beta[1]) < 1e-4
+    assert abs(row.beta2 - beta[2]) < 1e-3
