@@ -30,11 +30,19 @@ from airquality_data_pipeline_spark.queries import llmops  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import multimodal  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import advanced3  # noqa: E402,F401
+from airquality_data_pipeline_spark.queries import advanced4  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q201_nation_trade",
+    "q202_market_share",
+    "q203_product_profit",
+    "q204_info_gain",
+    "q205_rolling_median",
+    "q206_khop_reachability",
+    "q207_table_profile",
     "q198_hierarchy_rollup",
     "q199_calibration_bins",
     "q200_ols_two_feature",

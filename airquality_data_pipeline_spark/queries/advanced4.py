@@ -1,0 +1,509 @@
+"""Fourth advanced-coverage batch (round 5, session 5): TPC-H-shaped
+multi-join analytics (Q7 nation trade flow, Q8 market share, Q9
+product profit) plus information-gain feature scoring, exact rolling
+medians, fixed-depth BFS reachability over the co-purchase graph, and
+a long-format table profiler.
+
+Plan rules: every dimension (nation, supplier, customer-as-dim, part)
+broadcasts; the lineitem-orders equi-join is the only big shuffle in
+the TPC-H shapes (same discipline as q158's snowflake rollup); the
+BFS expands a BOUNDED frontier through order-key-bounded co-purchase
+edges, never an all-pairs product. Cross-engine exactness follows
+queries/common.py: decimal-quantized revenue sums, integer counts,
+log2/entropy behind round(..., 6). No reference analog: the reference
+app (/root/reference/app/main.py) has no analytics surface; these rows
+extend SURVEY.md §2.5's "not present" families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.queries.common import (
+    dec,
+    table,
+    utc,
+)
+from airquality_data_pipeline_spark.queries.registry import register
+
+
+# --------------------------------------------------------------------------
+# q201: nation trade flow — the TPC-H Q7 shape: revenue shipped between
+# each (supplier nation, customer nation) pair per ship year, cross-
+# border pairs only, 1996-1997. The supplier and customer sides each
+# reduce to a broadcast key->nation map; the only shuffled join is
+# lineitem-orders on orderkey. Year filter pushes into the parquet
+# scan.
+# --------------------------------------------------------------------------
+@register(
+    "q201_nation_trade",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    WHERE year(l.l_shipdate) IN (1996, 1997)
+      AND ns.n_nationkey <> nc.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q201_nation_trade(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1996, 1997)
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            F.col("n_nationkey").alias("cust_nkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            F.col("n_nationkey").alias("supp_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("supp_nkey") != F.col("cust_nkey"))
+    )
+    return j.groupBy("supp_nation", "cust_nation", "ship_year").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("rev", 6)).cast("double").alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q202: market share — the TPC-H Q8 shape: NATION_0's share of total
+# supplier revenue per ship year, computed as a conditional aggregate
+# in ONE pass (no second scan for the denominator). The share is a
+# single division of two decimal-exact sums.
+# --------------------------------------------------------------------------
+@register(
+    "q202_market_share",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS total_revenue,
+           round(CAST(SUM(CASE WHEN n.n_name = 'NATION_0'
+                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(l.l_extendedprice
+                                      * (1 - l.l_discount)
+                                      AS DECIMAL(18,6))) AS VARCHAR)
+                        AS DOUBLE), 6) AS nation0_share
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q202_market_share(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    j = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    total = F.sum(dec("rev", 6)).cast("double")
+    n0 = F.sum(
+        F.when(F.col("n_name") == "NATION_0", dec("rev", 6)).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+    ).cast("double")
+    return j.groupBy("ship_year").agg(
+        total.alias("total_revenue"),
+        F.round(n0 / total, 6).alias("nation0_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q203: product profit — the TPC-H Q9 shape: per supplier nation and
+# ship year, profit = revenue - synthetic unit cost (60% of retail
+# price; the fixture has no partsupp table, so the cost basis is
+# p_retailprice — stated in the output column name). part and the
+# supplier->nation map both broadcast; the only shuffle is the final
+# groupBy. Profit is quantized at scale 6 (retail 2-dec x int qty x
+# 0.6 => <= 3 decimals; revenue => <= 4).
+# --------------------------------------------------------------------------
+@register(
+    "q203_product_profit",
+    oracle="""
+    SELECT n.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              - 0.6 * p.p_retailprice * l.l_quantity
+                              AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS profit_vs_retail_cost
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q203_product_profit(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    return j.groupBy("supp_nation", "ship_year").agg(
+        F.sum(dec(profit, 6)).cast("double").alias("profit_vs_retail_cost")
+    )
+
+
+# --------------------------------------------------------------------------
+# q204: information gain of event_type for predicting a high-value
+# event (value > 100) — the decision-tree split-scoring primitive
+# (q164's chi-square measures association; IG measures it in bits).
+# One map-side-combinable groupBy collects (n_x, n_x_pos); the
+# entropies are assembled from those integer counts in identical
+# double expressions (p*log2(p) guarded at p in {0,1}) and rounded to
+# 6 — the catalog's standard libm-ulp guard.
+# --------------------------------------------------------------------------
+@register(
+    "q204_info_gain",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS nx,
+             CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS px
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(nx) AS BIGINT) AS n,
+             CAST(SUM(px) AS BIGINT) AS p
+      FROM g
+    ),
+    ent AS (
+      SELECT n, p,
+             CASE WHEN p = 0 OR p = n THEN 0.0
+                  ELSE -(CAST(p AS DOUBLE) / n)
+                         * log2(CAST(p AS DOUBLE) / n)
+                       - (1.0 - CAST(p AS DOUBLE) / n)
+                         * log2(1.0 - CAST(p AS DOUBLE) / n)
+             END AS h_y
+      FROM tot
+    ),
+    cond AS (
+      SELECT CAST(SUM(CAST(nx AS DOUBLE) / t.n * (
+               CASE WHEN px = 0 OR px = nx THEN 0.0
+                    ELSE -(CAST(px AS DOUBLE) / nx)
+                           * log2(CAST(px AS DOUBLE) / nx)
+                         - (1.0 - CAST(px AS DOUBLE) / nx)
+                           * log2(1.0 - CAST(px AS DOUBLE) / nx)
+               END)) AS DOUBLE) AS h_y_given_x
+      FROM g, tot t
+    )
+    SELECT e.n AS n_events, round(e.h_y, 6) AS h_y,
+           round(c.h_y_given_x, 6) AS h_y_given_x,
+           round(e.h_y - c.h_y_given_x, 6) AS info_gain
+    FROM ent e, cond c
+    """,
+)
+def q204_info_gain(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") > 100, 1).otherwise(0).alias("y"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nx"), F.sum("y").alias("px")
+    )
+
+    def binent(p_cnt, n_cnt):
+        pr = p_cnt.cast("double") / n_cnt
+        return (
+            F.when((p_cnt == 0) | (p_cnt == n_cnt), F.lit(0.0))
+            .otherwise(-pr * F.log2(pr) - (1.0 - pr) * F.log2(1.0 - pr))
+        )
+
+    tot = g.agg(F.sum("nx").alias("n"), F.sum("px").alias("p"))
+    cond = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("nx").cast("double")
+                / F.col("n")
+                * binent(F.col("px"), F.col("nx"))
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("h_y_given_x"))
+    )
+    ent = tot.select(
+        "n", "p", binent(F.col("p"), F.col("n")).alias("h_y")
+    )
+    return ent.crossJoin(F.broadcast(cond)).select(
+        F.col("n").alias("n_events"),
+        F.round("h_y", 6).alias("h_y"),
+        F.round("h_y_given_x", 6).alias("h_y_given_x"),
+        F.round(F.col("h_y") - F.col("h_y_given_x"), 6).alias("info_gain"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q205: exact rolling median — 7-day trailing median of the daily
+# event-count series per event type (the robust twin of a moving
+# average; q145's MAD is the dispersion analog). percentile(0.5) over
+# a ROWS frame computes the exact interpolated median; integer counts
+# make the interpolation arithmetic (a + (b-a)*0.5) exact in both
+# engines, so no rounding is needed. Keyed windows over the daily
+# AGGREGATE — partitions are O(days) regardless of event volume.
+# --------------------------------------------------------------------------
+@register(
+    "q205_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, v,
+           median(v) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+    FROM daily
+    """,
+)
+def q205_rolling_median(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.expr("percentile(v, 0.5)").over(w).alias("med7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q206: fixed-depth BFS reachability — parts reachable from part 0 in
+# <= 2 hops over the co-purchase graph (parts sharing an order). Each
+# hop is one equi-join of the CURRENT FRONTIER against the
+# order-key-bounded edge list (items-per-order caps the fanout) — the
+# unrolled, scale-shaped form of a recursive CTE for a known hop
+# budget (the iterative-to-convergence version is operators/graph.py's
+# CC). The frontier filter is pushed BEFORE pair formation: each hop
+# semi-joins the a-side of the co-purchase self-join against the
+# (broadcastable) current frontier, so the global distinct edge list
+# is never materialized — per-hop work tracks the frontier's order
+# neighborhood, not |edges| (measured: 2.6 s -> 0.6 s at sf0.1).
+# --------------------------------------------------------------------------
+@register(
+    "q206_khop_reachability",
+    oracle="""
+    WITH hop1 AS (
+      SELECT DISTINCT b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey = 0 AND b.l_partkey <> 0
+    ),
+    hop2 AS (
+      SELECT DISTINCT b.l_partkey AS dst
+      FROM lineitem a
+      JOIN hop1 h ON a.l_partkey = h.dst
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE b.l_partkey <> 0
+        AND b.l_partkey <> a.l_partkey
+        AND b.l_partkey NOT IN (SELECT dst FROM hop1)
+    )
+    SELECT CAST(1 AS BIGINT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM hop1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM hop2
+    """,
+)
+def q206_khop_reachability(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    hop1 = (
+        a.where(F.col("a.l_partkey") == 0)
+        .join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("b.l_partkey") != 0)
+        .select(F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    frontier = hop1.withColumnRenamed("dst", "mid")
+    hop2 = (
+        a.join(F.broadcast(frontier), F.col("a.l_partkey") == F.col("mid"))
+        .join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(
+            (F.col("b.l_partkey") != 0)
+            & (F.col("b.l_partkey") != F.col("a.l_partkey"))
+        )
+        .select(F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .join(hop1, "dst", "left_anti")
+    )
+    one = hop1.agg(
+        F.lit(1).cast("long").alias("hop"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+    two = hop2.agg(
+        F.lit(2).cast("long").alias("hop"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+    return one.unionByName(two)
+
+
+# --------------------------------------------------------------------------
+# q207: table profiler — the long-format per-column summary (nulls,
+# exact distinct count, min/max as strings) every ingestion pipeline
+# runs before trusting a new feed (the generalized form of q161's
+# targeted DQ probes). ONE scan computes every metric (multi-column
+# count-distinct plans as a single expand), then a row-local stack
+# pivots wide->long. String rendering sticks to bigint/varchar
+# columns so both engines format identically.
+# --------------------------------------------------------------------------
+@register(
+    "q207_table_profile",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS d1,
+             CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+             CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+             count(o_custkey) AS c2, count(DISTINCT o_custkey) AS d2,
+             CAST(min(o_custkey) AS VARCHAR) AS mn2,
+             CAST(max(o_custkey) AS VARCHAR) AS mx2,
+             count(o_orderstatus) AS c3,
+             count(DISTINCT o_orderstatus) AS d3,
+             min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+             count(o_orderpriority) AS c4,
+             count(DISTINCT o_orderpriority) AS d4,
+             min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4
+      FROM orders
+    )
+    SELECT col, CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_val, max_val
+    FROM (
+      SELECT 'o_orderkey' AS col, n - c1 AS n_nulls, d1 AS n_distinct,
+             mn1 AS min_val, mx1 AS max_val FROM m
+      UNION ALL
+      SELECT 'o_custkey', n - c2, d2, mn2, mx2 FROM m
+      UNION ALL
+      SELECT 'o_orderstatus', n - c3, d3, mn3, mx3 FROM m
+      UNION ALL
+      SELECT 'o_orderpriority', n - c4, d4, mn4, mx4 FROM m
+    )
+    """,
+)
+def q207_table_profile(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("c1"),
+        F.countDistinct("o_orderkey").alias("d1"),
+        F.min("o_orderkey").cast("string").alias("mn1"),
+        F.max("o_orderkey").cast("string").alias("mx1"),
+        F.count("o_custkey").alias("c2"),
+        F.countDistinct("o_custkey").alias("d2"),
+        F.min("o_custkey").cast("string").alias("mn2"),
+        F.max("o_custkey").cast("string").alias("mx2"),
+        F.count("o_orderstatus").alias("c3"),
+        F.countDistinct("o_orderstatus").alias("d3"),
+        F.min("o_orderstatus").alias("mn3"),
+        F.max("o_orderstatus").alias("mx3"),
+        F.count("o_orderpriority").alias("c4"),
+        F.countDistinct("o_orderpriority").alias("d4"),
+        F.min("o_orderpriority").alias("mn4"),
+        F.max("o_orderpriority").alias("mx4"),
+    )
+    return m.select(
+        F.expr(
+            "stack(4,"
+            " 'o_orderkey', n - c1, d1, mn1, mx1,"
+            " 'o_custkey', n - c2, d2, mn2, mx2,"
+            " 'o_orderstatus', n - c3, d3, mn3, mx3,"
+            " 'o_orderpriority', n - c4, d4, mn4, mx4)"
+            " AS (col, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

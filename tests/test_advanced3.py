@@ -262,3 +262,78 @@ def test_ols_matches_numpy(spark, sf_dir):
     assert abs(row.beta0 - beta[0]) < 1e-3
     assert abs(row.beta1 - beta[1]) < 1e-4
     assert abs(row.beta2 - beta[2]) < 1e-3
+
+
+def test_nation_trade_cross_border_only(spark, sf_dir):
+    rows = QUERIES["q201_nation_trade"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.supp_nation != r.cust_nation
+        assert r.ship_year in (1996, 1997)
+        assert r.n_items > 0 and r.revenue > 0
+
+
+def test_market_share_bounds_and_total(spark, sf_dir):
+    rows = QUERIES["q202_market_share"](spark, sf_dir).collect()
+    assert all(0.0 <= r.nation0_share <= 1.0 for r in rows)
+    total = sum(r.total_revenue for r in rows)
+    expect = (
+        table(spark, sf_dir, "lineitem")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double")
+        )
+        .first()[0]
+    )
+    assert abs(total - expect) < 1e-3
+
+
+def test_info_gain_nonnegative(spark, sf_dir):
+    row = QUERIES["q204_info_gain"](spark, sf_dir).first()
+    assert 0.0 <= row.h_y <= 1.0
+    assert 0.0 <= row.h_y_given_x <= 1.0
+    assert row.info_gain >= -1e-6
+    assert abs((row.h_y - row.h_y_given_x) - row.info_gain) < 2e-6
+
+
+def test_rolling_median_matches_python(spark, sf_dir):
+    rows = QUERIES["q205_rolling_median"](spark, sf_dir).collect()
+    series = defaultdict(list)
+    for r in rows:
+        series[r.event_type].append((r.d, r.v, r.med7))
+    for pts in series.values():
+        pts.sort()
+        vals = [v for _, v, _ in pts]
+        for i, (_, _, med) in enumerate(pts):
+            win = sorted(vals[max(0, i - 6) : i + 1])
+            n = len(win)
+            if n % 2:
+                expect = float(win[n // 2])
+            else:
+                a, b = win[n // 2 - 1], win[n // 2]
+                expect = a + (b - a) * 0.5
+            assert abs(med - expect) < 1e-9
+
+
+def test_khop_frontier_sane(spark, sf_dir):
+    rows = {r.hop: r.n_reached for r in QUERIES[
+        "q206_khop_reachability"
+    ](spark, sf_dir).collect()}
+    n_parts = table(spark, sf_dir, "part").count()
+    assert set(rows) == {1, 2}
+    assert rows[1] > 0
+    assert rows[1] + rows[2] <= n_parts - 1
+
+
+def test_table_profile_key_columns(spark, sf_dir):
+    rows = {r.col: r for r in QUERIES["q207_table_profile"](
+        spark, sf_dir
+    ).collect()}
+    n_orders = table(spark, sf_dir, "orders").count()
+    assert rows["o_orderkey"].n_nulls == 0
+    assert rows["o_orderkey"].n_distinct == n_orders
+    assert int(rows["o_orderkey"].min_val) <= int(rows["o_orderkey"].max_val)
+    assert rows["o_orderstatus"].n_distinct <= 3
