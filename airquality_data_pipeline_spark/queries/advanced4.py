@@ -507,3 +507,165 @@ def q207_table_profile(spark, sf_dir):
             " AS (col, n_nulls, n_distinct, min_val, max_val)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q208: top-N with OTHER rollup — per customer market segment, the 3
+# order priorities with the highest revenue keep their names and the
+# tail collapses into 'OTHER' (the standard reporting cardinality
+# cap). The ranking window runs on the (segment, priority) AGGREGATE
+# (|segments| x |priorities| rows), with a (revenue desc, priority)
+# tiebreak so the cut is deterministic; revenue sums are
+# decimal-exact at both levels.
+# --------------------------------------------------------------------------
+@register(
+    "q208_topn_with_other",
+    oracle="""
+    WITH agg AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                  AS VARCHAR) AS DOUBLE) AS rev,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, priority, rev, n,
+             row_number() OVER (PARTITION BY segment
+               ORDER BY rev DESC, priority) AS rk
+      FROM agg
+    )
+    SELECT segment,
+           CASE WHEN rk <= 3 THEN priority ELSE 'OTHER' END AS bucket,
+           CAST(SUM(n) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS revenue
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q208_topn_with_other(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(dec("o_totalprice", 6)).cast("double").alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("segment").orderBy(
+            F.col("rev").desc(), F.col("priority")
+        )
+    )
+    ranked = agg.withColumn("rk", rk)
+    bucket = F.when(F.col("rk") <= 3, F.col("priority")).otherwise("OTHER")
+    return ranked.groupBy(
+        "segment", bucket.alias("bucket")
+    ).agg(
+        F.sum("n").alias("n_orders"),
+        F.sum(dec("rev", 6)).cast("double").alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q209: binary-segmentation changepoint — the optimal single split of
+# the daily event-count series minimizing total within-segment SSE
+# (the variance-based complement to q192's CUSUM locator: CUSUM finds
+# the peak cumulative deviation, this finds the split a 2-segment
+# piecewise-constant fit would choose). Prefix sums of v and v^2 stay
+# int64 over the running window, each candidate split's SSE is one
+# double expression from those exact integers, and the argmin is a
+# deterministic (sse asc, day asc) rank — all on the ~30-row daily
+# aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q209_binary_segmentation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT d, v,
+             CAST(SUM(v) OVER w AS BIGINT) AS cs,
+             CAST(SUM(v * v) OVER w AS BIGINT) AS css,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(v) OVER () AS BIGINT) AS st,
+             CAST(SUM(v * v) OVER () AS BIGINT) AS sst
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    sse AS (
+      SELECT d, k, n,
+             (css - CAST(cs AS DOUBLE) * cs / k)
+             + ((sst - css)
+                - CAST(st - cs AS DOUBLE) * (st - cs) / (n - k)) AS s2,
+             sst - CAST(st AS DOUBLE) * st / n AS s0
+      FROM pre WHERE k < n
+    )
+    SELECT d AS split_epoch_day, k AS n_left, n - k AS n_right,
+           round(s2, 6) AS sse_split,
+           round(s0 - s2, 6) AS sse_reduction
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY s2 ASC, d ASC) AS rk
+      FROM sse
+    ) WHERE rk = 1
+    """,
+)
+def q209_binary_segmentation(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    wrun = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    pre = daily.select(
+        "d",
+        F.sum("v").over(wrun).alias("cs"),
+        F.sum(F.col("v") * F.col("v")).over(wrun).alias("css"),
+        F.row_number().over(W.orderBy("d")).cast("long").alias("k"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("v").over(wall).alias("st"),
+        F.sum(F.col("v") * F.col("v")).over(wall).alias("sst"),
+    )
+    s2 = (
+        F.col("css") - F.col("cs").cast("double") * F.col("cs") / F.col("k")
+    ) + (
+        (F.col("sst") - F.col("css"))
+        - (F.col("st") - F.col("cs")).cast("double")
+        * (F.col("st") - F.col("cs"))
+        / (F.col("n") - F.col("k"))
+    )
+    s0 = F.col("sst") - F.col("st").cast("double") * F.col("st") / F.col("n")
+    sse = pre.where(F.col("k") < F.col("n")).select(
+        "d", "k", "n", s2.alias("s2"), s0.alias("s0")
+    )
+    rk = F.row_number().over(W.orderBy(F.col("s2").asc(), F.col("d").asc()))
+    return (
+        sse.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("d").alias("split_epoch_day"),
+            F.col("k").alias("n_left"),
+            (F.col("n") - F.col("k")).alias("n_right"),
+            F.round("s2", 6).alias("sse_split"),
+            F.round(F.col("s0") - F.col("s2"), 6).alias("sse_reduction"),
+        )
+    )

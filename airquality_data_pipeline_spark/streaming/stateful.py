@@ -184,3 +184,66 @@ def ewma_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-touch attribution: per-user state holds the most
+# recent non-purchase event type (the "touch"); each purchase is
+# credited to that touch at the moment it arrives — the streaming twin
+# of the batch q197 window (queries/advanced3.py). State is one small
+# string per user, revenue accumulates as exact integer cents, and the
+# per-batch fold runs in (ts, event_id) order so micro-batch
+# boundaries never change the credit assignment (pinned equal to the
+# batch aggregate in tests/test_stateful.py). Emits one row per
+# (user, channel) per batch with that batch's increments — downstream
+# aggregation over the emitted rows reproduces the batch answer.
+# ---------------------------------------------------------------------------
+ATTR_OUTPUT_SCHEMA = (
+    "user_id long, channel string, n_purchases long, revenue_cents long"
+)
+ATTR_STATE_SCHEMA = "touch string"
+
+
+def _attribution_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (touch,) = state.get if state.exists else (None,)
+    credit: dict = {}
+    for pdf in pdfs:
+        ordered = pdf.sort_values(["ts", "event_id"])
+        for et, v in zip(ordered["event_type"], ordered["value"]):
+            if et == "purchase":
+                ch = touch if touch is not None else "none"
+                n, cents = credit.get(ch, (0, 0))
+                credit[ch] = (n + 1, cents + int(round(float(v) * 100)))
+            else:
+                touch = et
+    state.update((touch,))
+    if credit:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(credit),
+                "channel": list(credit),
+                "n_purchases": [n for n, _ in credit.values()],
+                "revenue_cents": [c for _, c in credit.values()],
+            }
+        )
+    else:
+        yield pd.DataFrame(
+            columns=["user_id", "channel", "n_purchases", "revenue_cents"]
+        )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Per-user streaming last-touch attribution via applyInPandasWithState."""
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attribution_fn,
+            outputStructType=ATTR_OUTPUT_SCHEMA,
+            stateStructType=ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -337,3 +337,46 @@ def test_table_profile_key_columns(spark, sf_dir):
     assert rows["o_orderkey"].n_distinct == n_orders
     assert int(rows["o_orderkey"].min_val) <= int(rows["o_orderkey"].max_val)
     assert rows["o_orderstatus"].n_distinct <= 3
+
+
+def test_topn_other_conserves_orders(spark, sf_dir):
+    rows = QUERIES["q208_topn_with_other"](spark, sf_dir).collect()
+    n_orders = table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    by_seg = defaultdict(list)
+    for r in rows:
+        by_seg[r.segment].append(r.bucket)
+    for seg, buckets in by_seg.items():
+        named = [b for b in buckets if b != "OTHER"]
+        assert len(named) <= 3
+        assert len(named) == len(set(named))
+
+
+def test_binary_segmentation_is_optimal(spark, sf_dir):
+    row = QUERIES["q209_binary_segmentation"](spark, sf_dir).first()
+    daily = sorted(
+        (r.d, r.v)
+        for r in table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .collect()
+    )
+    vals = [v for _, v in daily]
+    n = len(vals)
+
+    def sse(xs):
+        if not xs:
+            return 0.0
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs)
+
+    best = min(
+        (sse(vals[:k]) + sse(vals[k:]), daily[k - 1][0])
+        for k in range(1, n)
+    )
+    assert row.split_epoch_day == best[1]
+    assert abs(row.sse_split - best[0]) < 1e-4
+    assert row.sse_reduction >= -1e-9
+    assert row.n_left + row.n_right == n

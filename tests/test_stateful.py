@@ -301,3 +301,32 @@ def test_ewma_stream_matches_sequential_model(spark, sf_dir):
         n, got_ewma = got[uid]
         assert n == len(evs)
         assert got_ewma == ewma, (uid, got_ewma, ewma)
+
+
+def test_attribution_stream_matches_batch_q197(spark, sf_dir):
+    """Summing the streamed per-batch attribution increments over all
+    micro-batches must reproduce the batch q197 channel rollup exactly
+    (counts integer-equal; revenue compared in exact integer cents)."""
+    from airquality_data_pipeline_spark.queries import QUERIES
+    from airquality_data_pipeline_spark.queries.common import utc
+    from airquality_data_pipeline_spark.streaming import jobs, stateful
+
+    utc(spark)
+    stream = jobs.read_events_stream(spark, sf_dir)
+    name = "attr_sink"
+    jobs.run_to_memory(
+        stateful.attribution_stream(stream), name, output_mode="append"
+    )
+    got: dict[str, tuple[int, int]] = {}
+    for r in spark.sql(
+        f"SELECT channel, SUM(n_purchases) AS n, SUM(revenue_cents) AS c"
+        f" FROM {name} GROUP BY channel"
+    ).collect():
+        got[r.channel] = (r.n, r.c)
+
+    batch = QUERIES["q197_last_touch_attribution"](spark, sf_dir).collect()
+    expect = {
+        r.channel: (r.n_purchases, int(round(r.revenue * 100)))
+        for r in batch
+    }
+    assert got == expect
