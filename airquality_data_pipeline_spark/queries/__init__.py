@@ -36,6 +36,10 @@ from airquality_data_pipeline_spark.queries import advanced4  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q210_pareto_frontier",
+    "q211_robust_means",
+    "q212_survivorship",
+    "q213_backtest_smape",
     "q208_topn_with_other",
     "q209_binary_segmentation",
     "q201_nation_trade",

@@ -669,3 +669,205 @@ def q209_binary_segmentation(spark, sf_dir):
             F.round(F.col("s0") - F.col("s2"), 6).alias("sse_reduction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q210: Pareto frontier (skyline) — parts not dominated on
+# (minimize retail price, maximize size). Only the max-size point per
+# distinct price can survive, so the skyline reduces to a groupBy on
+# price followed by one ascending sweep: keep the point iff its size
+# strictly exceeds the running max over all strictly cheaper points.
+# The sweep window runs on the per-price AGGREGATE (|distinct prices|
+# rows), the standard sort-based skyline shape — never the O(n^2)
+# dominance join.
+# --------------------------------------------------------------------------
+@register(
+    "q210_pareto_frontier",
+    oracle="""
+    WITH best AS (
+      SELECT p_retailprice AS price, CAST(max(p_size) AS BIGINT) AS size
+      FROM part GROUP BY p_retailprice
+    ),
+    sweep AS (
+      SELECT price, size,
+             max(size) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM best
+    )
+    SELECT price, size
+    FROM sweep WHERE prev_max IS NULL OR size > prev_max
+    """,
+)
+def q210_pareto_frontier(spark, sf_dir):
+    utc(spark)
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    best = p.groupBy("price").agg(F.max("size").alias("size"))
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    sweep = best.withColumn("prev_max", F.max("size").over(w))
+    return sweep.where(
+        F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max"))
+    ).select("price", "size")
+
+
+# --------------------------------------------------------------------------
+# q211: robust means — arithmetic, geometric (exp of the mean log) and
+# harmonic (reciprocal of the mean reciprocal) value per event type.
+# Per-row ln(v) and 1/v go through the catalog's decimal quantization
+# before the order-dependent sum (the q135 char-entropy recipe: the
+# quantized value is identical on both engines, so the exact decimal
+# sum is too); the final exp/division is a single rounded expression.
+# One map-side-combinable groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "q211_robust_means",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_arith,
+           round(exp(CAST(SUM(CAST(ln(value) AS DECIMAL(18,6)))
+                          AS DOUBLE) / count(*)), 6) AS mean_geom,
+           round(count(*)
+                 / CAST(SUM(CAST(1.0 / value AS DECIMAL(18,6)))
+                        AS DOUBLE), 6) AS mean_harm
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def q211_robust_means(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("value") > 0)
+    n = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(F.sum(dec("value", 6)).cast("double") / n, 6).alias(
+            "mean_arith"
+        ),
+        F.round(
+            F.exp(F.sum(dec(F.log("value"), 6)).cast("double") / n), 6
+        ).alias("mean_geom"),
+        F.round(
+            n / F.sum(dec(F.lit(1.0) / F.col("value"), 6)).cast("double"),
+            6,
+        ).alias("mean_harm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q212: survivorship merge (MDM golden record) — collapse each
+# (customer, order day) duplicate group into one record under explicit
+# per-column survivorship rules: latest surrogate key wins the status
+# (struct-argmax), amounts keep the maximum, priority keeps the
+# SQL-minimum, and the group's cardinality is retained for audit. Only
+# true duplicate groups (>1 record) are emitted — the q189
+# duplicate-detection output is the natural input feed. One keyed
+# groupBy; every rule is an aggregate, no window, no self-join.
+# --------------------------------------------------------------------------
+@register(
+    "q212_survivorship",
+    oracle="""
+    SELECT o_custkey,
+           epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS order_day_ms,
+           CAST(count(*) AS BIGINT) AS n_dupes,
+           CAST(max(o_orderkey) AS BIGINT) AS golden_key,
+           max_by(o_orderstatus, o_orderkey) AS golden_status,
+           max(o_totalprice) AS golden_amount,
+           min(o_orderpriority) AS golden_priority
+    FROM orders
+    GROUP BY o_custkey, o_orderdate
+    HAVING count(*) > 1
+    """,
+)
+def q212_survivorship(spark, sf_dir):
+    utc(spark)
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_dupes"),
+        F.max("o_orderkey").alias("golden_key"),
+        F.expr("max_by(o_orderstatus, o_orderkey)").alias("golden_status"),
+        F.max("o_totalprice").alias("golden_amount"),
+        F.min("o_orderpriority").alias("golden_priority"),
+    )
+    return g.where(F.col("n_dupes") > 1).select(
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "order_day_ms"
+        ),
+        "n_dupes",
+        "golden_key",
+        "golden_status",
+        "golden_amount",
+        "golden_priority",
+    )
+
+
+# --------------------------------------------------------------------------
+# q213: forecast backtest — seasonal-naive forecast (this day's count
+# = the count 7 days earlier) over the daily per-type series, scored
+# with MAE / MAPE / SMAPE (the standard forecast-eval triple; q06 is
+# the fit, this is the honest holdout scoring). The lag-7 lookup is a
+# keyed lag window on the daily AGGREGATE; errors are integer
+# |v - f|, the relative terms are decimal-quantized per row before
+# the mean.
+# --------------------------------------------------------------------------
+@register(
+    "q213_backtest_smape",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    fc AS (
+      SELECT event_type, d, v,
+             lag(v, 7) OVER (PARTITION BY event_type ORDER BY d) AS f
+      FROM daily
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(abs(v - f)) AS DOUBLE) / count(*), 6) AS mae,
+           round(CAST(SUM(CAST(CAST(abs(v - f) AS DOUBLE) / v
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mape,
+           round(CAST(SUM(CAST(2.0 * abs(v - f) / (v + f)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS smape
+    FROM fc WHERE f IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q213_backtest_smape(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    w = W.partitionBy("event_type").orderBy("d")
+    fc = daily.withColumn("f", F.lag("v", 7).over(w)).where(
+        F.col("f").isNotNull()
+    )
+    n = F.count(F.lit(1))
+    err = F.abs(F.col("v") - F.col("f"))
+    return fc.groupBy("event_type").agg(
+        n.alias("n_days"),
+        F.round(F.sum(err).cast("double") / n, 6).alias("mae"),
+        F.round(
+            F.sum(dec(err.cast("double") / F.col("v"), 6)).cast("double")
+            / n,
+            6,
+        ).alias("mape"),
+        F.round(
+            F.sum(
+                dec(2.0 * err / (F.col("v") + F.col("f")), 6)
+            ).cast("double")
+            / n,
+            6,
+        ).alias("smape"),
+    )

@@ -380,3 +380,75 @@ def test_binary_segmentation_is_optimal(spark, sf_dir):
     assert abs(row.sse_split - best[0]) < 1e-4
     assert row.sse_reduction >= -1e-9
     assert row.n_left + row.n_right == n
+
+
+def test_pareto_frontier_undominated(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q210_pareto_frontier"](spark, sf_dir).collect(),
+        key=lambda r: r.price,
+    )
+    pts = [
+        (r.p_retailprice, r.p_size)
+        for r in table(spark, sf_dir, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+    frontier = [(r.price, r.size) for r in rows]
+    # strictly increasing size along increasing price
+    for a, b in zip(frontier, frontier[1:]):
+        assert a[0] < b[0] and a[1] < b[1]
+    # no frontier point dominated by any part
+    for fp, fs in frontier:
+        assert not any(
+            (p <= fp and s >= fs) and (p < fp or s > fs) for p, s in pts
+        )
+    # every non-frontier point is dominated by some frontier point
+    fset = set(frontier)
+    for p, s in pts:
+        if (p, s) not in fset:
+            assert any(
+                fp <= p and fs >= s and (fp < p or fs > s)
+                for fp, fs in frontier
+            )
+
+
+def test_robust_means_inequality(spark, sf_dir):
+    for r in QUERIES["q211_robust_means"](spark, sf_dir).collect():
+        assert r.mean_harm <= r.mean_geom + 1e-6
+        assert r.mean_geom <= r.mean_arith + 1e-6
+        assert r.n > 0
+
+
+def test_survivorship_rules(spark, sf_dir):
+    rows = QUERIES["q212_survivorship"](spark, sf_dir).collect()
+    import datetime as dt
+
+    orders = table(spark, sf_dir, "orders").collect()
+    groups = defaultdict(list)
+    for o in orders:
+        groups[(o.o_custkey, o.o_orderdate)].append(o)
+    dup_groups = {k: v for k, v in groups.items() if len(v) > 1}
+    assert len(rows) == len(dup_groups)
+    for r in rows:
+        key = (
+            r.o_custkey,
+            dt.datetime.fromtimestamp(
+                r.order_day_ms / 1000, dt.timezone.utc
+            ).replace(tzinfo=None),
+        )
+        g = dup_groups[key]
+        assert r.n_dupes == len(g)
+        assert r.golden_key == max(o.o_orderkey for o in g)
+        assert r.golden_status == max(g, key=lambda o: o.o_orderkey).o_orderstatus
+        assert r.golden_amount == max(o.o_totalprice for o in g)
+        assert r.golden_priority == min(o.o_orderpriority for o in g)
+
+
+def test_backtest_error_bounds(spark, sf_dir):
+    rows = QUERIES["q213_backtest_smape"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > 0
+        assert r.mae >= 0.0
+        assert r.mape >= 0.0
+        assert 0.0 <= r.smape <= 2.0 + 1e-9
