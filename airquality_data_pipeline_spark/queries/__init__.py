@@ -31,11 +31,16 @@ from airquality_data_pipeline_spark.queries import multimodal  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import advanced3  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import advanced4  # noqa: E402,F401
+from airquality_data_pipeline_spark.queries import llmops2  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q214_epoch_capped_mixture",
+    "q215_template_prefix",
+    "q216_tokenizer_fertility",
+    "q217_curriculum_interleave",
     "q210_pareto_frontier",
     "q211_robust_means",
     "q212_survivorship",

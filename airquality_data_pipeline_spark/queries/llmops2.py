@@ -1,0 +1,324 @@
+"""Second LLM-curation batch (round 5, session 5): epoch-capped token
+allocation (the waterfilling mixture solver), template-prefix
+detection, tokenizer fertility statistics, and curriculum interleave
+ordering.
+
+These extend the llmops family (A-ES sampling, perplexity filters,
+token budgets, leakage audits) with the remaining mixture-design and
+tokenizer-QA primitives a training-data pipeline runs before packing:
+how many epochs of each language fit a token budget under per-source
+caps, which documents share templated boilerplate prefixes, how a
+tokenizer's fertility varies by language, and what order the packed
+curriculum should emit difficulty strata in. Design rules as
+elsewhere: integer token counts, closed-form waterfilling over the
+per-group AGGREGATE (never a driver loop), md5-derived ordering, and
+double arithmetic only in shared final expressions. No reference
+analog (SURVEY.md §2.5 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.queries.common import table, utc
+from airquality_data_pipeline_spark.queries.registry import register
+
+
+# --------------------------------------------------------------------------
+# q214: epoch-capped token allocation — waterfilling the mixture.
+# Budget B = 2.5x the corpus's whitespace tokens; each language may
+# contribute at most cap = epochs_cap x its own tokens (1 epoch for
+# 'en', 4 for low-resource languages — the upsampling asymmetry that
+# makes the cap bind). The classic waterfill: sort languages by cap
+# ascending, find the first k where the level
+# lambda_k = (B - sum(caps below)) / (n - k + 1) fits under cap_k;
+# everything below k is capped, everything from k on gets lambda_k.
+# Closed form from one cumulative-sum window over the |languages|-row
+# aggregate — no iteration, no driver loop; at 100 TB only the token
+# groupBy touches the corpus. Integer caps; lambda is the only double
+# and is assembled identically on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q214_epoch_capped_mixture",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END) AS BIGINT) AS c
+      FROM documents GROUP BY lang
+    ),
+    capped AS (
+      SELECT lang, c,
+             c * CASE WHEN lang = 'en' THEN 1 ELSE 4 END AS cap
+      FROM toks
+    ),
+    anchor AS (
+      SELECT CAST(SUM(c) AS BIGINT) * 2.5 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM capped
+    ),
+    ranked AS (
+      SELECT lang, c, cap, b, n,
+             CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+             CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_below
+      FROM capped, anchor
+    ),
+    lam AS (
+      SELECT min(i) AS k
+      FROM ranked
+      WHERE (b - cum_below) / (n - i + 1) <= cap
+    ),
+    level AS (
+      SELECT r.b, (r.b - r.cum_below) / (r.n - r.i + 1) AS lambda_
+      FROM ranked r JOIN lam ON r.i = lam.k
+    )
+    SELECT r.lang, r.c AS lang_tokens, r.cap,
+           round(CASE WHEN l.lambda_ IS NULL
+                           OR (l.lambda_ IS NOT NULL AND r.i < (SELECT k FROM lam))
+                      THEN CAST(r.cap AS DOUBLE)
+                      ELSE l.lambda_ END, 3) AS alloc_tokens,
+           round(CASE WHEN l.lambda_ IS NULL
+                           OR (l.lambda_ IS NOT NULL AND r.i < (SELECT k FROM lam))
+                      THEN CAST(r.cap AS DOUBLE)
+                      ELSE l.lambda_ END / r.c, 6) AS epochs
+    FROM ranked r LEFT JOIN level l ON TRUE
+    """,
+)
+def q214_epoch_capped_mixture(spark, sf_dir):
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    t = F.trim(F.col("text"))
+    ws = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    toks = docs.groupBy("lang").agg(F.sum(ws).alias("c"))
+    capped = toks.withColumn(
+        "cap",
+        F.col("c") * F.when(F.col("lang") == "en", 1).otherwise(4),
+    )
+    anchor = capped.agg(
+        (F.sum("c") * 2.5).alias("b"), F.count(F.lit(1)).alias("n")
+    )
+    wr = W.orderBy("cap", "lang")
+    ranked = capped.crossJoin(F.broadcast(anchor)).select(
+        "lang",
+        "c",
+        "cap",
+        "b",
+        "n",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.coalesce(
+            F.sum("cap").over(wr.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_below"),
+    )
+    lam_i = (F.col("b") - F.col("cum_below")) / (
+        F.col("n") - F.col("i") + 1
+    )
+    lam = (
+        ranked.where(lam_i <= F.col("cap"))
+        .agg(F.min("i").alias("k"))
+    )
+    level = (
+        ranked.join(F.broadcast(lam), ranked.i == F.col("k"))
+        .select(lam_i.alias("lambda_"), F.col("k").alias("k2"))
+    )
+    j = ranked.crossJoin(F.broadcast(level.select("lambda_", "k2")))
+    alloc = F.when(
+        F.col("lambda_").isNull() | (F.col("i") < F.col("k2")),
+        F.col("cap").cast("double"),
+    ).otherwise(F.col("lambda_"))
+    return j.select(
+        "lang",
+        F.col("c").alias("lang_tokens"),
+        "cap",
+        F.round(alloc, 3).alias("alloc_tokens"),
+        F.round(alloc / F.col("c"), 6).alias("epochs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q215: template-prefix detection — documents sharing a long common
+# prefix are templated boilerplate (auto-generated intros, scraped
+# headers); dedup misses them when bodies differ. The fixture corpus
+# is organically prefix-free, so every 11th doc is planted with a
+# shared header (the same corpus-union construction both engines
+# derive). One row-local prefix projection + one groupBy; flagged
+# prefixes need >= 3 docs from >= 2 sources.
+# --------------------------------------------------------------------------
+@register(
+    "q215_template_prefix",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000, source,
+             'TEMPLATE HEADER v1: all rights reserved. ' || text
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    pre AS (
+      SELECT doc_id, source, substr(text, 1, 32) AS prefix
+      FROM corpus WHERE len(text) >= 32
+    )
+    SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM pre
+    GROUP BY prefix
+    HAVING count(*) >= 3 AND count(DISTINCT source) >= 2
+    """,
+)
+def q215_template_prefix(spark, sf_dir):
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    planted = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        "source",
+        F.concat(
+            F.lit("TEMPLATE HEADER v1: all rights reserved. "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    pre = corpus.where(F.length("text") >= 32).select(
+        "doc_id", "source", F.substring("text", 1, 32).alias("prefix")
+    )
+    g = pre.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return g.where((F.col("n_docs") >= 3) & (F.col("n_sources") >= 2))
+
+
+# --------------------------------------------------------------------------
+# q216: tokenizer fertility — per language, subword-per-word fertility
+# and chars-per-subword for the catalog's BPE-ish proxy tokenizer
+# (operators/text.token_counts: alpha runs, single digits, single
+# punctuation). High-fertility languages cost more sequence length per
+# word — the tokenizer-QA table read before setting packing lengths
+# (q98). Pure integer sums; ratios are single divisions of exact
+# integers.
+# --------------------------------------------------------------------------
+@register(
+    "q216_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+             END AS words,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS subwords,
+             len(text) AS chars
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(subwords) AS BIGINT) AS subwords,
+           round(CAST(SUM(subwords) AS DOUBLE) / SUM(words), 6)
+             AS fertility,
+           round(CAST(SUM(chars) AS DOUBLE) / SUM(subwords), 6)
+             AS chars_per_subword
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q216_tokenizer_fertility(spark, sf_dir):
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    t = F.trim(F.col("text"))
+    words = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    subwords = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]")
+    )
+    per_doc = docs.select(
+        "lang",
+        words.alias("words"),
+        subwords.alias("subwords"),
+        F.length("text").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("subwords").alias("subwords"),
+        F.round(
+            F.sum("subwords").cast("double") / F.sum("words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("subwords"), 6
+        ).alias("chars_per_subword"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q217: curriculum interleave — order the corpus so difficulty strata
+# (length deciles as the deterministic difficulty proxy) are emitted
+# round-robin: position r of stratum d trains before position r+1 of
+# any stratum (easy->hard within each round, full coverage across
+# rounds). Decile assignment uses the q196 integer formula over a
+# (n_chars, doc_id) rank; intra-stratum order is md5-derived (the
+# catalog's seedless shuffle). Emits the first 30 curriculum slots.
+# The global rank is the one sort (range-partitioned at scale, q90
+# family); everything else is keyed windows.
+# --------------------------------------------------------------------------
+@register(
+    "q217_curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+               AS BIGINT) AS r,
+             CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+      FROM documents
+    ),
+    strata AS (
+      SELECT doc_id, CAST(((r - 1) * 10) // n AS BIGINT) AS stratum
+      FROM ranked
+    ),
+    ordered AS (
+      SELECT doc_id, stratum,
+             CAST(row_number() OVER (PARTITION BY stratum
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS slot
+      FROM strata
+    ),
+    pos AS (
+      SELECT doc_id, stratum, slot,
+             CAST(row_number() OVER (ORDER BY slot, stratum)
+               AS BIGINT) AS position
+      FROM ordered
+    )
+    SELECT position, stratum, slot, doc_id
+    FROM pos WHERE position <= 30
+    """,
+)
+def q217_curriculum_interleave(spark, sf_dir):
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_total = docs.agg(F.count(F.lit(1)).alias("n"))
+    r = F.row_number().over(W.orderBy("n_chars", "doc_id")).cast("long")
+    ranked = docs.select("doc_id", r.alias("r")).crossJoin(
+        F.broadcast(n_total)
+    )
+    strata = ranked.select(
+        "doc_id",
+        F.expr("((r - 1) * 10) div n").alias("stratum"),
+    )
+    slot = F.row_number().over(
+        W.partitionBy("stratum").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    ).cast("long")
+    ordered = strata.select("doc_id", "stratum", slot.alias("slot"))
+    pos = F.row_number().over(W.orderBy("slot", "stratum")).cast("long")
+    return (
+        ordered.select("doc_id", "stratum", "slot", pos.alias("position"))
+        .where(F.col("position") <= 30)
+        .select("position", "stratum", "slot", "doc_id")
+    )

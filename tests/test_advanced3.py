@@ -452,3 +452,58 @@ def test_backtest_error_bounds(spark, sf_dir):
         assert r.mae >= 0.0
         assert r.mape >= 0.0
         assert 0.0 <= r.smape <= 2.0 + 1e-9
+
+
+def test_waterfill_budget_and_caps(spark, sf_dir):
+    rows = QUERIES["q214_epoch_capped_mixture"](spark, sf_dir).collect()
+    total_tokens = sum(r.lang_tokens for r in rows)
+    budget = 2.5 * total_tokens
+    for r in rows:
+        assert r.alloc_tokens <= r.cap + 1e-6
+        cap_epochs = 1 if r.lang == "en" else 4
+        assert r.epochs <= cap_epochs + 1e-6
+        assert abs(r.cap - cap_epochs * r.lang_tokens) < 1e-9
+    allocated = sum(r.alloc_tokens for r in rows)
+    # feasible budget (B < sum of caps) must be spent exactly
+    if budget <= sum(r.cap for r in rows):
+        assert abs(allocated - budget) < 0.01
+    # at least one language capped and one at the water level
+    capped = [r for r in rows if abs(r.alloc_tokens - r.cap) < 1e-6]
+    floating = [r for r in rows if r.alloc_tokens < r.cap - 1e-6]
+    assert capped and floating
+
+
+def test_template_prefix_recovers_plant(spark, sf_dir):
+    rows = QUERIES["q215_template_prefix"](spark, sf_dir).collect()
+    planted_prefix = "TEMPLATE HEADER v1: all rights re"[:32]
+    hit = [r for r in rows if r.prefix == planted_prefix]
+    assert len(hit) == 1
+    n_expected = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 0)
+        .count()
+    )
+    assert hit[0].n_docs == n_expected
+    assert hit[0].n_sources >= 2
+
+
+def test_fertility_at_least_one(spark, sf_dir):
+    rows = QUERIES["q216_tokenizer_fertility"](spark, sf_dir).collect()
+    assert {r.lang for r in rows} >= {"en"}
+    for r in rows:
+        assert r.subwords >= r.words
+        assert r.fertility >= 1.0
+        assert r.chars_per_subword > 0
+
+
+def test_curriculum_round_robin(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q217_curriculum_interleave"](spark, sf_dir).collect(),
+        key=lambda r: r.position,
+    )
+    assert [r.position for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 30
+    # slot-major order: slots non-decreasing; within a slot, strata increase
+    for a, b in zip(rows, rows[1:]):
+        assert (a.slot, a.stratum) < (b.slot, b.stratum)
+    assert len({r.doc_id for r in rows}) == 30
