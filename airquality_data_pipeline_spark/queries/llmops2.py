@@ -322,3 +322,174 @@ def q217_curriculum_interleave(spark, sf_dir):
         .where(F.col("position") <= 30)
         .select("position", "stratum", "slot", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q218: Matryoshka truncation recall — how much top-k neighbor quality
+# survives truncating embeddings to their first 32 of 64 dimensions
+# (the MRL deploy question: can the cheap prefix slice serve
+# retrieval?). Exact top-5 at full width vs exact top-5 on the
+# row-local slice, per-query overlap count — both sides reuse the
+# q44 broadcast-query pattern (bounded query set, candidate scan stays
+# partition-local; no quadratic blowup). Cosines round to 6 before
+# ranking (the operators/similarity determinism grid).
+# --------------------------------------------------------------------------
+@register(
+    "q218_matryoshka_recall",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm,
+             embedding[1:32]::DOUBLE[] AS tv,
+             sqrt(list_dot_product(embedding[1:32]::DOUBLE[],
+                                   embedding[1:32]::DOUBLE[])) AS tnrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, tv AS qtv,
+                 tnrm AS qtn
+          FROM n WHERE vec_id < 10),
+    full_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.qid AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6)
+                   DESC, n.vec_id) AS rank
+        FROM n, q WHERE n.vec_id <> q.qid
+      ) WHERE rank <= 5
+    ),
+    trunc_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.qid AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_dot_product(q.qtv, n.tv) / (q.qtn * n.tnrm),
+                       6) DESC, n.vec_id) AS rank
+        FROM n, q WHERE n.vec_id <> q.qid
+      ) WHERE rank <= 5
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(t.neighbor_id) AS DOUBLE) / 5, 6) AS recall
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def q218_matryoshka_recall(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    full_k = cosine_topk(emb, query_pred=F.col("id") < 10, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = emb.withColumn("embedding", F.slice("embedding", 1, 32))
+    trunc_k = cosine_topk(trunc, query_pred=F.col("id") < 10, k=5).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    j = full_k.join(
+        F.broadcast(trunc_k),
+        (F.col("query_id") == F.col("tq"))
+        & (F.col("neighbor_id") == F.col("tn")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("tn").alias("n_hits"),
+        F.round(F.count("tn").cast("double") / 5, 6).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q219: Fisher class-separation per embedding dimension — which of the
+# 64 dimensions actually separate the labels (between-class variance /
+# within-class variance; the supervised companion to q178's
+# unsupervised collapse screen). posexplode fans each vector into
+# (dim, value, label) — a BOUNDED 64x fanout — then ONE groupBy
+# collects per-(dim, label) decimal-exact moments and per-dim algebra
+# assembles the ratio. Top-10 dims by score with a deterministic
+# tiebreak.
+# --------------------------------------------------------------------------
+@register(
+    "q219_fisher_dims",
+    oracle="""
+    WITH flat AS (
+      SELECT label, u.dim, u.x
+      FROM embeddings,
+           LATERAL (SELECT generate_subscripts(embedding, 1) AS dim,
+                           unnest(embedding::DOUBLE[]) AS x) u
+    ),
+    bylab AS (
+      SELECT dim, label, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS ss
+      FROM flat GROUP BY dim, label
+    ),
+    bydim AS (
+      SELECT dim,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS st,
+             SUM(ss - s * s / n) AS within_ss,
+             CAST(count(*) AS BIGINT) AS n_classes
+      FROM bylab GROUP BY dim
+    ),
+    fisher AS (
+      SELECT b.dim,
+             SUM(b.n * (b.s / b.n - d.st / d.nt)
+                     * (b.s / b.n - d.st / d.nt)) AS between_ss,
+             any_value(d.within_ss) AS within_ss,
+             any_value(d.n_classes) AS n_classes
+      FROM bylab b JOIN bydim d ON b.dim = d.dim
+      GROUP BY b.dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n_classes,
+           round(between_ss / within_ss, 6) AS fisher
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY round(between_ss / within_ss, 6) DESC, dim) AS rk
+      FROM fisher
+    ) WHERE rk <= 10
+    """,
+)
+def q219_fisher_dims(spark, sf_dir):
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings").select("label", "embedding")
+    flat = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "x")
+    bylab = flat.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    bydim = bylab.groupBy("dim").agg(
+        F.sum("n").alias("nt"),
+        F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("st"),
+        F.sum(
+            F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+        ).alias("within_ss"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    joined = bylab.join(F.broadcast(bydim), "dim")
+    dev = F.col("s") / F.col("n") - F.col("st") / F.col("nt")
+    fisher = joined.groupBy("dim").agg(
+        F.sum(F.col("n") * dev * dev).alias("between_ss"),
+        F.expr("any_value(within_ss)").alias("within_ss"),
+        F.expr("any_value(n_classes)").alias("n_classes"),
+    )
+    score = F.round(F.col("between_ss") / F.col("within_ss"), 6)
+    rk = F.row_number().over(W.orderBy(score.desc(), F.col("dim")))
+    return (
+        fisher.withColumn("rk", rk)
+        .where(F.col("rk") <= 10)
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n_classes",
+            score.alias("fisher"),
+        )
+    )

@@ -507,3 +507,24 @@ def test_curriculum_round_robin(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert (a.slot, a.stratum) < (b.slot, b.stratum)
     assert len({r.doc_id for r in rows}) == 30
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    rows = QUERIES["q218_matryoshka_recall"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall - r.n_hits / 5) < 1e-9
+
+
+def test_fisher_dims_ranked(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q219_fisher_dims"](spark, sf_dir).collect(),
+        key=lambda r: -r.fisher,
+    )
+    assert len(rows) == 10
+    assert all(r.fisher >= 0 for r in rows)
+    assert all(1 <= r.dim <= 64 for r in rows)
+    assert all(r.n_classes == rows[0].n_classes for r in rows)
+    scores = [r.fisher for r in rows]
+    assert scores == sorted(scores, reverse=True)
