@@ -88,3 +88,97 @@ def test_parse_iso_ts_variants(spark):
     assert by_raw["2024-01-02T03:04:05.123Z"] == base + 123
     assert by_raw["garbage"] is None  # null on failure (C1)
     assert by_raw[None] is None
+
+
+def test_binaryfile_and_wholetext_sources(spark, sf_dir):
+    """File-per-item ingestion — the multimodal lake layout (one blob
+    per object) read through Spark's built-in binaryFile and
+    text(wholetext) sources. The binaryFile payload must be
+    byte-identical to the UTF-8 text, and feeding it through the
+    Arrow-batched feature extractor must produce the SAME features as
+    the parquet-sourced synthesize_corpus path (ingest equivalence)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airquality_data_pipeline_spark.operators import multimodal
+    from airquality_data_pipeline_spark.queries.common import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source", "lang")
+        .orderBy("doc_id")
+        .limit(8)
+        .collect()
+    )
+    blob_dir = tempfile.mkdtemp(prefix="fmt_blob_")
+    for r in docs:
+        with open(os.path.join(blob_dir, f"{r.doc_id}.txt"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+
+    # binaryFile: path + length + raw content
+    bf = (
+        spark.read.format("binaryFile")
+        .load(blob_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "length",
+            "content",
+        )
+    )
+    got = {r.doc_id: r for r in bf.collect()}
+    assert set(got) == {r.doc_id for r in docs}
+    for r in docs:
+        payload = r.text.encode("utf-8")
+        assert got[r.doc_id].length == len(payload)
+        assert bytes(got[r.doc_id].content) == payload
+
+    # wholetext: one row per file, content as string
+    wt = (
+        spark.read.option("wholetext", True)
+        .text(blob_dir)
+        .withColumn(
+            "doc_id",
+            F.regexp_extract(
+                F.input_file_name(), r"(\d+)\.txt$", 1
+            ).cast("long"),
+        )
+    )
+    assert {(r.doc_id, r.value) for r in wt.collect()} == {
+        (r.doc_id, r.text) for r in docs
+    }
+
+    # ingest equivalence: binaryFile -> payload schema -> features
+    # must equal the parquet-sourced synthesize_corpus path
+    doc_df = spark.createDataFrame(
+        [(r.doc_id, r.text, r.source, r.lang) for r in docs],
+        "doc_id long, text string, source string, lang string",
+    )
+    via_parquet = multimodal.extract_features(
+        multimodal.synthesize_corpus(doc_df)
+    ).select("item_id", "n_bytes", "feature")
+    meta = doc_df.select("doc_id", "source", "lang")
+    via_files = multimodal.extract_features(
+        bf.join(meta, "doc_id").select(
+            F.col("doc_id").alias("item_id"),
+            F.element_at(
+                F.array(*[F.lit(m) for m in multimodal.MODALITIES]),
+                (F.col("doc_id") % len(multimodal.MODALITIES) + 1).cast(
+                    "int"
+                ),
+            ).alias("modality"),
+            F.col("content").alias("payload"),
+            F.create_map(
+                F.lit("source"),
+                F.col("source"),
+                F.lit("lang"),
+                F.col("lang"),
+            ).alias("meta"),
+        )
+    ).select("item_id", "n_bytes", "feature")
+    a = {r.item_id: (r.n_bytes, tuple(r.feature)) for r in via_parquet.collect()}
+    b = {r.item_id: (r.n_bytes, tuple(r.feature)) for r in via_files.collect()}
+    assert a == b
