@@ -871,3 +871,224 @@ def q213_backtest_smape(spark, sf_dir):
             6,
         ).alias("smape"),
     )
+
+
+# --------------------------------------------------------------------------
+# q220: CUPED variance reduction — the experimentation-platform
+# adjustment: using each user's PRE-period spend as the covariate,
+# theta = cov(x,y)/var(x) computed once globally, then per-variant
+# outcome variance before/after the adjustment
+# y' = y - theta*(x - mean_x). Everything reduces to one per-user
+# aggregate (two conditional sums) and decimal-exact sufficient
+# statistics; the adjusted variance uses the closed form
+# var(y') = var(y) - 2*theta*cov(x,y) + theta^2*var(x) so no second
+# pass over users is needed. Deterministic variant = user_id % 2.
+# --------------------------------------------------------------------------
+@register(
+    "q220_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(value AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR)
+                  AS DOUBLE) AS x,
+             CAST(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(value AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR)
+                  AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    gstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(24,6))) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(24,6))) AS VARCHAR)
+                  AS DOUBLE) AS sxy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx / n AS mx,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th
+      FROM gstats
+    ),
+    cell AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(24,6))) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(y * y AS DECIMAL(24,6))) AS VARCHAR)
+                  AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(24,6))) AS VARCHAR)
+                  AS DOUBLE) AS sxy
+      FROM per_user GROUP BY variant
+    )
+    SELECT c.variant, c.n_users,
+           round(c.sy / c.n_users, 6) AS mean_y,
+           round(c.sy / c.n_users - t.th * (c.sx / c.n_users - t.mx), 6)
+             AS mean_y_adj,
+           round((c.syy - c.sy * c.sy / c.n_users) / (c.n_users - 1), 6)
+             AS var_y,
+           round(((c.syy - c.sy * c.sy / c.n_users)
+                  - 2 * t.th * (c.sxy - c.sx * c.sy / c.n_users)
+                  + t.th * t.th * (c.sxx - c.sx * c.sx / c.n_users))
+                 / (c.n_users - 1), 6) AS var_y_adj
+    FROM cell c, theta t
+    """,
+)
+def q220_cuped(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,6)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, dec("value", 6)).otherwise(zero))
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= cutoff, dec("value", 6)).otherwise(zero)
+        )
+        .cast("double")
+        .alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
+
+    def d24(c):
+        return c.cast("decimal(24,6)")
+
+    glob = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x", 6)).cast("double").alias("sx"),
+        F.sum(dec("y", 6)).cast("double").alias("sy"),
+        F.sum(d24(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d24(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    theta = glob.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("th"),
+    )
+    cell = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(dec("x", 6)).cast("double").alias("sx"),
+        F.sum(dec("y", 6)).cast("double").alias("sy"),
+        F.sum(d24(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d24(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(d24(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    j = cell.crossJoin(F.broadcast(theta))
+    nu = F.col("n_users")
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / nu) / (nu - 1)
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / nu
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / nu
+    var_adj = (
+        (F.col("syy") - F.col("sy") * F.col("sy") / nu)
+        - 2 * F.col("th") * cov
+        + F.col("th") * F.col("th") * var_x
+    ) / (nu - 1)
+    return j.select(
+        "variant",
+        "n_users",
+        F.round(F.col("sy") / nu, 6).alias("mean_y"),
+        F.round(
+            F.col("sy") / nu
+            - F.col("th") * (F.col("sx") / nu - F.col("mx")),
+            6,
+        ).alias("mean_y_adj"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_adj, 6).alias("var_y_adj"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q221: difference-in-differences — the 2x2 causal contrast:
+# (treated post - treated pre) - (control post - control pre) over
+# mean event value, with all four cell means and counts reported.
+# ONE conditional-aggregate pass over the fact table (no per-cell
+# re-scan); decimal-exact sums, single-division means, and the DiD
+# estimate assembled from the four exact ratios in one shared
+# expression.
+# --------------------------------------------------------------------------
+@register(
+    "q221_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS post,
+             value
+      FROM events
+    ),
+    agg AS (
+      SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS s
+      FROM cells GROUP BY treated, post
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s / n END) AS t_pre,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s / n END) AS t_post,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s / n END) AS c_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s / n END) AS c_post,
+        CAST(SUM(n) AS BIGINT) AS n_events
+      FROM agg
+    )
+    SELECT n_events,
+           round(t_pre, 6) AS treated_pre,
+           round(t_post, 6) AS treated_post,
+           round(c_pre, 6) AS control_pre,
+           round(c_post, 6) AS control_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+    FROM wide
+    """,
+)
+def q221_diff_in_diff(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    cells = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.when(F.col("ts") >= cutoff, 1).otherwise(0).alias("post"),
+        "value",
+    )
+    agg = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 6)).cast("double").alias("s"),
+    )
+
+    def cell_mean(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("s") / F.col("n"),
+            )
+        )
+
+    wide = agg.agg(
+        cell_mean(1, 0).alias("t_pre"),
+        cell_mean(1, 1).alias("t_post"),
+        cell_mean(0, 0).alias("c_pre"),
+        cell_mean(0, 1).alias("c_post"),
+        F.sum("n").alias("n_events"),
+    )
+    return wide.select(
+        "n_events",
+        F.round("t_pre", 6).alias("treated_pre"),
+        F.round("t_post", 6).alias("treated_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+    )

@@ -528,3 +528,26 @@ def test_fisher_dims_ranked(spark, sf_dir):
     assert all(r.n_classes == rows[0].n_classes for r in rows)
     scores = [r.fisher for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cuped_reduces_variance(spark, sf_dir):
+    rows = QUERIES["q220_cuped"](spark, sf_dir).collect()
+    assert {r.variant for r in rows} == {0, 1}
+    for r in rows:
+        assert r.n_users > 1
+        assert r.var_y > 0
+        # theta is the global OLS minimizer, so adjusted variance can
+        # exceed the raw variance per-variant only slightly
+        assert r.var_y_adj <= r.var_y * 1.05
+
+
+def test_did_consistency(spark, sf_dir):
+    r = QUERIES["q221_diff_in_diff"](spark, sf_dir).first()
+    assert r.n_events == table(spark, sf_dir, "events").count()
+    assert abs(
+        (r.treated_post - r.treated_pre)
+        - (r.control_post - r.control_pre)
+        - r.did_estimate
+    ) < 5e-6
+    for v in (r.treated_pre, r.treated_post, r.control_pre, r.control_post):
+        assert v > 0
