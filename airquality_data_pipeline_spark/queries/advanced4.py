@@ -1092,3 +1092,292 @@ def q221_diff_in_diff(spark, sf_dir):
             6,
         ).alias("did_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# q222: Poisson bootstrap CI — the scale-out bootstrap: instead of
+# resampling n users with replacement (which needs global coordination),
+# each user draws an independent Poisson(1) weight per replicate; at
+# large n the weighted replicates converge to classical bootstrap
+# resamples, and the whole procedure is one bounded 20x explode over
+# the per-user AGGREGATE. Weights come from the catalog's md5-uniform
+# through the hard-coded Poisson(1) inverse CDF (identical literals
+# both engines), replicate means use decimal-exact weighted sums, and
+# the 2.5/97.5 percentile CI is an exact interpolation over the 20
+# replicate means rounded to the determinism grid.
+# --------------------------------------------------------------------------
+@register(
+    "q222_poisson_bootstrap",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    reps AS (
+      SELECT user_id, y, r.rep,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':'
+                                    || CAST(r.rep AS VARCHAR)), 1, 8)
+              )::BIGINT / 4294967296.0 AS u
+      FROM per_user, (SELECT unnest(range(0, 20)) AS rep) r
+    ),
+    weighted AS (
+      SELECT rep, y,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  ELSE 6 END AS w
+      FROM reps
+    ),
+    rep_means AS (
+      SELECT rep,
+             CAST(CAST(SUM(CAST(w * y AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS m
+      FROM weighted GROUP BY rep
+    ),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             round(CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR)
+                        AS DOUBLE) / count(*), 6) AS estimate
+      FROM per_user
+    )
+    SELECT e.n_users, CAST(20 AS BIGINT) AS n_reps, e.estimate,
+           round(quantile_cont(r.m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(r.m, 0.975), 6) AS ci_hi
+    FROM rep_means r, est e
+    GROUP BY e.n_users, e.estimate
+    """,
+)
+def q222_poisson_bootstrap(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(dec("value", 6)).cast("double").alias("y")
+    )
+    reps = per_user.select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .when(u < 0.9994058151824183, 5)
+        .otherwise(6)
+    )
+    weighted = reps.select("rep", "y", w.alias("w"))
+    rep_means = weighted.groupBy("rep").agg(
+        (
+            F.sum(dec(F.col("w") * F.col("y"), 6)).cast("double")
+            / F.sum("w")
+        ).alias("m")
+    )
+    est = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum(dec("y", 6)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("estimate"),
+    )
+    ci = rep_means.agg(
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+    )
+    return est.crossJoin(F.broadcast(ci)).select(
+        "n_users",
+        F.lit(20).cast("long").alias("n_reps"),
+        "estimate",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+# --------------------------------------------------------------------------
+# q223: cohort LTV curve — cumulative revenue per signup cohort by
+# weeks-since-signup (the lifetime-value read on q140's retention
+# matrix). Cohort = the user's first event week; revenue accumulates
+# as exact integer CENTS so the running sum over week offsets is pure
+# int64 (a float running sum would be fold-order-sensitive). Keyed
+# windows only: first-event per user, then (cohort, offset) rollup,
+# then a per-cohort running sum over O(weeks) rows.
+# --------------------------------------------------------------------------
+@register(
+    "q223_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(date_diff('day', DATE '1970-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) // 7)
+               AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', e.ts) AS DATE)) // 7
+               - f.cohort_wk AS offset_wk,
+             f.cohort_wk,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    cell AS (
+      SELECT cohort_wk, offset_wk, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM rev GROUP BY cohort_wk, offset_wk
+    )
+    SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(offset_wk AS BIGINT) AS offset_wk,
+           CAST(SUM(cents) OVER (PARTITION BY cohort_wk ORDER BY offset_wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_revenue_cents
+    FROM cell
+    """,
+)
+def q223_cohort_ltv(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7
+    ).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "cohort_wk",
+            (wk - F.col("cohort_wk")).alias("offset_wk"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    cell = rev.groupBy("cohort_wk", "offset_wk").agg(
+        F.sum("cents").alias("cents")
+    )
+    w = (
+        W.partitionBy("cohort_wk")
+        .orderBy("offset_wk")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return cell.select(
+        "cohort_wk",
+        "offset_wk",
+        F.sum("cents").over(w).alias("cum_revenue_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q224: contrastive negative sampling — for each query vector, emit
+# its 3 exact nearest neighbors as positives plus 5 md5-ranked random
+# negatives drawn from the rest of the corpus (the training-pair
+# construction for embedding/reranker fine-tuning; deterministic, so
+# the sampled dataset is reproducible across engines and runs). The
+# positive side reuses the broadcast-query cosine top-k; the negative
+# side ranks a per-(query, candidate) md5 uniform with positives
+# anti-joined out — every join is keyed or broadcast-bounded.
+# --------------------------------------------------------------------------
+@register(
+    "q224_negative_sampling",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+          WHERE vec_id < 5),
+    pos AS (
+      SELECT query_id, cand_id, rank FROM (
+        SELECT q.qid AS query_id, n.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6)
+                   DESC, n.vec_id) AS rank
+        FROM n, q WHERE n.vec_id <> q.qid
+      ) WHERE rank <= 3
+    ),
+    neg AS (
+      SELECT query_id, cand_id, rank FROM (
+        SELECT q.qid AS query_id, n.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 md5(CAST(q.qid AS VARCHAR) || ':'
+                     || CAST(n.vec_id AS VARCHAR)), n.vec_id) AS rank
+        FROM n, q
+        WHERE n.vec_id <> q.qid
+          AND NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.query_id = q.qid
+                            AND p.cand_id = n.vec_id)
+      ) WHERE rank <= 5
+    )
+    SELECT query_id, cand_id, 'pos' AS label, rank FROM pos
+    UNION ALL
+    SELECT query_id, cand_id, 'neg' AS label, rank FROM neg
+    """,
+)
+def q224_negative_sampling(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    pos = cosine_topk(emb, query_pred=F.col("id") < 5, k=3).select(
+        "query_id", F.col("neighbor_id").alias("cand_id"), "rank"
+    )
+    ids = emb.select(F.col("vec_id").alias("cand_id"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id")
+    )
+    cand = (
+        ids.crossJoin(F.broadcast(queries))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(pos), ["query_id", "cand_id"], "left_anti")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.md5(
+                F.concat(
+                    F.col("query_id").cast("string"),
+                    F.lit(":"),
+                    F.col("cand_id").cast("string"),
+                )
+            ),
+            F.col("cand_id"),
+        )
+    )
+    neg = (
+        cand.withColumn("rank", rk)
+        .where(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "rank")
+    )
+    return pos.select(
+        "query_id", "cand_id", F.lit("pos").alias("label"), "rank"
+    ).unionByName(
+        neg.select(
+            "query_id", "cand_id", F.lit("neg").alias("label"), "rank"
+        )
+    )

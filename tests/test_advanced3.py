@@ -551,3 +551,46 @@ def test_did_consistency(spark, sf_dir):
     ) < 5e-6
     for v in (r.treated_pre, r.treated_post, r.control_pre, r.control_post):
         assert v > 0
+
+
+def test_poisson_bootstrap_ci_brackets_estimate(spark, sf_dir):
+    r = QUERIES["q222_poisson_bootstrap"](spark, sf_dir).first()
+    assert r.n_reps == 20
+    assert r.ci_lo < r.ci_hi
+    assert r.ci_lo <= r.estimate <= r.ci_hi
+    assert r.n_users == (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+
+
+def test_cohort_ltv_monotone_and_conserved(spark, sf_dir):
+    rows = QUERIES["q223_cohort_ltv"](spark, sf_dir).collect()
+    series = defaultdict(list)
+    for r in rows:
+        series[r.cohort_wk].append((r.offset_wk, r.cum_revenue_cents))
+    for pts in series.values():
+        pts.sort()
+        assert all(a[1] <= b[1] for a, b in zip(pts, pts[1:]))
+        assert all(c >= 0 for _, c in pts)
+    total = sum(max(c for _, c in pts) for pts in series.values())
+    expect = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.round(F.col("value") * 100, 0).cast("long").alias("c"))
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    assert total == expect
+
+
+def test_negative_sampling_shape(spark, sf_dir):
+    rows = QUERIES["q224_negative_sampling"](spark, sf_dir).collect()
+    by_q = defaultdict(lambda: {"pos": set(), "neg": set()})
+    for r in rows:
+        by_q[r.query_id][r.label].add(r.cand_id)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, d in by_q.items():
+        assert len(d["pos"]) == 3
+        assert len(d["neg"]) == 5
+        assert not d["pos"] & d["neg"]
+        assert qid not in d["pos"] | d["neg"]
