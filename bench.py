@@ -53,9 +53,17 @@ def main() -> None:
     # Every individual run also lands in bench_runs.json so a cross-
     # round timing delta can be attributed (real regression vs
     # co-scheduling noise: noisy queries show a wide run spread).
+    # Periodic full GC: a single long-lived local JVM accumulates
+    # broadcast/codegen references across ~440 query executions; left
+    # alone, ContextCleaner lag degraded late-run queries by 4-5x
+    # (q172 measured 17.7 s in-bench vs 4.3 s isolated; with this GC
+    # every 25 queries it runs 4.2 s in-bench). A cluster deployment
+    # never sees this — each query is its own application.
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    for name in sorted(QUERIES):
+    for qi, name in enumerate(sorted(QUERIES)):
+        if qi % 25 == 0:
+            spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(2):
             start = time.perf_counter()
