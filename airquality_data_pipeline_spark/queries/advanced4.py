@@ -1381,3 +1381,185 @@ def q224_negative_sampling(spark, sf_dir):
             "query_id", "cand_id", F.lit("neg").alias("label"), "rank"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q225: additive seasonal decomposition (STL-lite) — daily series =
+# trend (centered 7-day mean, interior days only) + day-of-week
+# seasonal (mean detrended per dow) + residual. The classical
+# decomposition every anomaly detector (q150/q187) implicitly assumes;
+# emitting the three components makes the assumption auditable.
+# Trend = int64 window sum / 7 (identical division both engines);
+# detrended values are decimal-quantized before the seasonal mean;
+# everything runs on the ~30-row daily aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q225_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, v,
+             CAST(SUM(v) OVER w AS BIGINT) AS s7,
+             CAST(count(*) OVER w AS BIGINT) AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT d, v, CAST(s7 AS DOUBLE) / 7 AS trend,
+             d % 7 AS dow,
+             CAST(v - CAST(s7 AS DOUBLE) / 7 AS DECIMAL(18,6)) AS dt
+      FROM tr WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(dt) AS DOUBLE) / count(*) AS seasonal
+      FROM det GROUP BY dow
+    )
+    SELECT det.d, det.v, round(det.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(CAST(det.dt AS DOUBLE) - s.seasonal, 6) AS residual
+    FROM det JOIN seas s ON det.dow = s.dow
+    """,
+)
+def q225_seasonal_decompose(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "v",
+        F.sum("v").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    det = tr.where(F.col("n7") == 7).select(
+        "d",
+        "v",
+        (F.col("s7").cast("double") / 7).alias("trend"),
+        (F.col("d") % 7).alias("dow"),
+        (F.col("v") - F.col("s7").cast("double") / 7)
+        .cast("decimal(18,6)")
+        .alias("dt"),
+    )
+    seas = det.groupBy("dow").agg(
+        (F.sum("dt").cast("double") / F.count(F.lit(1))).alias("seasonal")
+    )
+    j = det.join(F.broadcast(seas), "dow")
+    return j.select(
+        "d",
+        "v",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("dt").cast("double") - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q226: burst detection — hours where volume exceeds 2x the trailing
+# 24-hour median, grouped into maximal consecutive burst episodes with
+# start/end/peak (the Kleinberg-style burst summary on top of q205's
+# rolling-median machinery). Baseline medians need a FULL trailing
+# window (first 24 hours emit nothing); episode grouping is the
+# gaps-and-islands row_number trick over burst hours only. Keyed by
+# event_type end to end; integer interpolation keeps the median
+# bit-exact. Organic bursts vanish at large SF (relative variance
+# shrinks with volume), so one deterministic spike is PLANTED
+# (epoch-hour divisible by 503 -> 10x volume) — the detector must
+# recover it at every scale; smaller fixtures add organic episodes.
+# --------------------------------------------------------------------------
+@register(
+    "q226_burst_detection",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT)
+               * CASE WHEN CAST(date_diff('hour',
+                        TIMESTAMP '1970-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS BIGINT) % 503 = 0
+                      THEN 10 ELSE 1 END AS v
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, h, v,
+             median(v) OVER w AS med24,
+             CAST(count(*) OVER w AS BIGINT) AS n24
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    bursts AS (
+      SELECT event_type, h, v,
+             h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS grp
+      FROM base WHERE n24 = 24 AND v > 2 * med24
+    )
+    SELECT event_type,
+           min(h) AS start_h, max(h) AS end_h,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           max(v) AS peak_v
+    FROM bursts GROUP BY event_type, grp
+    """,
+)
+def q226_burst_detection(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.unix_millis(F.date_trunc("hour", "ts"))
+            / F.lit(3600000)
+        )
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("v0")).select(
+        "event_type",
+        "h",
+        (
+            F.col("v0")
+            * F.when(F.col("h") % 503 == 0, 10).otherwise(1)
+        ).alias("v"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "h",
+        "v",
+        F.expr("percentile(v, 0.5)").over(w).alias("med24"),
+        F.count(F.lit(1)).over(w).alias("n24"),
+    )
+    bursts = base.where(
+        (F.col("n24") == 24) & (F.col("v") > 2 * F.col("med24"))
+    ).select(
+        "event_type",
+        "h",
+        "v",
+        (
+            F.col("h")
+            - F.row_number().over(
+                W.partitionBy("event_type").orderBy("h")
+            )
+        ).alias("grp"),
+    )
+    return bursts.groupBy("event_type", "grp").agg(
+        F.min("h").alias("start_h"),
+        F.max("h").alias("end_h"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max("v").alias("peak_v"),
+    ).drop("grp")

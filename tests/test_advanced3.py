@@ -594,3 +594,33 @@ def test_negative_sampling_shape(spark, sf_dir):
         assert len(d["neg"]) == 5
         assert not d["pos"] & d["neg"]
         assert qid not in d["pos"] | d["neg"]
+
+
+def test_seasonal_decompose_reconstructs(spark, sf_dir):
+    rows = QUERIES["q225_seasonal_decompose"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # v == trend + seasonal + residual up to the rounding grid
+        assert abs(r.v - (r.trend + r.seasonal + r.residual)) < 5e-6
+    # seasonal means over the interior days sum to ~0 per construction
+    by_dow = defaultdict(list)
+    for r in rows:
+        by_dow[r.d % 7].append(r.residual)
+    for res in by_dow.values():
+        assert abs(sum(res)) < 1e-3 * max(1, len(res))
+
+
+def test_burst_detection_recovers_plant(spark, sf_dir):
+    rows = QUERIES["q226_burst_detection"](spark, sf_dir).collect()
+    planted = [r for r in rows if r.start_h <= 473826 <= r.end_h]
+    # the planted 10x spike must be flagged for at least one type
+    # (sparse fixtures may have types with no event in that hour);
+    # a single-hour planted episode's peak is the scaled 10x count
+    assert planted
+    for r in planted:
+        if r.start_h == r.end_h == 473826:
+            assert r.peak_v % 10 == 0
+    for r in rows:
+        assert r.start_h <= r.end_h
+        assert r.n_hours == r.end_h - r.start_h + 1
+        assert r.peak_v > 0
