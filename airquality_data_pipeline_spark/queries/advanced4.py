@@ -1563,3 +1563,202 @@ def q226_burst_detection(spark, sf_dir):
         F.count(F.lit(1)).alias("n_hours"),
         F.max("v").alias("peak_v"),
     ).drop("grp")
+
+
+# --------------------------------------------------------------------------
+# q227: Mann-Kendall trend test — the nonparametric significance test
+# that pairs with q181's Theil-Sen slope estimate: S = sum of
+# sign(v_j - v_i) over ordered day pairs, tie-corrected variance, and
+# the continuity-corrected z statistic. The pair join runs on the
+# ~30-row daily AGGREGATE (bounded O(days^2), never the fact table);
+# S, the tie groups, and var(S)*18 stay integer, so z is the only
+# double.
+# --------------------------------------------------------------------------
+@register(
+    "q227_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    s AS (SELECT CAST(SUM(sg) AS BIGINT) AS s_stat FROM pairs),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+             AS BIGINT) AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY v)
+      WHERE t > 1
+    )
+    SELECT nn.n, s.s_stat,
+           round((CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                       - ties.tie_term AS DOUBLE)) / 18, 6) AS var_s,
+           round(CASE
+             WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+               / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                           - ties.tie_term AS DOUBLE) / 18)
+             WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+               / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                           - ties.tie_term AS DOUBLE) / 18)
+             ELSE 0.0 END, 6) AS z,
+           CASE WHEN s.s_stat > 0 THEN 'increasing'
+                WHEN s.s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS direction
+    FROM s, nn, ties
+    """,
+)
+def q227_mann_kendall(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+        .alias("sg")
+    )
+    s = pairs.agg(F.sum("sg").alias("s_stat"))
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("double")
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(var18 / 18),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(var18 / 18),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "n",
+        "s_stat",
+        F.round(var18 / 18, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("no_trend")
+        .alias("direction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q228: Wald-Wolfowitz runs test — is the daily series randomly
+# ordered around its median, or does it cluster (the serial-dependence
+# screen run before trusting i.i.d. assumptions in q222's bootstrap)?
+# Days equal to the median are excluded (standard), runs are counted
+# with one lag over the ~30-row aggregate, and E[R]/Var[R] come from
+# the exact integer n1, n2 counts in shared double expressions.
+# --------------------------------------------------------------------------
+@register(
+    "q228_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT median(v) AS m FROM daily),
+    signs AS (
+      SELECT d, CASE WHEN v > m THEN 1 ELSE 0 END AS up
+      FROM daily, med WHERE v <> m
+    ),
+    runs AS (
+      SELECT up,
+             CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                  OR lag(up) OVER (ORDER BY d) <> up
+             THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+             CAST(SUM(up) AS BIGINT) AS n1,
+             CAST(count(*) - SUM(up) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r, n1, n2,
+           round(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_r,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * 1.0
+                           * (n1 + n2 - 1))), 6) AS z
+    FROM agg
+    """,
+)
+def q228_runs_test(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    med = daily.agg(F.expr("percentile(v, 0.5)").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("v") != F.col("m"))
+        .select(
+            "d", F.when(F.col("v") > F.col("m"), 1).otherwise(0).alias("up")
+        )
+    )
+    w = W.orderBy("d")
+    runs = signs.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.lag("up").over(w) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("up").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 2.0 * n1 * n2 / (n1 + n2) + 1
+    vr = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))
+    )
+    return agg.select(
+        "r",
+        "n1",
+        "n2",
+        F.round(er, 6).alias("expected_r"),
+        F.round((r - er) / F.sqrt(vr), 6).alias("z"),
+    )

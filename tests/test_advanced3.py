@@ -624,3 +624,36 @@ def test_burst_detection_recovers_plant(spark, sf_dir):
         assert r.start_h <= r.end_h
         assert r.n_hours == r.end_h - r.start_h + 1
         assert r.peak_v > 0
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    daily = sorted(
+        (r.d, r.v)
+        for r in table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .collect()
+    )
+    vals = [v for _, v in daily]
+    s = sum(
+        (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+    )
+    row = QUERIES["q227_mann_kendall"](spark, sf_dir).first()
+    assert row.n == len(vals)
+    assert row.s_stat == s
+    assert row.var_s > 0
+    if s > 0:
+        assert row.direction == "increasing" and row.z > 0
+    elif s < 0:
+        assert row.direction == "decreasing" and row.z < 0
+
+
+def test_runs_test_bounds(spark, sf_dir):
+    r = QUERIES["q228_runs_test"](spark, sf_dir).first()
+    assert 1 <= r.r <= r.n1 + r.n2
+    assert r.r <= 2 * min(r.n1, r.n2) + 1
+    assert r.expected_r > 1
