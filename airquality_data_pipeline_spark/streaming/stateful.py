@@ -247,3 +247,81 @@ def attribution_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time TTL throttle: per-key rate limiting with WATERMARK-DRIVEN
+# state expiry — the third state shape next to the cursor (watermark
+# max) and the EWMA (numeric fold): at most one emission per key per
+# TTL window, and a key's state is REMOVED by an EventTimeTimeout once
+# the watermark passes its last emission + TTL (bounded state at any
+# key cardinality — the production concern NoTimeout operators defer).
+# Expiry is observable: the timed-out invocation emits a tombstone row
+# (emitted = -1). Because the file source delivers time-ordered
+# slices and expiry fires only at last_emit + TTL, removal never
+# changes emission decisions — pinned in tests/test_stateful.py
+# against the sequential batch fold.
+# ---------------------------------------------------------------------------
+THROTTLE_OUTPUT_SCHEMA = (
+    "user_id long, emitted long, suppressed long, last_emit_ms long"
+)
+THROTTLE_STATE_SCHEMA = "last_emit_ms long"
+THROTTLE_TTL_MS = 2 * 3600 * 1000
+
+
+def _throttle_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "emitted": [-1],
+                "suppressed": [0],
+                "last_emit_ms": [0],
+            }
+        )
+        return
+    (last_emit,) = state.get if state.exists else (None,)
+    emitted = suppressed = 0
+    for pdf in pdfs:
+        ordered = pdf.sort_values(["ts", "event_id"])
+        for ts in ordered["ts"]:
+            ts_ms = int(ts.value // 1_000_000)
+            if last_emit is None or ts_ms >= last_emit + THROTTLE_TTL_MS:
+                emitted += 1
+                last_emit = ts_ms
+            else:
+                suppressed += 1
+    if last_emit is not None:
+        state.update((last_emit,))
+        expire_at = last_emit + THROTTLE_TTL_MS
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(expire_at, wm + 1))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "emitted": [emitted],
+            "suppressed": [suppressed],
+            "last_emit_ms": [last_emit if last_emit is not None else 0],
+        }
+    )
+
+
+def throttle_stream(events: DataFrame) -> DataFrame:
+    """Per-key event-time throttle (1 emission / 2 h) with
+    EventTimeTimeout state expiry. Input must carry an event-time
+    watermark; the operator attaches one here."""
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _throttle_fn,
+            outputStructType=THROTTLE_OUTPUT_SCHEMA,
+            stateStructType=THROTTLE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -330,3 +330,81 @@ def test_attribution_stream_matches_batch_q197(spark, sf_dir):
         for r in batch
     }
     assert got == expect
+
+
+def test_throttle_stream_ttl_expiry_and_batch_parity(spark, sf_dir):
+    """Four time-ordered micro-batches through the event-time TTL
+    throttle: (a) summed emission/suppression counts equal the exact
+    sequential per-key fold over the whole fixture; (b) at least one
+    EventTimeTimeout tombstone fires (state expiry is exercised, not
+    just configured); (c) expiry never changes emission decisions."""
+    import os
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from airquality_data_pipeline_spark.queries.common import table, utc
+    from airquality_data_pipeline_spark.streaming import jobs, stateful
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    # stage 4 time-ordered parquet slices with increasing mtimes so the
+    # file source (maxFilesPerTrigger=1) delivers them in time order
+    rows = ev.orderBy("ts", "event_id").collect()
+    quarter = (len(rows) + 3) // 4
+    d = tempfile.mkdtemp(prefix="throttle_stream_")
+    for i in range(4):
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/slice_{i}")
+        _time.sleep(0.05)
+    paths = [
+        f"{d}/slice_{i}" for i in range(4) if os.path.isdir(f"{d}/slice_{i}")
+    ]
+    flat = tempfile.mkdtemp(prefix="throttle_flat_")
+    for i, p in enumerate(paths):
+        part = next(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        os.symlink(f"{p}/{part}", f"{flat}/{i:02d}.parquet")
+        os.utime(f"{flat}/{i:02d}.parquet", (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(flat)
+    )
+    name = "throttle_sink"
+    jobs.run_to_memory(
+        stateful.throttle_stream(stream), name, output_mode="update"
+    )
+    out = spark.sql(f"SELECT * FROM {name}").collect()
+    tombstones = [r for r in out if r.emitted == -1]
+    assert tombstones, "EventTimeTimeout never fired"
+    got: dict[int, list[int]] = {}
+    for r in out:
+        if r.emitted >= 0:
+            g = got.setdefault(r.user_id, [0, 0])
+            g[0] += r.emitted
+            g[1] += r.suppressed
+
+    # exact sequential fold over the full fixture
+    series: dict[int, list] = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    for uid, evs in series.items():
+        last = None
+        em = sup = 0
+        for ts, _ in sorted(evs):
+            ts_ms = int(ts.timestamp() * 1000)
+            if last is None or ts_ms >= last + stateful.THROTTLE_TTL_MS:
+                em += 1
+                last = ts_ms
+            else:
+                sup += 1
+        assert got[uid] == [em, sup], (uid, got[uid], (em, sup))
