@@ -831,3 +831,146 @@ def q124_leakage_free_split(spark, sf_dir):
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# q229: dedup-quality harness — precision/recall of the MinHash-LSH
+# candidate stage against PLANTED ground truth (the dedup counterpart
+# of q115's ANN recall calibration: before trusting the banding
+# thresholds at corpus scale, measure them). Every 9th long-enough doc
+# gets a near-dup variant with every 17th word dropped (~0.7 Jaccard
+# on word-3-gram sets); recall = planted pairs recovered by the
+# candidate stage, precision proxy = candidates confirmed by exact
+# Jaccard >= 0.5. Deterministic md5 hash family => both engines agree
+# on every candidate, so the metrics are exactly reproducible.
+# --------------------------------------------------------------------------
+@register(
+    "q229_dedup_pr_harness",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 700000,
+             array_to_string(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               (w, i) -> i % 17 <> 0), ' ')
+      FROM documents
+      WHERE doc_id % 9 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    ),
+    params AS (
+      SELECT unnest(range({_NUM_HASHES})) AS seed,
+             unnest([{_A_SQL}]) AS a,
+             unnest([{_B_SQL}]) AS b
+    ),
+    mh AS (
+      SELECT id, p.seed, min((p.a * h + p.b) % {MINHASH_P}) AS mh
+      FROM hashed, params p
+      GROUP BY id, p.seed
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*) >= 6
+    ),
+    planted AS (
+      SELECT doc_id AS id_a, doc_id + 700000 AS id_b
+      FROM documents
+      WHERE doc_id % 9 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    h15 AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS s15
+      FROM sh
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM h15 GROUP BY id),
+    verified AS (
+      SELECT i.id_a, i.id_b
+      FROM (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM h15 a JOIN h15 b ON a.s15 = b.s15 AND a.id < b.id
+        GROUP BY a.id, b.id
+      ) i
+      JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON i.id_a = sa.id
+      JOIN sizes sb ON i.id_b = sb.id
+      WHERE round(i.n_inter
+                  / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6) >= 0.5
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_planted,
+      (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT CAST(count(*) AS BIGINT) FROM cand c
+        JOIN planted p ON c.id_a = p.id_a AND c.id_b = p.id_b) AS n_hits,
+      round((SELECT count(*) FROM cand c
+             JOIN planted p ON c.id_a = p.id_a AND c.id_b = p.id_b)
+            / CAST((SELECT count(*) FROM planted) AS DOUBLE), 6)
+        AS recall,
+      (SELECT CAST(count(*) AS BIGINT) FROM verified) AS n_verified,
+      round((SELECT count(*) FROM verified)
+            / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6)
+        AS precision_proxy
+    """,
+)
+def q229_dedup_pr_harness(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    eligible = (F.col("doc_id") % 9 == 0) & (F.size(words) >= 20)
+    variant = docs.where(eligible).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.array_join(
+            F.filter(words, lambda w, i: (i + 1) % 17 != 0), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(variant)
+    sh = word_shingles(corpus, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    cand = minhash_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, min_matches=6
+    ).select("id_a", "id_b")
+    planted = docs.where(eligible).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 700000).alias("id_b"),
+    )
+    sz = shingle_set_sizes(corpus, text_col="text", id_col="doc_id", n=3)
+    verified = (
+        ngram_jaccard_pairs(sh, threshold=0.5, sizes=sz)
+        .join(cand, ["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    n_planted = planted.agg(F.count(F.lit(1)).alias("n_planted"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = cand.join(planted, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    j = (
+        n_planted.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .crossJoin(F.broadcast(n_ver))
+    )
+    return j.select(
+        "n_planted",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.col("n_planted").cast("double"), 6
+        ).alias("recall"),
+        "n_verified",
+        F.round(
+            F.col("n_verified") / F.col("n_candidates").cast("double"), 6
+        ).alias("precision_proxy"),
+    )

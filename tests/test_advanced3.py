@@ -657,3 +657,13 @@ def test_runs_test_bounds(spark, sf_dir):
     assert 1 <= r.r <= r.n1 + r.n2
     assert r.r <= 2 * min(r.n1, r.n2) + 1
     assert r.expected_r > 1
+
+
+def test_dedup_pr_harness_full_recall(spark, sf_dir):
+    r = QUERIES["q229_dedup_pr_harness"](spark, sf_dir).first()
+    assert r.n_planted > 0
+    # ~0.7-Jaccard plants against a 0.375-estimate band threshold:
+    # the candidate stage must recover every planted pair
+    assert r.n_hits == r.n_planted and r.recall == 1.0
+    assert r.n_candidates >= r.n_hits
+    assert 0.0 <= r.precision_proxy <= 1.0
