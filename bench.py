@@ -44,8 +44,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     # warmup: JVM/JIT, codegen, parquet footer caches — one query per
-    # input family (fact scan, text/regex+md5 path, vector-fold path)
-    for warm in ("q01_pricing_summary", "q51_fingerprint", "q44_cosine_topk"):
+    # input family (fact scan, text/regex+md5 path, vector-fold path,
+    # 64-bit simhash band fold: its first compile costs ~8 s of pure
+    # codegen that otherwise lands on q117's reported time)
+    for warm in (
+        "q01_pricing_summary",
+        "q51_fingerprint",
+        "q44_cosine_topk",
+        "q117_simhash_neardup",
+    ):
         run_query(QUERIES[warm](spark, sf_dir))
 
     # min of two runs per query: suppresses GC/JIT noise (observed
@@ -54,15 +61,18 @@ def main() -> None:
     # round timing delta can be attributed (real regression vs
     # co-scheduling noise: noisy queries show a wide run spread).
     # Periodic full GC: a single long-lived local JVM accumulates
-    # broadcast/codegen references across ~440 query executions; left
+    # broadcast/codegen references across ~450 query executions; left
     # alone, ContextCleaner lag degraded late-run queries by 4-5x
-    # (q172 measured 17.7 s in-bench vs 4.3 s isolated; with this GC
-    # every 25 queries it runs 4.2 s in-bench). A cluster deployment
-    # never sees this — each query is its own application.
+    # (q172 measured 17.7 s in-bench vs 4.3 s isolated), and at
+    # every-25 cadence the concurrent cleanup after heavy neighbors
+    # still bled ~8 s into whichever query followed (q12 measured
+    # 8.0 s in-bench vs 0.9 s isolated). Every-10 keeps the whole
+    # tail under ~3.3 s. A cluster deployment never sees this — each
+    # query is its own application.
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for qi, name in enumerate(sorted(QUERIES)):
-        if qi % 25 == 0:
+        if qi % 10 == 0:
             spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(2):
