@@ -974,3 +974,163 @@ def q229_dedup_pr_harness(spark, sf_dir):
             F.col("n_verified") / F.col("n_candidates").cast("double"), 6
         ).alias("precision_proxy"),
     )
+
+
+# --------------------------------------------------------------------------
+# q230: banding-threshold sweep — the operating curve behind q229's
+# point estimate: candidate volume, planted-pair recall, and exact-
+# Jaccard precision at band thresholds 4/6/8/10 of 16, all from ONE
+# pass over the band join (pairs materialize once at the loosest
+# threshold with their match count; each threshold is a filter over
+# n_matches, never a re-join). This is the artifact you consult before
+# moving the registered 6/16 default: it shows where recall breaks
+# and what candidate volume each notch costs.
+# --------------------------------------------------------------------------
+@register(
+    "q230_band_threshold_sweep",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 700000,
+             array_to_string(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               (w, i) -> i % 17 <> 0), ' ')
+      FROM documents
+      WHERE doc_id % 9 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    ),
+    params AS (
+      SELECT unnest(range({_NUM_HASHES})) AS seed,
+             unnest([{_A_SQL}]) AS a,
+             unnest([{_B_SQL}]) AS b
+    ),
+    mh AS (
+      SELECT id, p.seed, min((p.a * h + p.b) % {MINHASH_P}) AS mh
+      FROM hashed, params p
+      GROUP BY id, p.seed
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_matches
+      FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*) >= 4
+    ),
+    planted AS (
+      SELECT doc_id AS id_a, doc_id + 700000 AS id_b
+      FROM documents
+      WHERE doc_id % 9 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    h15 AS (
+      SELECT id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS s15
+      FROM sh
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM h15 GROUP BY id),
+    flagged AS (
+      SELECT p.id_a, p.id_b, p.n_matches,
+             CASE WHEN pl.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_planted,
+             CASE WHEN COALESCE(round(i.n_inter
+                    / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6), 0)
+                  >= 0.5 THEN 1 ELSE 0 END AS is_true
+      FROM pairs p
+      LEFT JOIN planted pl ON p.id_a = pl.id_a AND p.id_b = pl.id_b
+      LEFT JOIN (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM h15 a JOIN h15 b ON a.s15 = b.s15 AND a.id < b.id
+        GROUP BY a.id, b.id
+      ) i ON p.id_a = i.id_a AND p.id_b = i.id_b
+      LEFT JOIN sizes sa ON p.id_a = sa.id
+      LEFT JOIN sizes sb ON p.id_b = sb.id
+    ),
+    n_pl AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM planted)
+    SELECT t.threshold,
+           CAST(SUM(CASE WHEN f.n_matches >= t.threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN f.n_matches >= t.threshold
+                    THEN f.is_planted ELSE 0 END) AS BIGINT) AS n_hits,
+           round(SUM(CASE WHEN f.n_matches >= t.threshold
+                     THEN f.is_planted ELSE 0 END)
+                 / CAST(np.n_planted AS DOUBLE), 6) AS recall,
+           round(SUM(CASE WHEN f.n_matches >= t.threshold
+                     THEN f.is_true ELSE 0 END)
+                 / CAST(SUM(CASE WHEN f.n_matches >= t.threshold
+                            THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             AS precision_proxy
+    FROM flagged f,
+         (SELECT unnest([4, 6, 8, 10]) AS threshold) t,
+         n_pl np
+    GROUP BY t.threshold, np.n_planted
+    """,
+)
+def q230_band_threshold_sweep(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    eligible = (F.col("doc_id") % 9 == 0) & (F.size(words) >= 20)
+    variant = docs.where(eligible).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.array_join(
+            F.filter(words, lambda w, i: (i + 1) % 17 != 0), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(variant)
+    sh = word_shingles(corpus, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    pairs = minhash_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, min_matches=4
+    )
+    planted = docs.where(eligible).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 700000).alias("id_b"),
+        F.lit(1).alias("is_planted"),
+    )
+    sz = shingle_set_sizes(corpus, text_col="text", id_col="doc_id", n=3)
+    true_pairs = (
+        ngram_jaccard_pairs(sh, threshold=0.5, sizes=sz)
+        .select("id_a", "id_b", F.lit(1).alias("is_true"))
+    )
+    flagged = (
+        pairs.join(F.broadcast(planted), ["id_a", "id_b"], "left")
+        .join(true_pairs, ["id_a", "id_b"], "left")
+        .select(
+            "n_matches",
+            F.coalesce("is_planted", F.lit(0)).alias("is_planted"),
+            F.coalesce("is_true", F.lit(0)).alias("is_true"),
+        )
+    )
+    n_pl = planted.agg(F.count(F.lit(1)).alias("n_planted"))
+    sweep = flagged.crossJoin(
+        F.broadcast(
+            docs.sparkSession.createDataFrame(
+                [(4,), (6,), (8,), (10,)], "threshold int"
+            )
+        )
+    ).crossJoin(F.broadcast(n_pl))
+    inb = F.when(F.col("n_matches") >= F.col("threshold"), 1).otherwise(0)
+    return sweep.groupBy("threshold", "n_planted").agg(
+        F.sum(inb).alias("n_candidates"),
+        F.sum(inb * F.col("is_planted")).alias("n_hits"),
+        F.round(
+            F.sum(inb * F.col("is_planted"))
+            / F.col("n_planted").cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.sum(inb * F.col("is_true"))
+            / F.sum(inb).cast("double"),
+            6,
+        ).alias("precision_proxy"),
+    ).drop("n_planted")

@@ -667,3 +667,21 @@ def test_dedup_pr_harness_full_recall(spark, sf_dir):
     assert r.n_hits == r.n_planted and r.recall == 1.0
     assert r.n_candidates >= r.n_hits
     assert 0.0 <= r.precision_proxy <= 1.0
+
+
+def test_band_sweep_monotone_and_consistent(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q230_band_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [4, 6, 8, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates >= b.n_candidates
+        assert a.n_hits >= b.n_hits
+        assert a.recall >= b.recall - 1e-9
+    # the t=6 point must agree with q229's single-threshold harness
+    t6 = rows[1]
+    pr = QUERIES["q229_dedup_pr_harness"](spark, sf_dir).first()
+    assert t6.n_candidates == pr.n_candidates
+    assert t6.n_hits == pr.n_hits
+    assert t6.recall == pr.recall
