@@ -1762,3 +1762,128 @@ def q228_runs_test(spark, sf_dir):
         F.round(er, 6).alias("expected_r"),
         F.round((r - er) / F.sqrt(vr), 6).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# q231: sample-ratio-mismatch guardrail — before reading q167/q220/
+# q221's effects, verify the variant assignment actually split 50/50:
+# chi-square on observed user counts vs the expected equal split.
+# One distinct-users aggregate; the statistic is one shared double
+# expression over exact integer counts. (The catalog's deterministic
+# user_id % 2 split is exactly balanced only when the user count is
+# even — the query reports whatever the data says.)
+# --------------------------------------------------------------------------
+@register(
+    "q231_srm_check",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id, CAST(user_id % 2 AS BIGINT) AS variant
+      FROM events
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n0
+      FROM users
+    )
+    SELECT n0, n1,
+           round((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0)
+                 + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0), 6) AS chi_square,
+           abs(n0 - n1) > 2 * sqrt(CAST(n0 + n1 AS DOUBLE)) AS srm_flag
+    FROM counts
+    """,
+)
+def q231_srm_check(spark, sf_dir):
+    utc(spark)
+    users = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select((F.col("user_id") % 2).cast("long").alias("variant"))
+    )
+    counts = users.agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    exp = (n0 + n1) / 2.0
+    chi = (n0 - exp) * (n0 - exp) / exp + (n1 - exp) * (n1 - exp) / exp
+    return counts.select(
+        "n0",
+        "n1",
+        F.round(chi, 6).alias("chi_square"),
+        (
+            F.abs(n0 - n1) > 2 * F.sqrt((n0 + n1).cast("double"))
+        ).alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q232: metric-capping sensitivity — the experimenter's robustness
+# sweep: the mean of `value` with per-row caps at the metric's own
+# p90/p95/p99 (winsorized means; if the uncapped and p99-capped means
+# diverge, heavy users drive the readout and q220-style adjustments
+# are fragile). Percentiles compute once on the full column, broadcast
+# back as one row, and the three capped means run in the SAME
+# conditional aggregate — two passes total regardless of how many cap
+# levels are swept. Capped values are decimal-quantized per row.
+# --------------------------------------------------------------------------
+@register(
+    "q232_capping_sensitivity",
+    oracle="""
+    WITH caps AS (
+      SELECT quantile_cont(value, 0.90) AS p90,
+             quantile_cont(value, 0.95) AS p95,
+             quantile_cont(value, 0.99) AS p99
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_raw,
+           round(CAST(SUM(CAST(least(value, c.p99) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_cap_p99,
+           round(CAST(SUM(CAST(least(value, c.p95) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_cap_p95,
+           round(CAST(SUM(CAST(least(value, c.p90) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_cap_p90
+    FROM events, caps c
+    GROUP BY c.p90, c.p95, c.p99
+    """,
+)
+def q232_capping_sensitivity(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("value")
+    caps = ev.agg(
+        F.expr("percentile(value, 0.90)").alias("p90"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    j = ev.crossJoin(F.broadcast(caps))
+    n = F.count(F.lit(1))
+    return j.groupBy("p90", "p95", "p99").agg(
+        n.alias("n"),
+        F.round(F.sum(dec("value", 6)).cast("double") / n, 6).alias(
+            "mean_raw"
+        ),
+        F.round(
+            F.sum(dec(F.least(F.col("value"), F.col("p99")), 6))
+            .cast("double")
+            / n,
+            6,
+        ).alias("mean_cap_p99"),
+        F.round(
+            F.sum(dec(F.least(F.col("value"), F.col("p95")), 6))
+            .cast("double")
+            / n,
+            6,
+        ).alias("mean_cap_p95"),
+        F.round(
+            F.sum(dec(F.least(F.col("value"), F.col("p90")), 6))
+            .cast("double")
+            / n,
+            6,
+        ).alias("mean_cap_p90"),
+    ).drop("p90", "p95", "p99")

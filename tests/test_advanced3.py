@@ -685,3 +685,22 @@ def test_band_sweep_monotone_and_consistent(spark, sf_dir):
     assert t6.n_candidates == pr.n_candidates
     assert t6.n_hits == pr.n_hits
     assert t6.recall == pr.recall
+
+
+def test_srm_check_counts(spark, sf_dir):
+    r = QUERIES["q231_srm_check"](spark, sf_dir).first()
+    n_users = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert r.n0 + r.n1 == n_users
+    assert r.chi_square >= 0
+    # deterministic user_id % 2 split: flag only on a real imbalance
+    assert r.srm_flag == (abs(r.n0 - r.n1) > 2 * (n_users ** 0.5))
+
+
+def test_capping_sensitivity_ordering(spark, sf_dir):
+    r = QUERIES["q232_capping_sensitivity"](spark, sf_dir).first()
+    assert r.mean_cap_p90 <= r.mean_cap_p95 + 1e-9
+    assert r.mean_cap_p95 <= r.mean_cap_p99 + 1e-9
+    assert r.mean_cap_p99 <= r.mean_raw + 1e-9
+    assert r.n == table(spark, sf_dir, "events").count()
