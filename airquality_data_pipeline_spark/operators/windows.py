@@ -35,3 +35,73 @@ def sessionize(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def interval_union(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Merge overlapping [start, end) intervals per key — the running-
+    max-of-end island sweep: a new island starts exactly when an
+    interval's start clears every earlier end (window over PRECEDING
+    rows only); island ids are a running sum of those starts. Returns
+    one row per key with n_intervals / n_merged / covered (sum of
+    merged island extents). Keyed windows with a fully deterministic
+    order; partitions sort locally at any scale — no global sort, no
+    interval self-join. Registered as q194 over supplier shipment
+    windows; property-tested against a pure-Python sweep."""
+    order = [F.col(start_col), F.col(end_col)] + [
+        F.col(c) for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = df.withColumn(
+        "_new_island",
+        F.when(
+            prev_max.isNull() | (F.col(start_col) > prev_max), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islands.groupBy(key, "_island").agg(
+        F.count(F.lit(1)).alias("_n_in_island"),
+        (F.max(end_col) - F.min(start_col)).alias("_cov"),
+    )
+    return merged.groupBy(key).agg(
+        F.sum("_n_in_island").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum("_cov").alias("covered"),
+    )
+
+
+def pareto_frontier(
+    df: DataFrame, minimize_col: str, maximize_col: str
+) -> DataFrame:
+    """2-D skyline: points not weakly dominated on (minimize x,
+    maximize y). Only the max-y point per distinct x can survive, so
+    the frontier reduces to a groupBy on x followed by one ascending
+    sweep keeping points whose y strictly exceeds the running max over
+    all strictly smaller x — the sort-based skyline, never the O(n^2)
+    dominance join. The sweep window runs on the |distinct x|-row
+    aggregate (single partition there by design). Registered as q210;
+    property-tested against a brute-force dominance check."""
+    best = df.groupBy(minimize_col).agg(
+        F.max(maximize_col).alias(maximize_col)
+    )
+    w = Window.orderBy(minimize_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sweep = best.withColumn("_prev_max", F.max(maximize_col).over(w))
+    return sweep.where(
+        F.col("_prev_max").isNull()
+        | (F.col(maximize_col) > F.col("_prev_max"))
+    ).select(minimize_col, maximize_col)

@@ -429,6 +429,10 @@ def q193_survival_km(spark, sf_dir):
     """,
 )
 def q194_interval_union(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.windows import (
+        interval_union,
+    )
+
     utc(spark)
     li = table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
@@ -442,29 +446,13 @@ def q194_interval_union(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    w = W.partitionBy("l_suppkey").orderBy(
-        "s", "e", "l_orderkey", "l_linenumber"
-    )
-    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
-    marked = li.withColumn(
-        "new_island",
-        F.when(
-            prev_max.isNull() | (F.col("s") > prev_max), 1
-        ).otherwise(0),
-    )
-    islands = marked.withColumn(
-        "island",
-        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
-    merged = islands.groupBy("l_suppkey", "island").agg(
-        F.count(F.lit(1)).alias("n_in_island"),
-        (F.max("e") - F.min("s")).alias("cov"),
-    )
-    return merged.groupBy("l_suppkey").agg(
-        F.sum("n_in_island").alias("n_intervals"),
-        F.count(F.lit(1)).alias("n_merged"),
-        F.sum("cov").alias("covered_days"),
-    )
+    return interval_union(
+        li,
+        key="l_suppkey",
+        start_col="s",
+        end_col="e",
+        tiebreak=["l_orderkey", "l_linenumber"],
+    ).withColumnRenamed("covered", "covered_days")
 
 
 # --------------------------------------------------------------------------

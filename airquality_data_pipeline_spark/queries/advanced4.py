@@ -700,17 +700,16 @@ def q209_binary_segmentation(spark, sf_dir):
     """,
 )
 def q210_pareto_frontier(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.windows import (
+        pareto_frontier,
+    )
+
     utc(spark)
     p = table(spark, sf_dir, "part").select(
         F.col("p_retailprice").alias("price"),
         F.col("p_size").cast("long").alias("size"),
     )
-    best = p.groupBy("price").agg(F.max("size").alias("size"))
-    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
-    sweep = best.withColumn("prev_max", F.max("size").over(w))
-    return sweep.where(
-        F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max"))
-    ).select("price", "size")
+    return pareto_frontier(p, minimize_col="price", maximize_col="size")
 
 
 # --------------------------------------------------------------------------

@@ -374,3 +374,82 @@ def test_pagerank_fixed_point_matches_model(spark, pairs):
                 s[b] += share
         r = {v: (15 * scale) // (100 * n) + (85 * s[v]) // 100 for v in s}
     assert got == dict(r)
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 30),
+            st.integers(1, 10),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_interval_union_matches_sweep(spark, intervals):
+    from collections import defaultdict
+
+    from airquality_data_pipeline_spark.operators.windows import (
+        interval_union,
+    )
+
+    df = spark.createDataFrame(
+        [(k, s, s + ln, i) for i, (k, s, ln) in enumerate(intervals)],
+        "k string, s long, e long, rid long",
+    )
+    rows = interval_union(
+        df, key="k", start_col="s", end_col="e", tiebreak=["rid"]
+    ).collect()
+
+    model = defaultdict(list)
+    for k, s, ln in intervals:
+        model[k].append((s, s + ln))
+    expect = {}
+    for k, items in model.items():
+        items.sort()
+        merged = []
+        for s, e in items:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect[k] = (
+            len(items),
+            len(merged),
+            sum(e - s for s, e in merged),
+        )
+    got = {r.k: (r.n_intervals, r.n_merged, r.covered) for r in rows}
+    assert got == expect
+
+
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_pareto_frontier_matches_bruteforce(spark, points):
+    from airquality_data_pipeline_spark.operators.windows import (
+        pareto_frontier,
+    )
+
+    df = spark.createDataFrame(points, "x long, y long")
+    got = {
+        (r.x, r.y)
+        for r in pareto_frontier(
+            df, minimize_col="x", maximize_col="y"
+        ).collect()
+    }
+    pts = set(points)
+    expect = {
+        (x, y)
+        for x, y in pts
+        if not any(
+            (px <= x and py >= y) and (px < x or py > y) for px, py in pts
+        )
+    }
+    assert got == expect
