@@ -37,6 +37,7 @@ from airquality_data_pipeline_spark.queries import llmops2  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q233_readability_lix",
     "q231_srm_check",
     "q232_capping_sensitivity",
     "q230_band_threshold_sweep",

@@ -493,3 +493,85 @@ def q219_fisher_dims(spark, sf_dir):
             score.alias("fisher"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q233: LIX readability per language — words/sentence + share of long
+# words (>= 7 chars), the syllable-free readability index, plus the
+# fraction of hard documents (LIX > 44). The corpus-difficulty screen
+# that complements q135's character entropy and q128's perplexity on
+# the quality ladder. Everything is row-local integer counting (both
+# splits filter whitespace-only fragments identically on both
+# engines); the per-language rollup decimal-quantizes the per-doc
+# index.
+# --------------------------------------------------------------------------
+@register(
+    "q233_readability_lix",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> len(trim(w)) > 0)) AS words,
+             greatest(len(list_filter(
+               string_split_regex(text, '[.!?]+'),
+               x -> len(trim(x)) > 0)), 1) AS sentences,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> len(w) >= 7)) AS long_words
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    scored AS (
+      SELECT lang, words, sentences, long_words,
+             CAST(words AS DOUBLE) / sentences
+               + 100.0 * long_words / words AS lix
+      FROM per_doc WHERE words > 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(long_words) AS BIGINT) AS long_words,
+           round(CAST(SUM(CAST(lix AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_lix,
+           round(CAST(SUM(CASE WHEN lix > 44 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS hard_share
+    FROM scored GROUP BY lang
+    """,
+)
+def q233_readability_lix(spark, sf_dir):
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    words = F.size(F.filter(ws, lambda w: F.length(F.trim(w)) > 0))
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda x: F.length(F.trim(x)) > 0,
+            )
+        ),
+        F.lit(1),
+    )
+    long_words = F.size(F.filter(ws, lambda w: F.length(w) >= 7))
+    per_doc = docs.where(F.length(F.trim("text")) > 0).select(
+        "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        long_words.alias("long_words"),
+    )
+    lix = (
+        F.col("words").cast("double") / F.col("sentences")
+        + 100.0 * F.col("long_words") / F.col("words")
+    )
+    scored = per_doc.where(F.col("words") > 0).withColumn("lix", lix)
+    n = F.count(F.lit(1))
+    return scored.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("long_words").alias("long_words"),
+        F.round(
+            F.sum(F.col("lix").cast("decimal(18,6)")).cast("double") / n, 6
+        ).alias("mean_lix"),
+        F.round(
+            F.sum(F.when(F.col("lix") > 44, 1).otherwise(0)).cast("double")
+            / n,
+            6,
+        ).alias("hard_share"),
+    )

@@ -704,3 +704,15 @@ def test_capping_sensitivity_ordering(spark, sf_dir):
     assert r.mean_cap_p95 <= r.mean_cap_p99 + 1e-9
     assert r.mean_cap_p99 <= r.mean_raw + 1e-9
     assert r.n == table(spark, sf_dir, "events").count()
+
+
+def test_readability_bounds(spark, sf_dir):
+    rows = QUERIES["q233_readability_lix"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.long_words <= r.words
+        # LIX >= 1 (at least words/sentences >= ~1) and bounded above
+        # by words/1 + 100
+        assert 0.0 < r.mean_lix < r.words + 100.0
+        assert 0.0 <= r.hard_share <= 1.0
