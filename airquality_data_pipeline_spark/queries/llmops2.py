@@ -575,3 +575,190 @@ def q233_readability_lix(spark, sf_dir):
             6,
         ).alias("hard_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q234: code-vs-prose screen — the curation classifier that keeps code
+# out of prose corpora (and vice versa): symbol density, brace/
+# semicolon rate, and digit share vote on each document. The fixture
+# corpus is pure prose, so code-shaped docs are PLANTED (every 13th
+# doc gains a code block — same corpus union both engines derive);
+# those must be the flagged rows. Row-local regexp counting only —
+# shuffle-free until the per-source rollup.
+# --------------------------------------------------------------------------
+@register(
+    "q234_code_screen",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 900000, source,
+             text || ' def f(x) { return x[i] += 1; } ;; () {} [] == != '
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[{}()\\[\\];=<>+*/]')) AS syms,
+             len(regexp_extract_all(text, '[0-9]')) AS digits,
+             len(text) AS chars
+      FROM corpus WHERE len(text) > 0
+    ),
+    flagged AS (
+      SELECT doc_id, source,
+             CASE WHEN syms * 50 >= chars THEN 1 ELSE 0 END AS is_code
+      FROM feat
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_code) AS BIGINT) AS n_code,
+           CAST(SUM(CASE WHEN is_code = 1 AND doc_id >= 900000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_caught
+    FROM flagged GROUP BY source
+    """,
+)
+def q234_code_screen(spark, sf_dir):
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    planted = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" def f(x) { return x[i] += 1; } ;; () {} [] == != "),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted).where(F.length("text") > 0)
+    syms = F.regexp_count(F.col("text"), F.lit(r"[{}()\[\];=<>+*/]"))
+    feat = corpus.select(
+        "doc_id",
+        "source",
+        syms.alias("syms"),
+        F.length("text").alias("chars"),
+    )
+    flagged = feat.select(
+        "doc_id",
+        "source",
+        F.when(F.col("syms") * 50 >= F.col("chars"), 1)
+        .otherwise(0)
+        .alias("is_code"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_code").alias("n_code"),
+        F.sum(
+            F.when(
+                (F.col("is_code") == 1) & (F.col("doc_id") >= 900000), 1
+            ).otherwise(0)
+        ).alias("n_planted_caught"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q235: DP-shaped noisy release — per-event-type counts with Laplace
+# (b = 1/epsilon) noise from the md5-uniform inverse CDF. The
+# MECHANISM is the production shape (sensitivity-1 count, per-cell
+# noise, post-processing rounding); the noise SOURCE here is the
+# catalog's deterministic md5 uniform so both engines release the
+# same values — real differential privacy requires a true RNG, which
+# a cross-engine-reproducible catalog cannot have (stated honestly;
+# swap the uniform for rand() in deployment). epsilon = 1.
+# --------------------------------------------------------------------------
+@register(
+    "q235_dp_noisy_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type
+    ),
+    noised AS (
+      SELECT event_type, c,
+             ('0x' || substring(md5('dp:' || event_type), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM counts
+    )
+    SELECT event_type, c AS true_count,
+           round(c - CASE WHEN u < 0.5
+                     THEN -ln(2.0 * u)
+                     ELSE ln(2.0 * (1.0 - u)) END, 6) AS noisy_count
+    FROM noised
+    """,
+)
+def q235_dp_noisy_counts(spark, sf_dir):
+    utc(spark)
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    lap = F.when(u < 0.5, -F.log(2.0 * u)).otherwise(
+        F.log(2.0 * (1.0 - u))
+    )
+    return counts.select(
+        "event_type",
+        F.col("c").alias("true_count"),
+        F.round(F.col("c") - lap, 6).alias("noisy_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q236: k-anonymity audit — group sizes over the quasi-identifier
+# (user-id bucket, active day): how many equivalence classes fall
+# below k=5, and how many rows they expose (the re-identification
+# risk screen run before any data release; q101's PII scrub is the
+# column-level sibling, this is the row-level one). One keyed
+# groupBy + a histogram rollup.
+# --------------------------------------------------------------------------
+@register(
+    "q236_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT user_id // 10 AS user_bucket,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_k,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(min(class_size) AS BIGINT) AS min_class,
+           round(CAST(SUM(CASE WHEN class_size < 5 THEN class_size
+                          ELSE 0 END) AS DOUBLE)
+                 / SUM(class_size), 6) AS risk_share
+    FROM classes
+    """,
+)
+def q236_k_anonymity(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    classes = ev.groupBy(
+        F.expr("user_id div 10").alias("user_bucket"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    below = F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(
+        0
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0)).alias(
+            "n_below_k"
+        ),
+        F.sum(below).alias("rows_at_risk"),
+        F.min("class_size").alias("min_class"),
+        F.round(
+            F.sum(below).cast("double") / F.sum("class_size"), 6
+        ).alias("risk_share"),
+    )

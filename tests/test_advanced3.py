@@ -716,3 +716,32 @@ def test_readability_bounds(spark, sf_dir):
         # by words/1 + 100
         assert 0.0 < r.mean_lix < r.words + 100.0
         assert 0.0 <= r.hard_share <= 1.0
+
+
+def test_code_screen_catches_plants(spark, sf_dir):
+    rows = QUERIES["q234_code_screen"](spark, sf_dir).collect()
+    n_planted = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 0)
+        .count()
+    )
+    assert sum(r.n_planted_caught for r in rows) == n_planted
+    # organic prose should be overwhelmingly clean
+    organic_flags = sum(r.n_code - r.n_planted_caught for r in rows)
+    total_docs = sum(r.n_docs for r in rows) - n_planted
+    assert organic_flags / total_docs < 0.05
+
+
+def test_dp_noise_bounded_and_centered(spark, sf_dir):
+    rows = QUERIES["q235_dp_noisy_counts"](spark, sf_dir).collect()
+    for r in rows:
+        # Laplace(b=1) noise: |noise| beyond 15 has probability ~3e-7
+        assert abs(r.noisy_count - r.true_count) < 15.0
+
+
+def test_k_anonymity_consistency(spark, sf_dir):
+    r = QUERIES["q236_k_anonymity"](spark, sf_dir).first()
+    assert r.n_below_k <= r.n_classes
+    assert r.rows_at_risk <= r.n_below_k * 4
+    assert 0 <= r.risk_share <= 1
+    assert r.min_class >= 1
