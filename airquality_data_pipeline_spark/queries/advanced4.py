@@ -1886,3 +1886,175 @@ def q232_capping_sensitivity(spark, sf_dir):
             6,
         ).alias("mean_cap_p90"),
     ).drop("p90", "p95", "p99")
+
+
+# --------------------------------------------------------------------------
+# q237: uplift (Qini) table — per score decile, the treated-vs-control
+# purchase-rate gap and its cumulative Qini contribution: the
+# evaluation table for targeting models (does the model rank users
+# whose behavior the treatment actually CHANGES?). Deciles reuse
+# q196's explicit integer assignment over a (score desc, user) rank
+# of the per-user aggregate; all rates are single divisions of exact
+# integer counts; the cumulative gap is a 10-row running sum.
+# --------------------------------------------------------------------------
+@register(
+    "q237_uplift_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS treated,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS score,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_user),
+    ranked AS (
+      SELECT treated, converted,
+             CAST(row_number() OVER (ORDER BY score DESC, user_id)
+               AS BIGINT) AS r
+      FROM per_user
+    ),
+    dec AS (
+      SELECT CAST(((r - 1) * 10) // t.n AS BIGINT) + 1 AS decile,
+             treated, converted
+      FROM ranked, tot t
+    ),
+    g AS (
+      SELECT decile,
+             CAST(SUM(treated) AS BIGINT) AS n_t,
+             CAST(SUM(treated * converted) AS BIGINT) AS c_t,
+             CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+             CAST(SUM((1 - treated) * converted) AS BIGINT) AS c_c
+      FROM dec GROUP BY decile
+    )
+    SELECT decile, n_t, c_t, n_c, c_c,
+           round(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                 ELSE CAST(c_t AS DOUBLE) / n_t
+                      - CAST(c_c AS DOUBLE) / n_c END, 6) AS uplift,
+           round(SUM(CASE WHEN n_t = 0 OR n_c = 0 THEN 0.0
+                     ELSE CAST(c_t AS DOUBLE) / n_t
+                          - CAST(c_c AS DOUBLE) / n_c END)
+                 OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS cum_uplift
+    FROM g
+    """,
+)
+def q237_uplift_deciles(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(dec("value", 6)).cast("double").alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        "score",
+        "converted",
+    )
+    tot = per_user.agg(F.count(F.lit(1)).alias("n"))
+    r = F.row_number().over(
+        W.orderBy(F.col("score").desc(), F.col("user_id"))
+    ).cast("long")
+    ranked = per_user.select("treated", "converted", r.alias("r"))
+    dec_ = ranked.crossJoin(F.broadcast(tot)).select(
+        (F.expr("((r - 1) * 10) div n") + 1).alias("decile"),
+        "treated",
+        "converted",
+    )
+    g = dec_.groupBy("decile").agg(
+        F.sum("treated").alias("n_t"),
+        F.sum(F.col("treated") * F.col("converted")).alias("c_t"),
+        F.sum(1 - F.col("treated")).alias("n_c"),
+        F.sum((1 - F.col("treated")) * F.col("converted")).alias("c_c"),
+    )
+    empty = (F.col("n_t") == 0) | (F.col("n_c") == 0)
+    uplift = F.when(
+        empty, F.lit(None).cast("double")
+    ).otherwise(
+        F.col("c_t").cast("double") / F.col("n_t")
+        - F.col("c_c").cast("double") / F.col("n_c")
+    )
+    uplift0 = F.when(empty, F.lit(0.0)).otherwise(
+        F.col("c_t").cast("double") / F.col("n_t")
+        - F.col("c_c").cast("double") / F.col("n_c")
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return g.select(
+        "decile",
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        F.round(uplift, 6).alias("uplift"),
+        F.round(F.sum(uplift0).over(wc), 6).alias("cum_uplift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q238: out-of-order lateness — how late do events arrive relative to
+# the event-time high watermark at their arrival position (event_id =
+# arrival order)? The design input for every watermark delay in
+# streaming/jobs.py: p50/p95/p99/max lateness, plus the share of
+# events a given delay would drop. The running max runs per USER
+# (each user's stream is its own arrival sequence — matching the
+# per-key state operators); lateness stays integer milliseconds.
+# --------------------------------------------------------------------------
+@register(
+    "q238_watermark_lateness",
+    oracle="""
+    WITH arr AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             max(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hwm_ms
+      FROM events
+    ),
+    late AS (SELECT hwm_ms - ts_ms AS late_ms FROM arr)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(quantile_cont(late_ms, 0.5) AS DOUBLE) AS p50_ms,
+           CAST(quantile_cont(late_ms, 0.95) AS DOUBLE) AS p95_ms,
+           CAST(quantile_cont(late_ms, 0.99) AS DOUBLE) AS p99_ms,
+           CAST(max(late_ms) AS BIGINT) AS max_ms,
+           round(CAST(SUM(CASE WHEN late_ms > 60000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS dropped_at_1m
+    FROM late
+    """,
+)
+def q238_watermark_lateness(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    arr = ev.select(
+        ts_ms.alias("ts_ms"),
+        F.max(ts_ms).over(w).alias("hwm_ms"),
+    )
+    late = arr.select((F.col("hwm_ms") - F.col("ts_ms")).alias("late_ms"))
+    return late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0)).alias(
+            "n_late"
+        ),
+        F.expr("percentile(late_ms, 0.5)").alias("p50_ms"),
+        F.expr("percentile(late_ms, 0.95)").alias("p95_ms"),
+        F.expr("percentile(late_ms, 0.99)").alias("p99_ms"),
+        F.max("late_ms").alias("max_ms"),
+        F.round(
+            F.sum(F.when(F.col("late_ms") > 60000, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dropped_at_1m"),
+    )

@@ -745,3 +745,26 @@ def test_k_anonymity_consistency(spark, sf_dir):
     assert r.rows_at_risk <= r.n_below_k * 4
     assert 0 <= r.risk_share <= 1
     assert r.min_class >= 1
+
+
+def test_uplift_deciles_conservation(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q237_uplift_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    n_users = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_t + r.n_c for r in rows) == n_users
+    for r in rows:
+        assert r.c_t <= r.n_t and r.c_c <= r.n_c
+        if r.uplift is not None:
+            assert -1.0 <= r.uplift <= 1.0
+
+
+def test_watermark_lateness_quantile_order(spark, sf_dir):
+    r = QUERIES["q238_watermark_lateness"](spark, sf_dir).first()
+    assert r.n_events == table(spark, sf_dir, "events").count()
+    assert 0 <= r.n_late <= r.n_events
+    assert 0 <= r.p50_ms <= r.p95_ms <= r.p99_ms <= r.max_ms
+    assert 0.0 <= r.dropped_at_1m <= 1.0
