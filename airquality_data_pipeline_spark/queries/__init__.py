@@ -37,6 +37,7 @@ from airquality_data_pipeline_spark.queries import llmops2  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q239_compaction_plan",
     "q237_uplift_deciles",
     "q238_watermark_lateness",
     "q234_code_screen",

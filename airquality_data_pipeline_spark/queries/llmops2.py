@@ -762,3 +762,94 @@ def q236_k_anonymity(spark, sf_dir):
             F.sum(below).cast("double") / F.sum("class_size"), 6
         ).alias("risk_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q239: compaction plan — the small-file maintenance pass every lake
+# table needs: simulate the current file population (md5-sharded
+# document groups per source, sized by their text bytes), then plan a
+# sequential coalesce into target-sized output files (a new bin starts
+# whenever accumulated bytes cross a target boundary — the streaming
+# next-fit rule OPTIMIZE-style compactors use). Reports input/output
+# file counts and fill ratios per source. Integer byte arithmetic end
+# to end; the plan windows are keyed by source over |shards| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q239_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               ::BIGINT % 64 AS shard,
+             CAST(SUM(len(text)) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT source, shard, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+               ORDER BY bytes DESC, shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM files
+    ),
+    binned AS (
+      SELECT source, shard, bytes, cum_before // 16384 AS bin
+      FROM ordered
+    ),
+    bins AS (
+      SELECT source, bin, CAST(count(*) AS BIGINT) AS files_in,
+             CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+      FROM binned GROUP BY source, bin
+    )
+    SELECT source,
+           CAST(SUM(files_in) AS BIGINT) AS n_input_files,
+           CAST(count(*) AS BIGINT) AS n_output_files,
+           CAST(SUM(bin_bytes) AS BIGINT) AS total_bytes,
+           CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes,
+           round(CAST(SUM(bin_bytes) AS DOUBLE)
+                 / (count(*) * 16384.0), 6) AS fill_ratio
+    FROM bins GROUP BY source
+    """,
+)
+def q239_compaction_plan(spark, sf_dir):
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.length("text").alias("blen")
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    files = docs.groupBy("source", shard.alias("shard")).agg(
+        F.sum("blen").alias("bytes")
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("bytes").desc(), F.col("shard")
+    )
+    ordered = files.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("bytes").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    binned = ordered.withColumn("bin", F.expr("cum_before div 16384"))
+    bins = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("files_in"),
+        F.sum("bytes").alias("bin_bytes"),
+    )
+    return bins.groupBy("source").agg(
+        F.sum("files_in").alias("n_input_files"),
+        F.count(F.lit(1)).alias("n_output_files"),
+        F.sum("bin_bytes").alias("total_bytes"),
+        F.max("bin_bytes").alias("max_bin_bytes"),
+        F.round(
+            F.sum("bin_bytes").cast("double")
+            / (F.count(F.lit(1)) * 16384.0),
+            6,
+        ).alias("fill_ratio"),
+    )

@@ -768,3 +768,20 @@ def test_watermark_lateness_quantile_order(spark, sf_dir):
     assert 0 <= r.n_late <= r.n_events
     assert 0 <= r.p50_ms <= r.p95_ms <= r.p99_ms <= r.max_ms
     assert 0.0 <= r.dropped_at_1m <= 1.0
+
+
+def test_compaction_plan_conserves_bytes(spark, sf_dir):
+    rows = QUERIES["q239_compaction_plan"](spark, sf_dir).collect()
+    expect = {
+        r.source: r.total
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.length("text")).alias("total"))
+        .collect()
+    }
+    assert {r.source: r.total_bytes for r in rows} == expect
+    for r in rows:
+        assert r.n_output_files <= r.n_input_files
+        assert r.fill_ratio > 0
+        # a bin overshoots the 16 KiB target by at most one file
+        assert r.max_bin_bytes <= 2 * 16384 or r.n_output_files == 1
