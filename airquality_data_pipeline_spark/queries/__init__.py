@@ -32,11 +32,22 @@ from airquality_data_pipeline_spark.queries import advanced2  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import advanced3  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import advanced4  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import llmops2  # noqa: E402,F401
+from airquality_data_pipeline_spark.queries import tpch2  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q240_order_priority_check",
+    "q241_important_parts",
+    "q242_ship_delay_priority",
+    "q243_promo_revenue_share",
+    "q244_top_supplier_revenue",
+    "q245_brand_supplier_counts",
+    "q246_large_volume_customers",
+    "q247_disjunctive_revenue",
+    "q248_dominant_widget_suppliers",
+    "q249_dormant_high_balance",
     "q239_compaction_plan",
     "q237_uplift_deciles",
     "q238_watermark_lateness",
