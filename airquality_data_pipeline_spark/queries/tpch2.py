@@ -267,7 +267,11 @@ def q243_promo_revenue_share(spark, sf_dir):
 # global maximum. The maximum is a single-row aggregate broadcast
 # into a crossJoin (never a collect); supplier names broadcast.
 # MAX of doubles is order-independent, so the equality filter is
-# bit-exact on both engines.
+# bit-exact on both engines. The explicit l_suppkey IS NOT NULL
+# filter (on BOTH engines) exists so the probe and max sides share
+# one canonical subtree: without it, the supplier equi-join pushes
+# isnotnull into only the probe side's scan and AQE's stage cache
+# misses — the lineitem scan + aggregate would run twice.
 # --------------------------------------------------------------------------
 @register(
     "q244_top_supplier_revenue",
@@ -280,6 +284,7 @@ def q243_promo_revenue_share(spark, sf_dir):
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
+        AND l_suppkey IS NOT NULL
       GROUP BY 1
     )
     SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name, r.total_rev
@@ -293,7 +298,11 @@ def q244_top_supplier_revenue(spark, sf_dir):
     hi = F.lit("1996-04-01").cast("timestamp")
     r = (
         table(spark, sf_dir, "lineitem")
-        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .where(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_suppkey").isNotNull()
+        )
         .groupBy("l_suppkey")
         .agg(F.sum(dec(_rev(), 6)).cast("double").alias("total_rev"))
     )
