@@ -33,11 +33,15 @@ from airquality_data_pipeline_spark.queries import advanced3  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import advanced4  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import llmops2  # noqa: E402,F401
 from airquality_data_pipeline_spark.queries import tpch2  # noqa: E402,F401
+from airquality_data_pipeline_spark.queries import llmops3  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q250_dsir_selection",
+    "q251_perplexity_terciles",
+    "q252_bpe_pair_stats",
     "q240_order_priority_check",
     "q241_important_parts",
     "q242_ship_delay_priority",

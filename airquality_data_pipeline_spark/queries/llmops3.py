@@ -1,0 +1,295 @@
+"""Third LLM-curation batch (round 5, session 6): data-selection and
+tokenizer-support operators with direct public lineage — DSIR
+(hashed-n-gram importance resampling weights; Xie et al. 2023),
+CCNet-style perplexity tercile bucketing (Wenzek et al. 2020), and
+the first BPE merge iteration's adjacent-pair statistics (Sennrich
+et al. 2016) as a distributed count.
+
+Plan rules: the token fan-out is bounded by corpus token count; the
+feature/model tables are bucket-bounded (1024 hashed buckets / 676
+ascii pairs / one row per doc) and always broadcast back; no stage
+is quadratic in documents. Cross-engine exactness follows
+queries/common.py and the q128 precedent for ln(): per-term
+round(.., 6) then DECIMAL-exact summation, so the only residual
+hazard is a libm ulp landing exactly on a rounding boundary. No
+reference analog: the reference app (/root/reference/app/main.py)
+has no curation surface; these rows extend the LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.queries.common import dec, table
+from airquality_data_pipeline_spark.queries.registry import register
+
+# Hashed feature bucket (token -> [0, 1024)): first 8 md5 hex digits.
+_TOK_BUCKET_SQL = "('0x' || substring(md5(tok), 1, 8))::BIGINT % 1024"
+_DOC_BUCKET_SQL = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+)
+
+
+def _tok_bucket() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % 1024
+    )
+
+
+def _tokens(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q250: DSIR importance weights — Data Selection via Importance
+# Resampling over hashed unigram features: per-token weight
+# w(b) = ln(p_target(b) / p_source(b)) with add-one smoothing on 1024
+# md5 buckets (target = the English sub-corpus, source = everything);
+# a document's score is its summed token weights and selected means
+# the doc looks more target-like than source-like. One token fan-out;
+# bucket stats for BOTH distributions come from a single conditional
+# aggregate (no second corpus scan); the 1024-row model broadcasts
+# back onto the token stream. Per-token weights are rounded to 6dp
+# then decimal-summed, so the doc score is fold-order independent.
+# --------------------------------------------------------------------------
+@register(
+    "q250_dsir_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang, {_TOK_BUCKET_SQL} AS bucket FROM toks
+    ),
+    stats AS (
+      SELECT bucket, count(*) AS cs,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM b GROUP BY 1
+    ),
+    tot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM stats),
+    model AS (
+      SELECT bucket,
+             round(ln(((ct + 1.0) * (ns + 1024))
+                      / ((cs + 1.0) * (nt + 1024))), 6) AS w
+      FROM stats, tot
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(m.w AS DECIMAL(18,6))) AS DOUBLE) AS dsir_score,
+           (CAST(SUM(CAST(m.w AS DECIMAL(18,6))) AS DOUBLE) > 0)
+             AS selected
+    FROM b JOIN model m ON b.bucket = m.bucket
+    GROUP BY 1
+    """,
+)
+def q250_dsir_selection(spark, sf_dir):
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id", "lang", _tok_bucket().alias("bucket")
+    )
+    stats = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    tot = stats.agg(F.sum("cs").alias("ns"), F.sum("ct").alias("nt"))
+    model = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1.0) * (F.col("ns") + 1024))
+                / ((F.col("cs") + 1.0) * (F.col("nt") + 1024))
+            ),
+            6,
+        ).alias("w"),
+    )
+    scored = toks.join(F.broadcast(model), "bucket").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(dec("w", 6)).cast("double").alias("dsir_score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_score",
+        (F.col("dsir_score") > 0).alias("selected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q251: CCNet perplexity terciles — score every document against the
+# q128 train-split unigram LM, then bucket per language into
+# head/middle/tail by NTILE(3) ordered by (avg_nll, doc_id) — the
+# deterministic total order both engines share. The rollup reports
+# per (lang, tercile) document and character mass: the table a
+# CCNet-style pipeline uses to keep "head" and downsample "tail".
+# Model and totals broadcast; the NTILE partitions by language, so
+# no global single-partition window touches the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "q251_perplexity_terciles",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, n_chars, lower(trim(text)) AS text,
+             {_DOC_BUCKET_SQL} AS bucket
+      FROM documents
+    ),
+    train_toks AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM split WHERE bucket < 80
+    ),
+    model AS (SELECT tok, count(*) AS cnt FROM train_toks GROUP BY tok),
+    totals AS (SELECT sum(cnt) AS n, count(*) AS v FROM model),
+    all_toks AS (
+      SELECT doc_id, lang, n_chars,
+             unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM split
+    ),
+    scored AS (
+      SELECT at.doc_id, at.lang, at.n_chars,
+             -ln((COALESCE(m.cnt, 0) + 1.0) / (t.n + t.v)) AS nll
+      FROM all_toks at
+      LEFT JOIN model m ON at.tok = m.tok
+      CROSS JOIN totals t
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, n_chars, round(avg(nll), 6) AS avg_nll
+      FROM scored GROUP BY 1, 2, 3
+    ),
+    bucketed AS (
+      SELECT lang, n_chars, avg_nll,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY avg_nll, doc_id) AS tercile
+      FROM per_doc
+    )
+    SELECT lang, CAST(tercile AS BIGINT) AS tercile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS mean_nll
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def q251_perplexity_terciles(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        bucket.alias("bucket"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    model = (
+        toks.where(F.col("bucket") < 80)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = model.agg(F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v"))
+    per_doc = (
+        toks.join(model, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n") + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+        .groupBy("doc_id", "lang", "n_chars")
+        .agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+    )
+    bucketed = per_doc.select(
+        "lang",
+        "n_chars",
+        "avg_nll",
+        F.ntile(3)
+        .over(W.partitionBy("lang").orderBy("avg_nll", "doc_id"))
+        .cast("long")
+        .alias("tercile"),
+    )
+    return bucketed.groupBy("lang", "tercile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum(dec("avg_nll", 6)).cast("double") / F.count(F.lit(1))
+        ).alias("mean_nll"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q252: BPE pair statistics — the first merge iteration of byte-pair
+# encoding as a distributed count: every adjacent lowercase character
+# pair in the corpus, ranked by frequency (count DESC, pair ASC —
+# the deterministic merge order), top 20. The fan-out is one row per
+# character position (token-bounded, like every shingle op here);
+# the ranking window runs on the AGGREGATED pair table, which is
+# bounded by 26^2 = 676 rows, so the single-partition sort is
+# constant-size at any corpus scale.
+# --------------------------------------------------------------------------
+@register(
+    "q252_bpe_pair_stats",
+    oracle="""
+    WITH chars AS (
+      SELECT lower(text) AS t FROM documents WHERE length(text) >= 2
+    ),
+    pairs AS (
+      SELECT substring(t, i, 2) AS pair
+      FROM chars, unnest(generate_series(1, length(t) - 1)) AS g(i)
+    ),
+    counts AS (
+      SELECT pair, count(*) AS cnt FROM pairs
+      WHERE regexp_matches(pair, '^[a-z]{2}$')
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT pair, cnt,
+             row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM counts
+    )
+    SELECT pair, CAST(cnt AS BIGINT) AS pair_count,
+           CAST(rk AS BIGINT) AS merge_rank
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q252_bpe_pair_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.lower("text").alias("t"))
+        .where(F.length("t") >= 2)
+        .select(
+            F.col("t"),
+            F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
+        )
+        .select(F.col("t").substr(F.col("i"), F.lit(2)).alias("pair"))
+        .where(F.col("pair").rlike("^[a-z]{2}$"))
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.select(
+        "pair",
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), F.col("pair")))
+        .cast("long")
+        .alias("merge_rank"),
+    ).where(F.col("merge_rank") <= 20)
+    return ranked.select(
+        "pair",
+        F.col("cnt").cast("long").alias("pair_count"),
+        "merge_rank",
+    )
