@@ -1,0 +1,153 @@
+"""Semantic invariants for the session-6 batches (q240-q252) — pure-
+Python model replays and conservation laws the DuckDB hash-match
+can't express (the hash proves Spark==DuckDB; these prove both match
+the intended semantics)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.queries import QUERIES
+from airquality_data_pipeline_spark.queries.common import table
+
+
+def _docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+
+def test_bpe_pairs_match_python_model(spark, sf_dir):
+    counts = Counter()
+    for r in _docs(spark, sf_dir):
+        t = r.text.lower()
+        for i in range(len(t) - 1):
+            pair = t[i : i + 2]
+            if re.fullmatch(r"[a-z]{2}", pair):
+                counts[pair] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = QUERIES["q252_bpe_pair_stats"](spark, sf_dir).collect()
+    got = [
+        (r.pair, r.pair_count)
+        for r in sorted(rows, key=lambda r: r.merge_rank)
+    ]
+    assert got == expect
+    assert [r.merge_rank for r in sorted(rows, key=lambda r: r.merge_rank)] == list(
+        range(1, len(rows) + 1)
+    )
+
+
+def test_dsir_direction_and_model(spark, sf_dir):
+    # Pure-Python replay of the hashed-bucket importance model, then
+    # two semantic checks: per-doc scores match, and English docs (the
+    # target distribution) score higher on average than non-English.
+    import hashlib
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 1024
+
+    docs = _docs(spark, sf_dir)
+    cs: dict[int, int] = defaultdict(int)
+    ct: dict[int, int] = defaultdict(int)
+    toks_by_doc = {}
+    for r in docs:
+        toks = re.split(r"\s+", r.text.lower().strip())
+        toks_by_doc[r.doc_id] = toks
+        for tok in toks:
+            b = bucket(tok)
+            cs[b] += 1
+            if r.lang == "en":
+                ct[b] += 1
+    ns, nt = sum(cs.values()), sum(ct.values())
+    w = {
+        b: round(
+            math.log(
+                ((ct.get(b, 0) + 1.0) * (ns + 1024))
+                / ((cs[b] + 1.0) * (nt + 1024))
+            ),
+            6,
+        )
+        for b in cs
+    }
+    expect = {
+        r.doc_id: round(sum(w[bucket(t)] for t in toks_by_doc[r.doc_id]), 6)
+        for r in docs
+    }
+    rows = QUERIES["q250_dsir_selection"](spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert abs(r.dsir_score - expect[r.doc_id]) < 1e-6, r.doc_id
+        assert r.selected == (r.dsir_score > 0)
+    lang_of = {d.doc_id: d.lang for d in docs}
+    en = [r.dsir_score for r in rows if lang_of[r.doc_id] == "en"]
+    other = [r.dsir_score for r in rows if lang_of[r.doc_id] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_perplexity_terciles_partition_docs(spark, sf_dir):
+    rows = QUERIES["q251_perplexity_terciles"](spark, sf_dir).collect()
+    docs = _docs(spark, sf_dir)
+    n_by_lang = Counter(d.lang for d in docs)
+    # conservation: every doc lands in exactly one (lang, tercile) cell
+    got_by_lang = defaultdict(int)
+    for r in rows:
+        got_by_lang[r.lang] += r.n_docs
+    assert dict(got_by_lang) == dict(n_by_lang)
+    # NTILE balance: within a language, cell sizes differ by <= 1
+    sizes = defaultdict(list)
+    for r in rows:
+        sizes[r.lang].append(r.n_docs)
+    for lang, ns in sizes.items():
+        assert max(ns) - min(ns) <= 1, (lang, ns)
+    # monotone: mean NLL rises from head (1) to tail (3) per language
+    by_cell = {(r.lang, r.tercile): r.mean_nll for r in rows}
+    for lang in sizes:
+        assert by_cell[(lang, 1)] <= by_cell[(lang, 2)] <= by_cell[(lang, 3)]
+
+
+def test_large_volume_customers_threshold(spark, sf_dir):
+    rows = QUERIES["q246_large_volume_customers"](spark, sf_dir).collect()
+    assert all(r.sum_qty > 250 for r in rows)
+    # replay: the qualifying orderkey set matches a python groupBy
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .collect()
+    )
+    qty = defaultdict(float)
+    for r in li:
+        qty[r.l_orderkey] += r.l_quantity
+    expect = {k for k, v in qty.items() if v > 250}
+    assert {r.orderkey for r in rows} == expect
+
+
+def test_dominant_widget_suppliers_dominance(spark, sf_dir):
+    # every reported supplier dominates >= 1 widget part at > 2x the
+    # part's mean per-supplier quantity, replayed in pure python
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "part").where(
+                F.col("p_name").like("%widget")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .collect()
+    )
+    q = defaultdict(float)
+    for r in li:
+        q[(r.l_partkey, r.l_suppkey)] += r.l_quantity
+    per_part = defaultdict(list)
+    for (pk, sk), v in q.items():
+        per_part[pk].append(v)
+    dominated = defaultdict(int)
+    for (pk, sk), v in q.items():
+        if v > 2.0 * (sum(per_part[pk]) / len(per_part[pk])):
+            dominated[sk] += 1
+    rows = QUERIES["q248_dominant_widget_suppliers"](spark, sf_dir).collect()
+    assert {r.suppkey: r.n_parts_dominated for r in rows} == dict(dominated)
