@@ -48,6 +48,33 @@ def _tokens(spark, sf_dir):
     )
 
 
+def dsir_model(spark, sf_dir, target_lang: str = "en"):
+    """The 1024-row hashed-bucket importance model [bucket, w] —
+    shared by q250 (batch) and streaming.dsir_scoring_stream (which
+    collects it as bounded model state, the KMeansModel pattern)."""
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id", "lang", _tok_bucket().alias("bucket")
+    )
+    stats = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    tot = stats.agg(F.sum("cs").alias("ns"), F.sum("ct").alias("nt"))
+    model = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1.0) * (F.col("ns") + 1024))
+                / ((F.col("cs") + 1.0) * (F.col("nt") + 1024))
+            ),
+            6,
+        ).alias("w"),
+    )
+    return toks, model
+
+
 # --------------------------------------------------------------------------
 # q250: DSIR importance weights — Data Selection via Importance
 # Resampling over hashed unigram features: per-token weight
@@ -92,24 +119,7 @@ def _tokens(spark, sf_dir):
     """,
 )
 def q250_dsir_selection(spark, sf_dir):
-    toks = _tokens(spark, sf_dir).select(
-        "doc_id", "lang", _tok_bucket().alias("bucket")
-    )
-    stats = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cs"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
-    )
-    tot = stats.agg(F.sum("cs").alias("ns"), F.sum("ct").alias("nt"))
-    model = stats.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.round(
-            F.log(
-                ((F.col("ct") + 1.0) * (F.col("ns") + 1024))
-                / ((F.col("cs") + 1.0) * (F.col("nt") + 1024))
-            ),
-            6,
-        ).alias("w"),
-    )
+    toks, model = dsir_model(spark, sf_dir)
     scored = toks.join(F.broadcast(model), "bucket").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(dec("w", 6)).cast("double").alias("dsir_score"),

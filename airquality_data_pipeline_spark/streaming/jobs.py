@@ -411,6 +411,49 @@ def neardup_suppression_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def dsir_scoring_stream(
+    docs: DataFrame, model_rows: list[tuple[int, float]]
+) -> DataFrame:
+    """Streaming twin of q250's DSIR selection: score each incoming
+    document against a FROZEN importance model (the batch-trained
+    1024-bucket table from queries.llmops3.dsir_model, passed in as
+    collected rows — bounded model state, the KMeansModel pattern).
+
+    The model embeds as a map LITERAL and the per-doc score is a
+    row-local higher-order-function fold (split -> transform ->
+    aggregate), so the stream needs NO aggregation state, no
+    stream-static join, and composes with any downstream stateful
+    stage. This is the deploy shape for selection-at-ingest: train
+    the model in batch, push it into the stream as a constant.
+
+    Scores match q250 to ~1e-9 (sequential double fold vs the batch
+    path's exact decimal sum of the same 6dp weights; pinned by
+    test_dsir_scoring_stream)."""
+    entries: list = []
+    for bucket, w in model_rows:
+        entries.append(F.lit(int(bucket)))
+        entries.append(F.lit(float(w)))
+    model_map = F.create_map(*entries)
+    weights = F.transform(
+        F.split(F.lower(F.trim("text")), r"\s+"),
+        lambda t: F.element_at(
+            model_map,
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % 1024,
+        ),
+    )
+    score = F.aggregate(
+        weights,
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("dsir_score"),
+        (score > 0).alias("selected"),
+    )
+
+
 def cms_counter_stream(docs: DataFrame) -> DataFrame:
     """Streaming count-min sketch over document tokens — the
     bounded-state ingest path for corpus term stats: whatever the

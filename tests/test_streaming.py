@@ -469,3 +469,27 @@ def test_anomaly_scoring_stream_matches_batch(spark, sf_dir):
     got_ids = {r.event_id for r in got.collect()}
     assert got_ids == batch_ids
     assert got_ids, "no anomalies scored — test is vacuous"
+
+
+def test_dsir_scoring_stream_matches_batch(spark, sf_dir):
+    # selection-at-ingest: the frozen batch model scored over the
+    # stream must reproduce q250's per-doc scores (sequential double
+    # fold vs exact decimal sum of the same 6dp weights -> ~1e-9)
+    from airquality_data_pipeline_spark.queries import QUERIES
+    from airquality_data_pipeline_spark.queries.llmops3 import dsir_model
+
+    _, model = dsir_model(spark, sf_dir)
+    model_rows = [(r.bucket, r.w) for r in model.collect()]
+    stream = jobs.read_documents_stream(spark, sf_dir)
+    got = _drain(
+        spark, jobs.dsir_scoring_stream(stream, model_rows)
+    ).collect()
+    batch = {
+        r.doc_id: (r.dsir_score, r.selected)
+        for r in QUERIES["q250_dsir_selection"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(batch)
+    for r in got:
+        b_score, b_sel = batch[r.doc_id]
+        assert abs(r.dsir_score - b_score) < 1e-6, r.doc_id
+        assert r.selected == b_sel
