@@ -853,3 +853,114 @@ def q239_compaction_plan(spark, sf_dir):
             6,
         ).alias("fill_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# q253: zone-map skip-rate evaluation — the scan-pruning payoff
+# metric that closes the data-layout trio (q141 builds a Z-order
+# layout, q239 plans compaction, q253 measures what a layout BUYS):
+# simulate two 64-file layouts of the events table (random md5
+# sharding vs value-range clustering), compute each file's min/max
+# zone map, and report how many files — and what row mass — a
+# `value BETWEEN 20 AND 50` scan could skip under each. Random
+# layouts give ~0 skip (every file spans the full domain);
+# range-clustered layouts skip all files whose zone lies outside the
+# predicate — the quantitative argument for OPTIMIZE/cluster-by at
+# 100 TB. One pass over a 2x layout stack; the zone-map table is
+# bounded at 2 x 64 rows, so the rollup is constant-size at any SF.
+# The vmin/vmax anchors broadcast (min/max of doubles are
+# fold-order-independent, so both engines agree bit-exactly).
+# --------------------------------------------------------------------------
+@register(
+    "q253_zone_map_skipping",
+    oracle="""
+    WITH stats AS (SELECT min(value) AS vmin, max(value) AS vmax
+                   FROM events),
+    assigned AS (
+      SELECT value, 'random' AS layout,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 64 AS file_id
+      FROM events
+      UNION ALL
+      SELECT value, 'value_clustered' AS layout,
+             least(63, CAST(floor((value - vmin)
+                                  / ((vmax - vmin) / 64.0)) AS BIGINT))
+      FROM events, stats
+    ),
+    zones AS (
+      SELECT layout, file_id, min(value) AS mn, max(value) AS mx,
+             count(*) AS cnt
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN mx < 20 OR mn > 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_skipped,
+           CAST(SUM(CASE WHEN mx < 20 OR mn > 50 THEN cnt ELSE 0 END)
+                AS BIGINT) AS rows_skipped,
+           round(CAST(SUM(CASE WHEN mx < 20 OR mn > 50 THEN cnt
+                          ELSE 0 END) AS DOUBLE) / SUM(cnt), 6)
+             AS skip_ratio
+    FROM zones GROUP BY 1
+    """,
+)
+def q253_zone_map_skipping(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    stats = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    rand_file = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    clustered_file = F.least(
+        F.lit(63).cast("long"),
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            / ((F.col("vmax") - F.col("vmin")) / 64.0)
+        ),
+    )
+    assigned = (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            "value",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("random").alias("layout"),
+                        rand_file.alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("value_clustered").alias("layout"),
+                        clustered_file.alias("file_id"),
+                    ),
+                )
+            ).alias("lf"),
+        )
+        .select("value", F.col("lf.layout").alias("layout"),
+                F.col("lf.file_id").alias("file_id"))
+    )
+    zones = assigned.groupBy("layout", "file_id").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    skip = (F.col("mx") < 20) | (F.col("mn") > 50)
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(skip, 1).otherwise(0)).cast("long").alias(
+            "files_skipped"
+        ),
+        F.sum(F.when(skip, F.col("cnt")).otherwise(0)).cast("long").alias(
+            "rows_skipped"
+        ),
+        F.round(
+            F.sum(F.when(skip, F.col("cnt")).otherwise(0)).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("skip_ratio"),
+    )
