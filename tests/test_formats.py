@@ -182,3 +182,45 @@ def test_binaryfile_and_wholetext_sources(spark, sf_dir):
     a = {r.item_id: (r.n_bytes, tuple(r.feature)) for r in via_parquet.collect()}
     b = {r.item_id: (r.n_bytes, tuple(r.feature)) for r in via_files.collect()}
     assert a == b
+
+
+def test_json_quarantine_split(spark, tmp_path):
+    # PERMISSIVE + corrupt-column quarantine: good rows parse, bad
+    # lines survive verbatim, and the two sides partition the file
+    from pyspark.sql import types as T
+
+    from airquality_data_pipeline_spark.io import read_json_with_quarantine
+
+    p = tmp_path / "m.jsonl"
+    p.write_text(
+        '{"station_id": "s1", "value": 1.5}\n'
+        "{broken json\n"
+        '{"station_id": "s2", "value": 2.0}\n'
+        '["not","an","object"]\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("station_id", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    good, quar = read_json_with_quarantine(spark, str(p), schema)
+    g = {(r.station_id, r.value) for r in good.collect()}
+    assert g == {("s1", 1.5), ("s2", 2.0)}
+    raws = sorted(r.raw for r in quar.collect())
+    assert raws == ['["not","an","object"]', "{broken json"]
+    # FAILFAST on the same file raises — the strictness dial works
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.schema(schema).option("mode", "FAILFAST").json(
+            str(p)
+        ).collect()
+    # DROPMALFORMED keeps only the parseable rows
+    dropped = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+        .collect()
+    )
+    assert {(r.station_id, r.value) for r in dropped} == g
