@@ -224,3 +224,20 @@ def test_json_quarantine_split(spark, tmp_path):
         .collect()
     )
     assert {(r.station_id, r.value) for r in dropped} == g
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # files written before/after a column was added must read as one
+    # unified schema with NULLs for the missing column (mergeSchema),
+    # and the default fast path keeps the first file's schema
+    d = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, "a")], "id bigint, name string"
+    ).write.parquet(d + "/p=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(d + "/p=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
