@@ -303,3 +303,159 @@ def q252_bpe_pair_stats(spark, sf_dir):
         F.col("cnt").cast("long").alias("pair_count"),
         "merge_rank",
     )
+
+
+# --------------------------------------------------------------------------
+# q254: nDCG@10 retrieval evaluation — the quality metric on top of
+# q119's BM25 ranking, judged against EXTERNAL labels (query_id i is
+# relevant to documents of source 'src<i>'), not lexical overlap — a
+# term-containment truth would make every top-10 doc relevant by
+# construction and pin nDCG at a useless 1.0. DCG over the retrieved
+# ranks, ideal DCG from the top-min(n_rel, 10) positions. Per-rank
+# discount terms 1/log2(rank+1) are rounded to 6dp then
+# decimal-summed (the q119 dsum discipline), so both the DCG and the
+# ratio are fold-order independent; queries with zero relevant docs
+# emit NULL ndcg. The label table is 3 rows and broadcasts.
+# --------------------------------------------------------------------------
+def _ndcg_oracle() -> str:
+    from airquality_data_pipeline_spark.operators.text import bm25_expr
+    from airquality_data_pipeline_spark.queries.text import _BM25_VALUES
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+             END AS dl,
+             lower(trim(text)) AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS term
+      FROM d WHERE dl > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM d
+    ),
+    q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    qsrc(query_id, rel_source) AS
+      (VALUES (1, 'src1'), (2, 'src2'), (3, 'src3')),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST({bm25_expr()} AS DECIMAL(18,6))) AS DOUBLE)
+               AS score
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dfreq ON tf.term = dfreq.term
+      JOIN d ON tf.doc_id = d.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    top10 AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS rank FROM scored
+      ) WHERE rank <= 10
+    ),
+    rel AS (
+      SELECT qs.query_id, dd.doc_id
+      FROM documents dd JOIN qsrc qs ON dd.source = qs.rel_source
+    ),
+    nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+    dcg AS (
+      SELECT t.query_id,
+             CAST(SUM(CAST(CASE WHEN r.doc_id IS NOT NULL
+                      THEN round(1.0 / log2(t.rank + 1), 6)
+                      ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+      FROM top10 t
+      LEFT JOIN rel r
+        ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+      GROUP BY 1
+    ),
+    idcg AS (
+      SELECT n.query_id,
+             CAST(SUM(CAST(round(1.0 / log2(i + 1), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+      FROM nrel n, UNNEST(generate_series(1, least(n.n_rel, 10))) AS g(i)
+      WHERE n.n_rel >= 1
+      GROUP BY 1
+    )
+    SELECT d.query_id,
+           CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+           d.dcg, i.idcg,
+           round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d
+    LEFT JOIN nrel n ON d.query_id = n.query_id
+    LEFT JOIN idcg i ON d.query_id = i.query_id
+    """
+
+
+@register("q254_ndcg_at_10", oracle=_ndcg_oracle())
+def q254_ndcg_at_10(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.text import bm25_topk
+    from airquality_data_pipeline_spark.queries.text import BM25_QUERIES
+
+    docs = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id int, term string"
+    )
+    top10 = bm25_topk(docs, queries, text_col="text", id_col="doc_id", k=10)
+
+    qsrc = spark.createDataFrame(
+        [(1, "src1"), (2, "src2"), (3, "src3")],
+        "query_id int, rel_source string",
+    )
+    rel = (
+        docs.join(
+            F.broadcast(qsrc), docs.source == F.col("rel_source")
+        ).select("query_id", "doc_id")
+    )
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    disc = lambda r: F.round(1.0 / F.log2(r + 1), 6)  # noqa: E731
+    dcg = (
+        top10.join(
+            rel.withColumn("is_rel", F.lit(True)),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                dec(
+                    F.when(F.col("is_rel"), disc(F.col("rank"))).otherwise(
+                        F.lit(0)
+                    ),
+                    6,
+                )
+            )
+            .cast("double")
+            .alias("dcg")
+        )
+    )
+    idcg = (
+        nrel.where(F.col("n_rel") >= 1)
+        .select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(10)))
+            ).alias("i"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(dec(disc(F.col("i")), 6)).cast("double").alias("idcg"))
+    )
+    return (
+        dcg.join(F.broadcast(nrel), "query_id", "left")
+        .join(F.broadcast(idcg), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            "dcg",
+            "idcg",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

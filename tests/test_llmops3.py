@@ -151,3 +151,47 @@ def test_dominant_widget_suppliers_dominance(spark, sf_dir):
             dominated[sk] += 1
     rows = QUERIES["q248_dominant_widget_suppliers"](spark, sf_dir).collect()
     assert {r.suppkey: r.n_parts_dominated for r in rows} == dict(dominated)
+
+
+def test_ndcg_matches_python_model(spark, sf_dir):
+    # pure-python replay: take the engine's own top-10 (q119-parity
+    # already proves the ranking), recompute DCG/IDCG/nDCG from the
+    # source-label ground truth
+    import math
+
+    top10 = QUERIES["q119_bm25_topk"](spark, sf_dir).collect()
+    src = {
+        r.doc_id: r.source
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    n_rel = {
+        q: sum(1 for s in src.values() if s == f"src{q}") for q in (1, 2, 3)
+    }
+
+    def disc(r):
+        return round(1.0 / math.log2(r + 1), 6)
+
+    expect = {}
+    for q in (1, 2, 3):
+        dcg = round(
+            sum(
+                disc(r.rank)
+                for r in top10
+                if r.query_id == q and src[r.doc_id] == f"src{q}"
+            ),
+            6,
+        )
+        idcg = round(
+            sum(disc(i) for i in range(1, min(n_rel[q], 10) + 1)), 6
+        )
+        expect[q] = (n_rel[q], dcg, idcg, round(dcg / idcg, 6))
+    rows = QUERIES["q254_ndcg_at_10"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        nr, dcg, idcg, ndcg = expect[r.query_id]
+        assert r.n_rel == nr
+        assert abs(r.dcg - dcg) < 1e-6
+        assert abs(r.idcg - idcg) < 1e-6
+        assert abs(r.ndcg - ndcg) < 1e-6
