@@ -459,3 +459,167 @@ def q254_ndcg_at_10(spark, sf_dir):
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q255: reciprocal-rank fusion — hybrid retrieval's standard list
+# combiner (RRF, Cormack et al. 2009): two independent rankings for
+# the same query set (q119's BM25 and a TF-IDF scorer over the same
+# broadcast-pruned postings) fuse by summing 1/(60 + rank), missing
+# entries contribute 0, fused top-10 per query. Per-list contribution
+# terms round to 6dp then decimal-sum, rank ties break on doc_id —
+# fully deterministic on both engines. Scale shape: both rankings
+# prune postings with the broadcast query-term set BEFORE any
+# aggregate; the fusion join is bounded at 2 x k rows per query.
+# --------------------------------------------------------------------------
+def _rrf_oracle() -> str:
+    from airquality_data_pipeline_spark.operators.text import bm25_expr
+    from airquality_data_pipeline_spark.queries.text import _BM25_VALUES
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+             END AS dl,
+             lower(trim(text)) AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS term
+      FROM d WHERE dl > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM d
+    ),
+    q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    bm25 AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.query_id, tf.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(SUM(CAST({bm25_expr()} AS DECIMAL(18,6)))
+                               AS DOUBLE) DESC, tf.doc_id
+               ) AS rank
+        FROM tf
+        JOIN q ON tf.term = q.term
+        JOIN dfreq ON tf.term = dfreq.term
+        JOIN d ON tf.doc_id = d.doc_id
+        CROSS JOIN stats
+        GROUP BY q.query_id, tf.doc_id
+      ) WHERE rank <= 20
+    ),
+    tfidf AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.query_id, tf.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(SUM(CAST(
+                   tf.tf * round(ln(CAST(stats.n AS DOUBLE) / dfreq.df), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) DESC, tf.doc_id
+               ) AS rank
+        FROM tf
+        JOIN q ON tf.term = q.term
+        JOIN dfreq ON tf.term = dfreq.term
+        CROSS JOIN stats
+        GROUP BY q.query_id, tf.doc_id
+      ) WHERE rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(b.query_id, t.query_id) AS query_id,
+             COALESCE(b.doc_id, t.doc_id) AS doc_id,
+             (b.rank IS NOT NULL) AS in_bm25,
+             (t.rank IS NOT NULL) AS in_tfidf,
+             CAST(CAST(COALESCE(round(1.0 / (60 + b.rank), 6), 0)
+                       AS DECIMAL(18,6))
+                  + CAST(COALESCE(round(1.0 / (60 + t.rank), 6), 0)
+                         AS DECIMAL(18,6)) AS DOUBLE) AS rrf_score
+      FROM bm25 b
+      FULL OUTER JOIN tfidf t
+        ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, in_bm25, in_tfidf,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+      ) AS fused_rank FROM fused
+    ) WHERE fused_rank <= 10
+    """
+
+
+@register("q255_rrf_fusion", oracle=_rrf_oracle())
+def q255_rrf_fusion(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    from airquality_data_pipeline_spark.operators.text import bm25_topk
+    from airquality_data_pipeline_spark.queries.text import BM25_QUERIES
+
+    docs = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id int, term string"
+    )
+    bm25 = bm25_topk(
+        docs, queries, text_col="text", id_col="doc_id", k=20
+    ).select("query_id", "doc_id", F.col("rank").alias("b_rank"))
+
+    t = F.trim(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.lower(t), r"\s+")))
+        .alias("dl"),
+        F.lower(t).alias("_t"),
+    )
+    toks = (
+        d.where(F.col("dl") > 0)
+        .select(
+            "doc_id", F.explode(F.split("_t", r"\s+")).alias("term")
+        )
+        .join(F.broadcast(queries.select("term").distinct()), "term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(F.count(F.lit(1)).alias("n"))
+    contrib = F.col("tf") * F.round(
+        F.log(F.col("n").cast("double") / F.col("df")), 6
+    )
+    tfidf_rank = _W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    tfidf = (
+        tf.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(dec(contrib, 6)).cast("double").alias("score"))
+        .withColumn("t_rank", F.row_number().over(tfidf_rank))
+        .where(F.col("t_rank") <= 20)
+        .select("query_id", "doc_id", "t_rank")
+    )
+    rrf = (
+        F.coalesce(F.round(1.0 / (60 + F.col("b_rank")), 6), F.lit(0))
+        .cast("decimal(18,6)")
+        + F.coalesce(F.round(1.0 / (60 + F.col("t_rank")), 6), F.lit(0))
+        .cast("decimal(18,6)")
+    ).cast("double")
+    fused = bm25.join(tfidf, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        rrf.alias("rrf_score"),
+        F.col("b_rank").isNotNull().alias("in_bm25"),
+        F.col("t_rank").isNotNull().alias("in_tfidf"),
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("fused_rank") <= 10)
+    )
