@@ -195,3 +195,42 @@ def test_ndcg_matches_python_model(spark, sf_dir):
         assert abs(r.dcg - dcg) < 1e-6
         assert abs(r.idcg - idcg) < 1e-6
         assert abs(r.ndcg - ndcg) < 1e-6
+
+
+def test_zone_map_skipping_python_model(spark, sf_dir):
+    # replay both layouts + zone maps in pure python; skip counts and
+    # the random-vs-clustered ordering must match
+    import hashlib
+    from collections import defaultdict as dd
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .collect()
+    )
+    vmin = min(r.value for r in ev)
+    vmax = max(r.value for r in ev)
+    w = (vmax - vmin) / 64.0
+    zones = dd(lambda: [float("inf"), float("-inf"), 0])
+    for r in ev:
+        fa = int(
+            hashlib.md5(str(r.event_id).encode()).hexdigest()[:8], 16
+        ) % 64
+        fb = min(63, int((r.value - vmin) // w))
+        for layout, f in (("random", fa), ("value_clustered", fb)):
+            z = zones[(layout, f)]
+            z[0] = min(z[0], r.value)
+            z[1] = max(z[1], r.value)
+            z[2] += 1
+    expect = dd(lambda: [0, 0, 0])
+    for (layout, f), (mn, mx, cnt) in zones.items():
+        e = expect[layout]
+        e[0] += 1
+        if mx < 20 or mn > 50:
+            e[1] += 1
+            e[2] += cnt
+    rows = QUERIES["q253_zone_map_skipping"](spark, sf_dir).collect()
+    got = {r.layout: (r.n_files, r.files_skipped, r.rows_skipped) for r in rows}
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    by = {r.layout: r.skip_ratio for r in rows}
+    assert by["value_clustered"] > by["random"]
