@@ -623,3 +623,79 @@ def q255_rrf_fusion(spark, sf_dir):
         )
         .where(F.col("fused_rank") <= 10)
     )
+
+
+# --------------------------------------------------------------------------
+# q256: temperature-based multilingual sampling — the p_i^alpha
+# rebalancing rule (XLM-R / mBERT exponential smoothing): per
+# language, raw token share p_i, smoothed sampling weight
+# q_i = p_i^a / sum_j p_j^a for a in {0.3, 0.7, 1.0}, and the
+# up/down-sampling factor q_i/p_i a corpus builder applies. One
+# token-count aggregate; everything after runs on the 5-row language
+# table (broadcast totals, no second corpus scan). alpha=1.0 is the
+# built-in invariant check: weights must equal the raw shares.
+# Powers/divisions are identical IEEE expression trees on both
+# engines; shares round to 6dp before the weight normalization so
+# the per-alpha sums are decimal-exact.
+# --------------------------------------------------------------------------
+@register(
+    "q256_temperature_sampling",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT lang, count(*) AS n_tokens FROM toks GROUP BY 1),
+    tot AS (SELECT sum(n_tokens) AS n FROM counts),
+    shares AS (
+      SELECT lang, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / n, 6) AS p
+      FROM counts, tot
+    ),
+    alphas(alpha) AS (VALUES (0.3), (0.7), (1.0)),
+    powed AS (
+      SELECT s.lang, s.n_tokens, s.p, a.alpha,
+             round(pow(s.p, a.alpha), 6) AS pa
+      FROM shares s CROSS JOIN alphas a
+    ),
+    z AS (
+      SELECT alpha,
+             CAST(SUM(CAST(pa AS DECIMAL(18,6))) AS DOUBLE) AS zsum
+      FROM powed GROUP BY 1
+    )
+    SELECT p.lang, p.alpha, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           p.p AS raw_share,
+           round(p.pa / z.zsum, 6) AS sample_weight,
+           round(p.pa / z.zsum / p.p, 6) AS resample_factor
+    FROM powed p JOIN z ON p.alpha = z.alpha
+    """,
+)
+def q256_temperature_sampling(spark, sf_dir):
+    toks = _tokens(spark, sf_dir).select("lang")
+    counts = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tokens"))
+    tot = counts.agg(F.sum("n_tokens").alias("n"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("n"), 6).alias("p"),
+    )
+    alphas = F.explode(
+        F.array(F.lit(0.3), F.lit(0.7), F.lit(1.0))
+    ).alias("alpha")
+    powed = shares.select(
+        "lang", "n_tokens", "p", alphas
+    ).withColumn("pa", F.round(F.pow("p", "alpha"), 6))
+    z = powed.groupBy("alpha").agg(
+        F.sum(dec("pa", 6)).cast("double").alias("zsum")
+    )
+    return powed.join(F.broadcast(z), "alpha").select(
+        "lang",
+        "alpha",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("p").alias("raw_share"),
+        F.round(F.col("pa") / F.col("zsum"), 6).alias("sample_weight"),
+        F.round(F.col("pa") / F.col("zsum") / F.col("p"), 6).alias(
+            "resample_factor"
+        ),
+    )

@@ -234,3 +234,28 @@ def test_zone_map_skipping_python_model(spark, sf_dir):
     assert got == {k: tuple(v) for k, v in expect.items()}
     by = {r.layout: r.skip_ratio for r in rows}
     assert by["value_clustered"] > by["random"]
+
+
+def test_temperature_sampling_invariants(spark, sf_dir):
+    rows = QUERIES["q256_temperature_sampling"](spark, sf_dir).collect()
+    # alpha=1.0: sampling must reduce to the raw distribution
+    for r in rows:
+        if abs(r.alpha - 1.0) < 1e-9:
+            assert abs(r.sample_weight - r.raw_share) < 2e-6
+            assert abs(r.resample_factor - 1.0) < 1e-4
+    # alpha<1: low-resource languages get boosted, high-resource damped
+    a03 = sorted(
+        (r.raw_share, r.resample_factor)
+        for r in rows
+        if abs(r.alpha - 0.3) < 1e-9
+    )
+    assert a03[0][1] > 1.0  # smallest share upsampled
+    assert a03[-1][1] < 1.0  # largest share downsampled
+    # weights normalize per alpha
+    from collections import defaultdict as dd
+
+    sums = dd(float)
+    for r in rows:
+        sums[r.alpha] += r.sample_weight
+    for a, s in sums.items():
+        assert abs(s - 1.0) < 1e-4, (a, s)
