@@ -1,0 +1,65 @@
+"""Plan-discipline guards: the PLANS.md claims, enforced.
+
+These pin the PHYSICAL shape of representative catalog queries so a
+refactor can't silently regress the scale design: dimension joins must
+broadcast (no SortMergeJoin), nothing may plan a real cartesian
+product, and the twice-referenced aggregates must reuse their shuffle
+stage instead of re-scanning the fact table (the q244 lesson — a
+join-implied filter on one side breaks AQE stage-cache reuse)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from airquality_data_pipeline_spark.queries import QUERIES
+
+# every TPC-H-shape query added in session 6: all dims broadcast
+_TPCH_BATCH = [
+    "q240_order_priority_check",
+    "q241_important_parts",
+    "q242_ship_delay_priority",
+    "q243_promo_revenue_share",
+    "q244_top_supplier_revenue",
+    "q245_brand_supplier_counts",
+    "q246_large_volume_customers",
+    "q247_disjunctive_revenue",
+    "q248_dominant_widget_suppliers",
+    "q249_dormant_high_balance",
+]
+
+
+def _final_plan(df) -> str:
+    # executedPlan() on an UNEXECUTED df shows the pre-AQE plan, and a
+    # df.write creates its OWN QueryExecution (inspecting df's plan
+    # after a noop save still shows isFinalPlan=false) — collect() the
+    # df itself so ITS adaptive plan (with ReusedExchange /
+    # AQEShuffleRead) is what we assert on.
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _TPCH_BATCH)
+def test_tpch_batch_no_sort_merge_join(name, spark, sf_dir):
+    plan = _final_plan(QUERIES[name](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, name
+    # the only nested-loop joins allowed are broadcast single-row
+    # scalar anchors (Cross with BuildRight on a 1-row aggregate)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q241_important_parts",
+        "q244_top_supplier_revenue",
+        "q248_dominant_widget_suppliers",
+    ],
+)
+def test_twice_referenced_aggregate_reuses_stage(name, spark, sf_dir):
+    plan = _final_plan(QUERIES[name](spark, sf_dir))
+    assert re.search(r"ReusedExchange|reuses", plan), (
+        f"{name}: expected the shared aggregate's shuffle stage to be "
+        "reused (double fact-scan regression — see PLANS.md q244)"
+    )
