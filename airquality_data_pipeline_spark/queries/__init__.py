@@ -6,11 +6,13 @@ shared registry. Importing this package populates it.
 Registration order is deliberate: the external driver checks a ~50-entry
 prefix of the catalog each round, so _PRIORITY below puts the queries
 that most need a fresh CORRECTNESS row first. Round-5 order: the
-never-driver-checked round-5 additions lead (newest first — they can't
-fall off the prefix), then q63 (oracle added this round) and q117
-(64-bit default flipped this round), then the 41 queries whose last
-driver-green row dates from r1/r2 (locally parity-green; whatever the
-window clips re-rotates in r6).
+never-driver-checked round-5 additions lead, newest session first
+(session-6 q240-q256 TPC-H/retrieval/curation batch, then the earlier
+r5 additions down from q239 — they can't fall off the prefix), then
+q63 (oracle added this round) and q117 (64-bit default flipped this
+round), then the 41 queries whose last driver-green row dates from
+r1/r2 (locally parity-green; whatever the window clips re-rotates in
+r6).
 """
 
 from __future__ import annotations
