@@ -909,3 +909,124 @@ def q200_ols_two_feature(spark, sf_dir):
         F.round(d1 / det, 6).alias("beta1"),
         F.round(d2 / det, 6).alias("beta2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q257: U-shaped (position-based) attribution — the multi-touch
+# companion to q197's last-touch model: each purchase's value spreads
+# over the non-purchase touches of its conversion path (the events
+# since the previous purchase) as 40% first / 40% last / 20% split
+# across the middle (1 touch -> 100%, 2 -> 50/50); pathless purchases
+# credit 'none'. Entirely window-based — journey segmentation is a
+# cumulative purchase count, the purchase value and touch count
+# attach via (user, journey) partition windows, so there is NO
+# self-join and no per-purchase scan. Weight x value stays double
+# (identical IEEE trees both engines); credits decimal-quantize
+# before the channel sum. Conservation (sum credits == sum purchase
+# revenue) is pinned by test_llmops3.
+# --------------------------------------------------------------------------
+@register(
+    "q257_ushaped_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                      0) AS journey
+      FROM events
+    ),
+    jval AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'purchase' THEN value END)
+               OVER (PARTITION BY user_id, journey) AS purchase_value,
+             SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, journey) AS n_touches
+      FROM ordered
+    ),
+    touches AS (
+      SELECT event_type AS channel, purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+      FROM jval
+      WHERE event_type <> 'purchase' AND purchase_value IS NOT NULL
+    ),
+    credits AS (
+      SELECT channel,
+             (CASE WHEN n = 1 THEN 1.0
+                   WHEN n = 2 THEN 0.5
+                   WHEN rn = 1 OR rn = n THEN 0.4
+                   ELSE 0.2 / (n - 2) END) * purchase_value AS credit
+      FROM touches
+      UNION ALL
+      SELECT 'none' AS channel, value AS credit FROM jval
+      WHERE event_type = 'purchase' AND n_touches = 0
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(CAST(SUM(CAST(credit AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS credited_revenue
+    FROM credits GROUP BY 1
+    """,
+)
+def q257_ushaped_attribution(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    is_p = F.col("event_type") == "purchase"
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ordered = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(F.when(is_p, 1).otherwise(0)).over(w_cum), F.lit(0)
+        ),
+    )
+    wp = W.partitionBy("user_id", "journey")
+    jval = ordered.select(
+        "*",
+        F.max(F.when(is_p, F.col("value"))).over(wp).alias(
+            "purchase_value"
+        ),
+        F.sum(F.when(~is_p, 1).otherwise(0)).over(wp).alias("n_touches"),
+    )
+    touches = (
+        jval.where(~is_p & F.col("purchase_value").isNotNull())
+        .select(
+            F.col("event_type").alias("channel"),
+            "purchase_value",
+            F.row_number()
+            .over(
+                W.partitionBy("user_id", "journey").orderBy(
+                    "ts", "event_id"
+                )
+            )
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("user_id", "journey"))
+            .alias("n"),
+        )
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    credits = touches.select(
+        "channel", (weight * F.col("purchase_value")).alias("credit")
+    ).unionByName(
+        jval.where(is_p & (F.col("n_touches") == 0)).select(
+            F.lit("none").alias("channel"), F.col("value").alias("credit")
+        )
+    )
+    return credits.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(dec("credit", 6)).cast("double").alias("credited_revenue"),
+    )

@@ -259,3 +259,56 @@ def test_temperature_sampling_invariants(spark, sf_dir):
         sums[r.alpha] += r.sample_weight
     for a, s in sums.items():
         assert abs(s - 1.0) < 1e-4, (a, s)
+
+
+def test_ushaped_attribution_conserves_revenue(spark, sf_dir):
+    # conservation: total credited revenue equals total purchase value
+    # (every purchase's weights sum to 1, pathless purchases go to
+    # 'none'), and the weight model replays in pure python
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    from collections import defaultdict as dd
+
+    by_user = dd(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    expect = dd(float)
+    total_purchases = 0.0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        path = []
+        for r in rows:
+            if r.event_type == "purchase":
+                total_purchases += r.value
+                n = len(path)
+                if n == 0:
+                    expect["none"] += r.value
+                else:
+                    for i, ch in enumerate(path):
+                        if n == 1:
+                            w = 1.0
+                        elif n == 2:
+                            w = 0.5
+                        elif i == 0 or i == n - 1:
+                            w = 0.4
+                        else:
+                            w = 0.2 / (n - 2)
+                        expect[ch] += w * r.value
+                    path = []
+                if n == 0:
+                    path = []
+            else:
+                path.append(r.event_type)
+    got = {
+        r.channel: r.credited_revenue
+        for r in QUERIES["q257_ushaped_attribution"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for ch, v in expect.items():
+        assert abs(got[ch] - v) < 1e-3, (ch, got[ch], v)
+    assert abs(sum(got.values()) - total_purchases) < 1e-3
