@@ -1030,3 +1030,113 @@ def q257_ushaped_attribution(spark, sf_dir):
         F.count(F.lit(1)).alias("n_credits"),
         F.sum(dec("credit", 6)).cast("double").alias("credited_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q258: off-policy evaluation — IPS and self-normalized IPS (SNIPS)
+# counterfactual estimators over the logged event stream: actions =
+# event types, rewards = values, behavior policy = the empirical
+# action frequencies, target policy = a softmax (T=10) over each
+# action's average logged reward. Per-event importance weights
+# w = p_target/p_behavior come from a 5-row broadcast policy table;
+# w and w*r round to 6dp then decimal-sum, so both estimators are
+# fold-order independent. The per-action rollup carries the shared
+# global estimates (constant per row). One fact scan + one bounded
+# policy table — the standard shape for evaluating a new routing/
+# serving policy against logs without deploying it.
+# --------------------------------------------------------------------------
+@register(
+    "q258_offpolicy_eval",
+    oracle="""
+    WITH ev AS (SELECT event_type AS action, value AS r FROM events),
+    stats AS (
+      SELECT action, count(*) AS n_a,
+             CAST(CAST(SUM(CAST(r AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) / count(*) AS avg_r
+      FROM ev GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_a) AS n FROM stats),
+    soft AS (
+      SELECT action, n_a, avg_r,
+             CAST(n_a AS DOUBLE) / n AS p_b,
+             round(exp(avg_r / 10), 6) AS e
+      FROM stats, tot
+    ),
+    z AS (SELECT CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE) AS z
+          FROM soft),
+    policy AS (
+      SELECT action, n_a, avg_r, p_b,
+             round(e / z.z, 6) AS p_t,
+             round(round(e / z.z, 6) / p_b, 6) AS w
+      FROM soft, z
+    ),
+    weighted AS (
+      SELECT p.action, p.w,
+             round(p.w * ev.r, 6) AS wr
+      FROM ev JOIN policy p ON ev.action = p.action
+    ),
+    gstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(CAST(SUM(CAST(wr AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sum_wr,
+             CAST(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sum_w
+      FROM weighted
+    )
+    SELECT p.action, CAST(p.n_a AS BIGINT) AS n_a,
+           round(p.avg_r, 6) AS avg_reward,
+           round(p.p_b, 6) AS p_behavior,
+           p.p_t AS p_target, p.w AS importance_weight,
+           round(g.sum_wr / g.n_events, 6) AS v_ips,
+           round(g.sum_wr / g.sum_w, 6) AS v_snips
+    FROM policy p, gstats g
+    """,
+)
+def q258_offpolicy_eval(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("action"), F.col("value").alias("r")
+    )
+    stats = ev.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        (
+            F.sum(dec("r", 6)).cast("double") / F.count(F.lit(1))
+        ).alias("avg_r"),
+    )
+    tot = stats.agg(F.sum("n_a").alias("n"))
+    soft = stats.crossJoin(F.broadcast(tot)).select(
+        "action",
+        "n_a",
+        "avg_r",
+        (F.col("n_a").cast("double") / F.col("n")).alias("p_b"),
+        F.round(F.exp(F.col("avg_r") / 10), 6).alias("e"),
+    )
+    z = soft.agg(F.sum(dec("e", 6)).cast("double").alias("z"))
+    policy = soft.crossJoin(F.broadcast(z)).select(
+        "action",
+        "n_a",
+        "avg_r",
+        "p_b",
+        F.round(F.col("e") / F.col("z"), 6).alias("p_t"),
+        F.round(
+            F.round(F.col("e") / F.col("z"), 6) / F.col("p_b"), 6
+        ).alias("w"),
+    )
+    weighted = ev.join(F.broadcast(policy), "action").select(
+        "action", "w", F.round(F.col("w") * F.col("r"), 6).alias("wr")
+    )
+    glob = weighted.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("wr", 6)).cast("double").alias("sum_wr"),
+        F.sum(dec("w", 6)).cast("double").alias("sum_w"),
+    )
+    return policy.crossJoin(F.broadcast(glob)).select(
+        "action",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round("avg_r", 6).alias("avg_reward"),
+        F.round("p_b", 6).alias("p_behavior"),
+        F.col("p_t").alias("p_target"),
+        F.col("w").alias("importance_weight"),
+        F.round(F.col("sum_wr") / F.col("n_events"), 6).alias("v_ips"),
+        F.round(F.col("sum_wr") / F.col("sum_w"), 6).alias("v_snips"),
+    )
