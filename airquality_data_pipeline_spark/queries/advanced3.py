@@ -1072,15 +1072,23 @@ def q257_ushaped_attribution(spark, sf_dir):
     ),
     weighted AS (
       SELECT p.action, p.w,
-             round(p.w * ev.r, 6) AS wr
+             round(p.w * ev.r, 6) AS wr,
+             round(p.w * (ev.r - p.avg_r), 6) AS wres
       FROM ev JOIN policy p ON ev.action = p.action
+    ),
+    dm AS (
+      SELECT CAST(SUM(CAST(round(p_t * avg_r, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS v_dm
+      FROM policy
     ),
     gstats AS (
       SELECT CAST(count(*) AS BIGINT) AS n_events,
              CAST(CAST(SUM(CAST(wr AS DECIMAL(18,6))) AS VARCHAR)
                   AS DOUBLE) AS sum_wr,
              CAST(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS VARCHAR)
-                  AS DOUBLE) AS sum_w
+                  AS DOUBLE) AS sum_w,
+             CAST(CAST(SUM(CAST(wres AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sum_wres
       FROM weighted
     )
     SELECT p.action, CAST(p.n_a AS BIGINT) AS n_a,
@@ -1088,8 +1096,10 @@ def q257_ushaped_attribution(spark, sf_dir):
            round(p.p_b, 6) AS p_behavior,
            p.p_t AS p_target, p.w AS importance_weight,
            round(g.sum_wr / g.n_events, 6) AS v_ips,
-           round(g.sum_wr / g.sum_w, 6) AS v_snips
-    FROM policy p, gstats g
+           round(g.sum_wr / g.sum_w, 6) AS v_snips,
+           round(d.v_dm, 6) AS v_dm,
+           round(d.v_dm + g.sum_wres / g.n_events, 6) AS v_dr
+    FROM policy p, gstats g, dm d
     """,
 )
 def q258_offpolicy_eval(spark, sf_dir):
@@ -1123,14 +1133,28 @@ def q258_offpolicy_eval(spark, sf_dir):
         ).alias("w"),
     )
     weighted = ev.join(F.broadcast(policy), "action").select(
-        "action", "w", F.round(F.col("w") * F.col("r"), 6).alias("wr")
+        "action",
+        "w",
+        F.round(F.col("w") * F.col("r"), 6).alias("wr"),
+        F.round(F.col("w") * (F.col("r") - F.col("avg_r")), 6).alias(
+            "wres"
+        ),
+    )
+    dm = policy.agg(
+        F.sum(dec(F.round(F.col("p_t") * F.col("avg_r"), 6), 6))
+        .cast("double")
+        .alias("v_dm")
     )
     glob = weighted.agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("wr", 6)).cast("double").alias("sum_wr"),
         F.sum(dec("w", 6)).cast("double").alias("sum_w"),
+        F.sum(dec("wres", 6)).cast("double").alias("sum_wres"),
     )
-    return policy.crossJoin(F.broadcast(glob)).select(
+    return (
+        policy.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(dm))
+        .select(
         "action",
         F.col("n_a").cast("long").alias("n_a"),
         F.round("avg_r", 6).alias("avg_reward"),
@@ -1139,4 +1163,9 @@ def q258_offpolicy_eval(spark, sf_dir):
         F.col("w").alias("importance_weight"),
         F.round(F.col("sum_wr") / F.col("n_events"), 6).alias("v_ips"),
         F.round(F.col("sum_wr") / F.col("sum_w"), 6).alias("v_snips"),
+        F.round("v_dm", 6).alias("v_dm"),
+        F.round(
+            F.col("v_dm") + F.col("sum_wres") / F.col("n_events"), 6
+        ).alias("v_dr"),
+    )
     )
