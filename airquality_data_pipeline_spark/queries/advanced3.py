@@ -1169,3 +1169,288 @@ def q258_offpolicy_eval(spark, sf_dir):
         ).alias("v_dr"),
     )
     )
+
+
+# --------------------------------------------------------------------------
+# q259: PSI feature-drift monitor — the population stability index,
+# the industry-standard companion to q175's KS test: reference window
+# = first half of the event timeline, current = second half; bins =
+# the reference window's deciles (exact discrete percentiles, so both
+# engines cut identically); PSI = sum (p_cur - p_ref) ln(p_cur/p_ref)
+# with the 0.0001 floor convention for empty bins. Bin edges are a
+# 9-row broadcast; each window is binned with one range lookup, so
+# the fact table is scanned once per window and nothing is quadratic.
+# Per-bin PSI terms round to 6dp then decimal-sum. The conventional
+# reading: PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted.
+# --------------------------------------------------------------------------
+@register(
+    "q259_psi_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref'
+                  ELSE 'cur' END AS win
+      FROM events
+    ),
+    edges AS (
+      SELECT quantile_disc(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM ev WHERE win = 'ref'
+    ),
+    binned AS (
+      SELECT win,
+             1 + len(list_filter(e.qs, q -> q < ev.value)) AS bin
+      FROM ev, edges e
+    ),
+    cnt AS (
+      SELECT win, bin, count(*) AS n FROM binned GROUP BY 1, 2
+    ),
+    tot AS (SELECT win, sum(n) AS tn FROM cnt GROUP BY 1),
+    grid AS (
+      SELECT w.win, b.bin
+      FROM (SELECT DISTINCT win FROM cnt) w,
+           UNNEST(generate_series(1, 10)) AS b(bin)
+    ),
+    share AS (
+      SELECT g.win, g.bin,
+             greatest(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.tn, 0.0001)
+               AS p
+      FROM grid g
+      LEFT JOIN cnt c ON g.win = c.win AND g.bin = c.bin
+      JOIN tot t ON g.win = t.win
+    ),
+    terms AS (
+      SELECT r.bin, r.p AS p_ref, c.p AS p_cur,
+             round((c.p - r.p) * ln(c.p / r.p), 6) AS term
+      FROM share r JOIN share c ON r.bin = c.bin
+      WHERE r.win = 'ref' AND c.win = 'cur'
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           term AS psi_term,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE)
+             AS psi_total
+    FROM terms
+    """,
+)
+def q259_psi_drift(spark, sf_dir):
+    utc(spark)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    ev = table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("ts") < cutoff, "ref").otherwise("cur").alias("win"),
+    )
+    edges = (
+        ev.where(F.col("win") == "ref")
+        .agg(
+            F.percentile_approx(
+                "value",
+                [i / 10 for i in range(1, 10)],
+                2147483647,
+            ).alias("qs")
+        )
+    )
+    binned = ev.crossJoin(F.broadcast(edges)).select(
+        "win",
+        (
+            1
+            + F.size(
+                F.filter(
+                    F.col("qs"), lambda q: q < F.col("value")
+                )
+            )
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("win", "bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("win").agg(F.sum("n").alias("tn"))
+    grid = (
+        cnt.select("win")
+        .distinct()
+        .crossJoin(
+            ev.sparkSession.range(1, 11).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+    )
+    share = (
+        grid.join(cnt, ["win", "bin"], "left")
+        .join(tot, "win")
+        .select(
+            "win",
+            "bin",
+            F.greatest(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("tn"),
+                F.lit(0.0001),
+            ).alias("p"),
+        )
+    )
+    ref = share.where(F.col("win") == "ref").select(
+        "bin", F.col("p").alias("p_ref")
+    )
+    cur = share.where(F.col("win") == "cur").select(
+        "bin", F.col("p").alias("p_cur")
+    )
+    terms = ref.join(cur, "bin").select(
+        "bin",
+        "p_ref",
+        "p_cur",
+        F.round(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
+    )
+    from pyspark.sql import Window as _W
+
+    return terms.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        "psi_term",
+        F.sum(dec("psi_term", 6))
+        .over(_W.partitionBy())
+        .cast("double")
+        .alias("psi_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q260: split-conformal calibration — distribution-free prediction
+# intervals (Vovk; Lei et al.): train a per-(event_type, hour) mean
+# predictor on the md5-bucket train split, take q_hat = the
+# ceil(0.9*(n_cal+1))-th smallest absolute residual on the held-out
+# calibration split (an EXACT order statistic — both engines agree on
+# the value regardless of tie order), then measure empirical coverage
+# of pred +/- q_hat on the test split: the conformal guarantee says
+# coverage >= 90% in expectation. The predictor table is bounded
+# (types x 24 hours) and broadcasts; the order statistic uses one
+# global-rank window over the CALIBRATION SPLIT ONLY (documented
+# single-partition hotspot — the production path at 100 TB swaps in
+# approx_percentile for q_hat, trading the exactness the oracle
+# needs; pinned by test_llmops3 coverage bound).
+# --------------------------------------------------------------------------
+@register(
+    "q260_conformal_calibration",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CAST(hour(ts) AS BIGINT) AS hr,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 100 AS bucket
+      FROM events
+    ),
+    pred AS (
+      SELECT event_type, hr,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) / count(*) AS mu
+      FROM ev WHERE bucket < 60 GROUP BY 1, 2
+    ),
+    gmean AS (
+      SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) / count(*) AS gmu
+      FROM ev WHERE bucket < 60
+    ),
+    cal AS (
+      SELECT abs(ev.value - COALESCE(p.mu, g.gmu)) AS resid
+      FROM ev
+      LEFT JOIN pred p ON ev.event_type = p.event_type AND ev.hr = p.hr
+      CROSS JOIN gmean g
+      WHERE ev.bucket >= 60 AND ev.bucket < 80
+    ),
+    ranked AS (
+      SELECT resid,
+             row_number() OVER (ORDER BY resid) AS rk,
+             count(*) OVER () AS n_cal
+      FROM cal
+    ),
+    qhat AS (
+      SELECT n_cal, resid AS q_hat FROM ranked
+      WHERE rk = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+    ),
+    test AS (
+      SELECT abs(ev.value - COALESCE(p.mu, g.gmu)) AS resid
+      FROM ev
+      LEFT JOIN pred p ON ev.event_type = p.event_type AND ev.hr = p.hr
+      CROSS JOIN gmean g
+      WHERE ev.bucket >= 80
+    )
+    SELECT CAST(q.n_cal AS BIGINT) AS n_cal, q.q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.resid <= q.q_hat THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           round(CAST(SUM(CASE WHEN t.resid <= q.q_hat THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS coverage
+    FROM test t, qhat q
+    GROUP BY 1, 2
+    """,
+)
+def q260_conformal_calibration(spark, sf_dir):
+    utc(spark)
+    from pyspark.sql import Window as _W
+
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.hour("ts").cast("long").alias("hr"),
+        bucket.alias("bucket"),
+    )
+    train = ev.where(F.col("bucket") < 60)
+    pred = train.groupBy("event_type", "hr").agg(
+        (
+            F.sum(dec("value", 6)).cast("double") / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    gmean = train.agg(
+        (
+            F.sum(dec("value", 6)).cast("double") / F.count(F.lit(1))
+        ).alias("gmu")
+    )
+
+    def _resid(df):
+        return (
+            df.join(F.broadcast(pred), ["event_type", "hr"], "left")
+            .crossJoin(F.broadcast(gmean))
+            .select(
+                F.abs(
+                    F.col("value")
+                    - F.coalesce(F.col("mu"), F.col("gmu"))
+                ).alias("resid")
+            )
+        )
+
+    cal = _resid(ev.where((F.col("bucket") >= 60) & (F.col("bucket") < 80)))
+    ranked = cal.select(
+        "resid",
+        F.row_number().over(_W.partitionBy().orderBy("resid")).alias("rk"),
+        F.count(F.lit(1)).over(_W.partitionBy()).alias("n_cal"),
+    )
+    qhat = ranked.where(
+        F.col("rk")
+        == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long")
+    ).select("n_cal", F.col("resid").alias("q_hat"))
+    test = _resid(ev.where(F.col("bucket") >= 80))
+    return test.crossJoin(F.broadcast(qhat)).groupBy(
+        F.col("n_cal").cast("long").alias("n_cal"), "q_hat"
+    ).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when(F.col("resid") <= F.col("q_hat"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.round(
+            F.sum(
+                F.when(F.col("resid") <= F.col("q_hat"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+    )

@@ -312,3 +312,26 @@ def test_ushaped_attribution_conserves_revenue(spark, sf_dir):
     for ch, v in expect.items():
         assert abs(got[ch] - v) < 1e-3, (ch, got[ch], v)
     assert abs(sum(got.values()) - total_purchases) < 1e-3
+
+
+def test_psi_terms_and_convention(spark, sf_dir):
+    rows = QUERIES["q259_psi_drift"](spark, sf_dir).collect()
+    assert sorted(r.bin for r in rows) == list(range(1, 11))
+    # shares are floored at 0.0001 and the total is the term sum
+    for r in rows:
+        assert r.p_ref >= 0.0001 and r.p_cur >= 0.0001
+    tot = rows[0].psi_total
+    assert abs(sum(r.psi_term for r in rows) - tot) < 1e-5
+    # PSI is non-negative up to per-term rounding (each term
+    # (p-q)ln(p/q) >= 0; rounding can shave at most 5e-7 per bin)
+    assert tot >= -1e-5
+    assert all(r.psi_term >= -1e-6 for r in rows)
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    r = QUERIES["q260_conformal_calibration"](spark, sf_dir).first()
+    # finite-sample conformal bound: coverage ~ 0.9, one-sided slack
+    # for test-set noise at sf0.001 (n_test ~ 200)
+    assert r.coverage >= 0.85, r
+    assert r.n_covered <= r.n_test
+    assert r.q_hat > 0
