@@ -1454,3 +1454,113 @@ def q260_conformal_calibration(spark, sf_dir):
             6,
         ).alias("coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# q261: group fairness audit — demographic parity and equalized-odds
+# gaps for a deterministic classifier proxy (predicted positive:
+# value > 50; actual positive: purchase) across synthetic demographic
+# groups (user_id % 3). Per group: predicted-positive rate, TPR, FPR,
+# and each group's gap against the OVERALL rates (computed in the
+# same pass via a broadcast single-row aggregate — no second scan).
+# All rates are exact-integer-count ratios, so cross-engine equality
+# is trivial; the audit-table shape (one row per group, gaps against
+# the pooled baseline) is the standard fairness-report layout.
+# --------------------------------------------------------------------------
+@register(
+    "q261_fairness_audit",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id % 3 AS BIGINT) AS grp,
+             CASE WHEN value > 50 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pred) AS BIGINT) AS n_pred,
+             CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM ev GROUP BY 1
+    ),
+    o AS (
+      SELECT CAST(sum(n_pred) AS DOUBLE) / sum(n) AS ppr_all,
+             CAST(sum(tp) AS DOUBLE) / sum(n_pos) AS tpr_all,
+             CAST(sum(fp) AS DOUBLE) / sum(n - n_pos) AS fpr_all
+      FROM g
+    )
+    SELECT g.grp, g.n,
+           round(CAST(g.n_pred AS DOUBLE) / g.n, 6) AS ppr,
+           round(CAST(g.tp AS DOUBLE) / g.n_pos, 6) AS tpr,
+           round(CAST(g.fp AS DOUBLE) / (g.n - g.n_pos), 6) AS fpr,
+           round(CAST(g.n_pred AS DOUBLE) / g.n - o.ppr_all, 6)
+             AS dp_gap,
+           round(abs(CAST(g.tp AS DOUBLE) / g.n_pos - o.tpr_all), 6)
+             AS eo_tpr_gap,
+           round(abs(CAST(g.fp AS DOUBLE) / (g.n - g.n_pos)
+                     - o.fpr_all), 6) AS eo_fpr_gap
+    FROM g, o
+    """,
+)
+def q261_fairness_audit(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).cast("long").alias("grp"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = ev.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pred").cast("long").alias("n_pred"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    o = g.agg(
+        (F.sum("n_pred").cast("double") / F.sum("n")).alias("ppr_all"),
+        (F.sum("tp").cast("double") / F.sum("n_pos")).alias("tpr_all"),
+        (
+            F.sum("fp").cast("double") / F.sum(F.col("n") - F.col("n_pos"))
+        ).alias("fpr_all"),
+    )
+    return g.crossJoin(F.broadcast(o)).select(
+        "grp",
+        "n",
+        F.round(F.col("n_pred").cast("double") / F.col("n"), 6).alias(
+            "ppr"
+        ),
+        F.round(F.col("tp").cast("double") / F.col("n_pos"), 6).alias(
+            "tpr"
+        ),
+        F.round(
+            F.col("fp").cast("double") / (F.col("n") - F.col("n_pos")), 6
+        ).alias("fpr"),
+        F.round(
+            F.col("n_pred").cast("double") / F.col("n") - F.col("ppr_all"),
+            6,
+        ).alias("dp_gap"),
+        F.round(
+            F.abs(
+                F.col("tp").cast("double") / F.col("n_pos")
+                - F.col("tpr_all")
+            ),
+            6,
+        ).alias("eo_tpr_gap"),
+        F.round(
+            F.abs(
+                F.col("fp").cast("double")
+                / (F.col("n") - F.col("n_pos"))
+                - F.col("fpr_all")
+            ),
+            6,
+        ).alias("eo_fpr_gap"),
+    )
