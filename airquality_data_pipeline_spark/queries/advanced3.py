@@ -1564,3 +1564,193 @@ def q261_fairness_audit(spark, sf_dir):
             6,
         ).alias("eo_fpr_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# q262: WOE / Information Value — the credit-scoring feature-power
+# metric and PSI's sibling (q259): bin `value` by its global deciles,
+# per bin compute the positive (purchase) and negative share of their
+# respective totals (0.0001 floor), WOE = ln(p_pos/p_neg), and
+# IV = sum (p_pos - p_neg) * WOE. Same decile-cut + floor + rounded-
+# ln + decimal-sum discipline as q259; the bin-edge array is a
+# broadcast single row; one fact scan. Convention: IV < 0.02 useless,
+# 0.1-0.3 medium, > 0.5 suspicious.
+# --------------------------------------------------------------------------
+@register(
+    "q262_woe_iv",
+    oracle="""
+    WITH ev AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    edges AS (
+      SELECT quantile_disc(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM ev
+    ),
+    binned AS (
+      SELECT y, 1 + len(list_filter(e.qs, q -> q < ev.value)) AS bin
+      FROM ev, edges e
+    ),
+    cnt AS (
+      SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM cnt),
+    shares AS (
+      SELECT bin, n_pos, n_neg,
+             greatest(CAST(n_pos AS DOUBLE) / tp, 0.0001) AS p,
+             greatest(CAST(n_neg AS DOUBLE) / tn, 0.0001) AS q
+      FROM cnt, tot
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_pos, n_neg,
+           round(ln(p / q), 6) AS woe,
+           round((p - q) * ln(p / q), 6) AS iv_term,
+           CAST(SUM(CAST(round((p - q) * ln(p / q), 6)
+                         AS DECIMAL(18,6))) OVER () AS DOUBLE)
+             AS iv_total
+    FROM shares
+    """,
+)
+def q262_woe_iv(spark, sf_dir):
+    utc(spark)
+    from pyspark.sql import Window as _W
+
+    ev = table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    edges = ev.agg(
+        F.percentile_approx(
+            "value", [i / 10 for i in range(1, 10)], 2147483647
+        ).alias("qs")
+    )
+    binned = ev.crossJoin(F.broadcast(edges)).select(
+        "y",
+        (
+            1
+            + F.size(F.filter(F.col("qs"), lambda q: q < F.col("value")))
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    tot = cnt.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    shares = cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.greatest(
+            F.col("n_pos").cast("double") / F.col("tp"), F.lit(0.0001)
+        ).alias("p"),
+        F.greatest(
+            F.col("n_neg").cast("double") / F.col("tn"), F.lit(0.0001)
+        ).alias("q"),
+    )
+    woe = F.log(F.col("p") / F.col("q"))
+    term = F.round((F.col("p") - F.col("q")) * woe, 6)
+    return shares.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        term.alias("iv_term"),
+        F.sum(dec(term, 6))
+        .over(_W.partitionBy())
+        .cast("double")
+        .alias("iv_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q263: out-of-fold target encoding — mean-target encoding of
+# event_type with the leakage protection a training pipeline needs:
+# each fold's encoding uses ONLY the other folds' labels (group
+# totals minus own-fold totals — one aggregate, no per-fold re-scan)
+# plus alpha=10 smoothing toward the global rate. The leakage_delta
+# column makes the audit visible: it is the gap between the naive
+# full-data encoding and the fold-safe one. Exact integer counts
+# throughout; folds are md5 buckets, so both engines derive identical
+# assignments.
+# --------------------------------------------------------------------------
+@register(
+    "q263_oof_target_encoding",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 5 AS fold,
+             CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    per_fold AS (
+      SELECT event_type, fold,
+             CAST(count(*) AS BIGINT) AS fn,
+             CAST(sum(y) AS BIGINT) AS fpos
+      FROM ev GROUP BY 1, 2
+    ),
+    per_type AS (
+      SELECT event_type, sum(fn) AS tn, sum(fpos) AS tpos
+      FROM per_fold GROUP BY 1
+    ),
+    g AS (SELECT CAST(sum(tpos) AS DOUBLE) / sum(tn) AS grate
+          FROM per_type)
+    SELECT f.event_type, CAST(f.fold AS BIGINT) AS fold, f.fn,
+           round((t.tpos - f.fpos + 10 * g.grate)
+                 / (t.tn - f.fn + 10), 6) AS oof_enc,
+           round(CAST(t.tpos AS DOUBLE) / t.tn, 6) AS full_enc,
+           round(abs((t.tpos - f.fpos + 10 * g.grate)
+                     / (t.tn - f.fn + 10)
+                     - CAST(t.tpos AS DOUBLE) / t.tn), 6)
+             AS leakage_delta
+    FROM per_fold f
+    JOIN per_type t ON f.event_type = t.event_type, g
+    """,
+)
+def q263_oof_target_encoding(spark, sf_dir):
+    utc(spark)
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        fold.alias("fold"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
+    )
+    per_fold = ev.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("fn"), F.sum("y").cast("long").alias("fpos")
+    )
+    per_type = per_fold.groupBy("event_type").agg(
+        F.sum("fn").alias("tn"), F.sum("fpos").alias("tpos")
+    )
+    g = per_type.agg(
+        (F.sum("tpos").cast("double") / F.sum("tn")).alias("grate")
+    )
+    oof = (F.col("tpos") - F.col("fpos") + 10 * F.col("grate")) / (
+        F.col("tn") - F.col("fn") + 10
+    )
+    full = F.col("tpos").cast("double") / F.col("tn")
+    return (
+        per_fold.join(F.broadcast(per_type), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.col("fold").cast("long").alias("fold"),
+            "fn",
+            F.round(oof, 6).alias("oof_enc"),
+            F.round(full, 6).alias("full_enc"),
+            F.round(F.abs(oof - full), 6).alias("leakage_delta"),
+        )
+    )
