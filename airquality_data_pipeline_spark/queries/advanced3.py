@@ -1754,3 +1754,157 @@ def q263_oof_target_encoding(spark, sf_dir):
             F.round(F.abs(oof - full), 6).alias("leakage_delta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q264: observational causal effect estimators — IPW ATE and
+# stratified ATT for a synthetic treatment (user_id % 2, the q220
+# assignment) on event value, with propensity e(x) = the exact
+# empirical P(T=1 | event_type) (a 5-row broadcast — no model fit
+# needed for a discrete confounder, and the stratification is then
+# EXACT, not an approximation). IPW terms T*Y/e and (1-T)*Y/(1-e)
+# round to 6dp then decimal-sum; the stratified estimator weights
+# each stratum's treated-minus-control mean gap by the stratum's
+# treated share (ATT weighting). One fact scan; every anchor
+# broadcasts. Strata with a degenerate arm would emit NULL gaps, and
+# the conservation identity (ATT == sum of weighted gaps) is the
+# built-in audit.
+# --------------------------------------------------------------------------
+@register(
+    "q264_causal_estimators",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type AS x, value AS y,
+             CAST(user_id % 2 AS INT) AS t
+      FROM events
+    ),
+    strata AS (
+      SELECT x,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS n_t,
+             CAST(CAST(SUM(CASE WHEN t = 1
+                      THEN CAST(y AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR)
+                  AS DOUBLE) AS sum_y_t,
+             CAST(CAST(SUM(CASE WHEN t = 0
+                      THEN CAST(y AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR)
+                  AS DOUBLE) AS sum_y_c
+      FROM ev GROUP BY 1
+    ),
+    e AS (
+      SELECT x, n, n_t,
+             CAST(n_t AS DOUBLE) / n AS prop,
+             sum_y_t / n_t AS mu_t,
+             sum_y_c / (n - n_t) AS mu_c
+      FROM strata
+    ),
+    ipw AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(ev.t * ev.y / e.prop, 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(round((1 - ev.t) * ev.y / (1 - e.prop), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS s0
+      FROM ev JOIN e ON ev.x = e.x
+    ),
+    att AS (
+      SELECT CAST(SUM(CAST(round((CAST(e.n_t AS DOUBLE)
+                                  / (SELECT sum(n_t) FROM e))
+                                 * (e.mu_t - e.mu_c), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS att
+      FROM e
+    )
+    SELECT e.x AS stratum, e.n, e.n_t,
+           round(e.prop, 6) AS propensity,
+           round(e.mu_t - e.mu_c, 6) AS stratum_gap,
+           round(i.s1 / i.n_events - i.s0 / i.n_events, 6) AS ipw_ate,
+           round(a.att, 6) AS stratified_att
+    FROM e, ipw i, att a
+    """,
+)
+def q264_causal_estimators(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        F.col("value").alias("y"),
+        (F.col("user_id") % 2).cast("int").alias("t"),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    strata = ev.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(F.when(F.col("t") == 1, dec("y", 6)).otherwise(zero))
+        .cast("double")
+        .alias("sum_y_t"),
+        F.sum(F.when(F.col("t") == 0, dec("y", 6)).otherwise(zero))
+        .cast("double")
+        .alias("sum_y_c"),
+    )
+    e = strata.select(
+        "x",
+        "n",
+        "n_t",
+        (F.col("n_t").cast("double") / F.col("n")).alias("prop"),
+        (F.col("sum_y_t") / F.col("n_t")).alias("mu_t"),
+        (F.col("sum_y_c") / (F.col("n") - F.col("n_t"))).alias("mu_c"),
+    )
+    ipw = (
+        ev.join(F.broadcast(e), "x")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                dec(
+                    F.round(
+                        F.col("t") * F.col("y") / F.col("prop"), 6
+                    ),
+                    6,
+                )
+            )
+            .cast("double")
+            .alias("s1"),
+            F.sum(
+                dec(
+                    F.round(
+                        (1 - F.col("t"))
+                        * F.col("y")
+                        / (1 - F.col("prop")),
+                        6,
+                    ),
+                    6,
+                )
+            )
+            .cast("double")
+            .alias("s0"),
+        )
+    )
+    nt_tot = e.agg(F.sum("n_t").alias("nt_tot"))
+    att = (
+        e.crossJoin(F.broadcast(nt_tot))
+        .select(
+            F.round(
+                (F.col("n_t").cast("double") / F.col("nt_tot"))
+                * (F.col("mu_t") - F.col("mu_c")),
+                6,
+            ).alias("term")
+        )
+        .agg(F.sum(dec("term", 6)).cast("double").alias("att"))
+    )
+    return (
+        e.crossJoin(F.broadcast(ipw))
+        .crossJoin(F.broadcast(att))
+        .select(
+            F.col("x").alias("stratum"),
+            "n",
+            "n_t",
+            F.round("prop", 6).alias("propensity"),
+            F.round(F.col("mu_t") - F.col("mu_c"), 6).alias(
+                "stratum_gap"
+            ),
+            F.round(
+                F.col("s1") / F.col("n_events")
+                - F.col("s0") / F.col("n_events"),
+                6,
+            ).alias("ipw_ate"),
+            F.round("att", 6).alias("stratified_att"),
+        )
+    )
