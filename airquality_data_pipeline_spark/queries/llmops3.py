@@ -699,3 +699,72 @@ def q256_temperature_sampling(spark, sf_dir):
             "resample_factor"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q265: blocklist screen — the C4-style "bad words" gate (Raffel et
+# al. 2020 filtered C4 against a public blocklist; the operator is
+# the same for any deny-lexicon): per document, count token hits
+# against a blocked-term lexicon, report hit density, and emit the
+# three-way verdict a curation pipeline acts on (drop on any 2+
+# hits, flag on 1, keep on 0). The lexicon here is a deterministic
+# stand-in drawn from fixture vocabulary ('dup' hits ~5% of docs,
+# 'crimson' is a deliberate zero-hit entry; swap the real deny list
+# in production — the OPERATOR is what's under test).
+# The lexicon broadcasts as a literal array; matching is a row-local
+# HOF intersection, so the screen is a single stateless projection —
+# it composes with streaming unchanged.
+# --------------------------------------------------------------------------
+_BLOCKLIST = ["dup", "crimson"]
+_BLOCKLIST_SQL = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+
+
+@register(
+    "q265_blocklist_screen",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+             END AS n_tokens,
+             len(list_filter(string_split_regex(lower(trim(text)),
+                                                '\\s+'),
+                             t -> list_contains([{_BLOCKLIST_SQL}], t)))
+               AS n_hits
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE CAST(n_hits AS DOUBLE) / n_tokens END, 6)
+             AS hit_density,
+           CASE WHEN n_hits >= 2 THEN 'drop'
+                WHEN n_hits = 1 THEN 'flag'
+                ELSE 'keep' END AS verdict
+    FROM scored
+    """,
+)
+def q265_blocklist_screen(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    toks = F.split(F.lower(t), r"\s+")
+    lex = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_hits = F.size(
+        F.filter(toks, lambda tok: F.array_contains(lex, tok))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_hits.cast("long").alias("n_hits"),
+        F.round(
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+                n_hits.cast("double") / n_tokens
+            ),
+            6,
+        ).alias("hit_density"),
+        F.when(n_hits >= 2, "drop")
+        .when(n_hits == 1, "flag")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
