@@ -745,7 +745,13 @@ _BLOCKLIST_SQL = ", ".join(f"'{w}'" for w in _BLOCKLIST)
     """,
 )
 def q265_blocklist_screen(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    return blocklist_screen(table(spark, sf_dir, "documents"))
+
+
+def blocklist_screen(docs):
+    """The q265 projection over any documents frame — stateless and
+    row-local, so it applies to a stream unchanged (pinned by
+    test_streaming)."""
     t = F.trim(F.col("text"))
     toks = F.split(F.lower(t), r"\s+")
     lex = F.array(*[F.lit(w) for w in _BLOCKLIST])

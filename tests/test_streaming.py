@@ -493,3 +493,22 @@ def test_dsir_scoring_stream_matches_batch(spark, sf_dir):
         b_score, b_sel = batch[r.doc_id]
         assert abs(r.dsir_score - b_score) < 1e-6, r.doc_id
         assert r.selected == b_sel
+
+
+def test_blocklist_screen_composes_with_streaming(spark, sf_dir):
+    # q265 is a stateless row-local projection, so the same expression
+    # over a stream must reproduce the batch verdicts exactly
+    from airquality_data_pipeline_spark.queries import QUERIES
+    from airquality_data_pipeline_spark.queries.llmops3 import (
+        blocklist_screen,
+    )
+
+    stream = jobs.read_documents_stream(spark, sf_dir)
+    got = _drain(spark, blocklist_screen(stream)).collect()
+    batch = {
+        r.doc_id: (r.n_hits, r.verdict)
+        for r in QUERIES["q265_blocklist_screen"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(batch)
+    for r in got:
+        assert (r.n_hits, r.verdict) == batch[r.doc_id], r.doc_id
