@@ -63,3 +63,24 @@ def test_twice_referenced_aggregate_reuses_stage(name, spark, sf_dir):
         f"{name}: expected the shared aggregate's shuffle stage to be "
         "reused (double fact-scan regression — see PLANS.md q244)"
     )
+
+
+def test_catalog_wide_no_cartesian_or_rowwise_python(spark, sf_dir):
+    # sweeping guard over EVERY registered query's physical plan:
+    # no true cartesian product (broadcast nested-loop against bounded
+    # single-row/scalar anchors is the allowed shape) and no
+    # row-at-a-time Python evaluation (BatchEvalPython) — the two
+    # regressions that silently kill 100 TB viability. Plan-build
+    # only, no execution, so the sweep stays cheap.
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython (row-wise Python)")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
