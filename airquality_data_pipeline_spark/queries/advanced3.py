@@ -1908,3 +1908,63 @@ def q264_causal_estimators(spark, sf_dir):
             F.round("att", 6).alias("stratified_att"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q266: recursive-CTE hierarchy rollup — the SAME subtree aggregation
+# as q198, expressed with Spark 4's WITH RECURSIVE (available in this
+# build; probed, not assumed): walk each supplier key up its decimal
+# trie to the root, then roll revenue up every (leaf, ancestor) pair.
+# q198's row-local ancestor-array explode remains the recommended
+# 100 TB form (one pass, no iteration); this entry proves the
+# recursive form produces IDENTICAL results (pinned by test) and
+# exercises the engine's recursion machinery — depth here is <= 7,
+# far under the recursion limit. DuckDB runs the same recursion
+# natively (`//` for Spark's `div`).
+# --------------------------------------------------------------------------
+@register(
+    "q266_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE rev AS (
+      SELECT l_suppkey AS s,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY 1
+    ),
+    walk AS (
+      SELECT s AS leaf, s AS node FROM rev
+      UNION ALL
+      SELECT leaf, node // 10 FROM walk WHERE node > 0
+    )
+    SELECT w.node, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(CAST(SUM(CAST(r.revenue AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS subtree_revenue
+    FROM walk w JOIN rev r ON w.leaf = r.s
+    GROUP BY 1
+    """,
+)
+def q266_recursive_hierarchy(spark, sf_dir):
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"),
+    )
+    rev = li.groupBy("s").agg(
+        F.sum(dec("r", 6)).cast("double").alias("revenue")
+    )
+    rev.createOrReplaceTempView("q266_rev")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT s AS leaf, s AS node FROM q266_rev
+          UNION ALL
+          SELECT leaf, node div 10 FROM walk WHERE node > 0
+        )
+        SELECT w.node, count(*) AS n_members,
+               CAST(SUM(CAST(r.revenue AS DECIMAL(18,6))) AS DOUBLE)
+                 AS subtree_revenue
+        FROM walk w JOIN q266_rev r ON w.leaf = r.s
+        GROUP BY w.node
+        """
+    )

@@ -335,3 +335,19 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
     assert r.coverage >= 0.85, r
     assert r.n_covered <= r.n_test
     assert r.q_hat > 0
+
+
+def test_recursive_cte_equals_array_rollup(spark, sf_dir):
+    # q266 (WITH RECURSIVE) must equal q198 (row-local ancestor-array
+    # explode) node for node — same aggregation, two engine paths
+    a = {
+        r.node: (r.n_members, r.subtree_revenue)
+        for r in QUERIES["q198_hierarchy_rollup"](spark, sf_dir).collect()
+    }
+    b = {
+        r.node: (r.n_members, r.subtree_revenue)
+        for r in QUERIES["q266_recursive_hierarchy"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert a == b and len(a) > 0
