@@ -1968,3 +1968,51 @@ def q266_recursive_hierarchy(spark, sf_dir):
         GROUP BY w.node
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q267: VARIANT semi-structured rollup — the Spark 4 VARIANT path
+# (parse_json -> variant_get) for the props JSON column, distinct
+# from q18's from_json/get_json_object: VARIANT keeps the document
+# open-schema (no StructType declared up front) and binary-encodes it
+# for repeated sub-field access — the lakehouse-native shape for
+# evolving event payloads at 100 TB. The rollup aggregates the
+# extracted field per event type with exact integer sums; rows whose
+# props lack the key surface in n_missing instead of silently
+# vanishing. DuckDB mirrors via json_extract_string + CAST.
+# --------------------------------------------------------------------------
+@register(
+    "q267_variant_rollup",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM x GROUP BY 1
+    """,
+)
+def q267_variant_rollup(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "variant_get(parse_json(props), '$.k', 'bigint')"
+        ).alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
