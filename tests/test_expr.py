@@ -71,3 +71,25 @@ def test_materialize_plan_has_generate_boundary(spark):
     ).select("id", F.col("_s.n"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Generate" in plan
+
+
+def test_sql_scalar_udf_stays_jvm_side(spark):
+    # Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr) are inlined
+    # by Catalyst — the reference's pollutant normalization
+    # (app/main.py pm2.5 -> pm25) expressed as one, with the plan
+    # proving no Python evaluation is involved (the UDF form that
+    # survives 100 TB: stays inside codegen, unlike a @udf lambda)
+    from pyspark.sql import functions as F
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pollutant_norm(p STRING) "
+        "RETURNS STRING "
+        "RETURN CASE WHEN lower(p) = 'pm2.5' THEN 'pm25' "
+        "ELSE lower(p) END"
+    )
+    df = spark.createDataFrame(
+        [("PM2.5",), ("PM10",), ("no2",)], "p string"
+    ).select(F.expr("pollutant_norm(p)").alias("norm"))
+    assert [r.norm for r in df.collect()] == ["pm25", "pm10", "no2"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
