@@ -497,8 +497,8 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     + ","
     + _pr_iter_sql("r2", "r3")
     + f"""
-    SELECT node, round(CAST(r AS DOUBLE) / {_PR_SCALE // 1000}, 8)
-             AS rank_permille
+    SELECT node, CAST(r AS BIGINT) AS rank_fixed,
+           CAST(r AS DOUBLE) / {_PR_SCALE // 1000} AS rank_permille
     FROM r3
     """,
 )
@@ -524,9 +524,16 @@ def q149_pagerank(spark, sf_dir):
     # truncation the unrolled plan re-derives the distinct+self-join
     # edge build per iteration (measured 11.7 s -> 3.4 s at sf0.1)
     r = pagerank_fixed_point(e, iterations=3, scale=_PR_SCALE)
+    # rank_permille is the RAW division of the shared fixed-point
+    # integer — bit-identical across engines. A round(.., 8) here once
+    # broke sf0.1 parity: r = 38643435000 puts r/1e12 exactly on a
+    # decimal half at the 8th digit, where Spark (BigDecimal HALF_UP
+    # on the shortest repr) and DuckDB (float-space rounding)
+    # disagree. rank_fixed carries the exact integer itself.
     return r.select(
         "node",
-        F.round(F.col("r").cast("double") / (_PR_SCALE // 1000), 8).alias(
+        F.col("r").cast("long").alias("rank_fixed"),
+        (F.col("r").cast("double") / (_PR_SCALE // 1000)).alias(
             "rank_permille"
         ),
     )
