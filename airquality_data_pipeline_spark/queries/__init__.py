@@ -41,6 +41,7 @@ from airquality_data_pipeline_spark.queries import llmops3  # noqa: E402,F401
 _PRIORITY = [
     # --- new in r5 (never driver-checked) — they lead, so they cannot
     # fall off the ~50-entry prefix
+    "q268_slo_burn_rate",
     "q267_variant_rollup",
     "q266_recursive_hierarchy",
     "q265_blocklist_screen",

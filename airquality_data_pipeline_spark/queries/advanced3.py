@@ -2016,3 +2016,76 @@ def q267_variant_rollup(spark, sf_dir):
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# q268: SLO burn-rate alerts — the SRE multi-window, multi-burn-rate
+# policy (Google SRE workbook ch.5) over the event stream: "good" =
+# value <= 100 (the fixture's success proxy), SLO = 99%. For every
+# hour, the 1h and 6h trailing error rates become burn rates
+# (error_rate / error_budget); a page fires when BOTH the fast and
+# slow window burn > 14.4, a ticket when both burn > 6. Hourly
+# rollup first (the fact table aggregates once); trailing windows are
+# keyed range-frames over the BOUNDED hourly series; rates are
+# exact-integer ratios so cross-engine equality is trivial.
+# --------------------------------------------------------------------------
+@register(
+    "q268_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT epoch_ms(h) AS hour_ms, n, n_bad,
+             SUM(n) OVER w1 AS n_1h, SUM(n_bad) OVER w1 AS bad_1h,
+             SUM(n) OVER w6 AS n_6h, SUM(n_bad) OVER w6 AS bad_6h
+      FROM hourly
+      WINDOW w1 AS (ORDER BY h ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+             w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hour_ms, n, n_bad,
+           round(CAST(bad_1h AS DOUBLE) / n_1h / 0.01, 6) AS burn_1h,
+           round(CAST(bad_6h AS DOUBLE) / n_6h / 0.01, 6) AS burn_6h,
+           (CAST(bad_1h AS DOUBLE) / n_1h / 0.01 > 14.4
+            AND CAST(bad_6h AS DOUBLE) / n_6h / 0.01 > 14.4) AS page,
+           (CAST(bad_1h AS DOUBLE) / n_1h / 0.01 > 6
+            AND CAST(bad_6h AS DOUBLE) / n_6h / 0.01 > 6) AS ticket
+    FROM win
+    """,
+)
+def q268_slo_burn_rate(spark, sf_dir):
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.when(F.col("value") > 100, 1).otherwise(0).alias("bad"),
+    )
+    hourly = ev.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    w1 = W.orderBy("h").rowsBetween(0, 0)
+    w6 = W.orderBy("h").rowsBetween(-5, 0)
+    win = hourly.select(
+        F.unix_millis(F.col("h").cast("timestamp")).alias("hour_ms"),
+        "n",
+        "n_bad",
+        F.sum("n").over(w1).alias("n_1h"),
+        F.sum("n_bad").over(w1).alias("bad_1h"),
+        F.sum("n").over(w6).alias("n_6h"),
+        F.sum("n_bad").over(w6).alias("bad_6h"),
+    )
+    b1 = F.col("bad_1h").cast("double") / F.col("n_1h") / 0.01
+    b6 = F.col("bad_6h").cast("double") / F.col("n_6h") / 0.01
+    return win.select(
+        "hour_ms",
+        "n",
+        "n_bad",
+        F.round(b1, 6).alias("burn_1h"),
+        F.round(b6, 6).alias("burn_6h"),
+        ((b1 > 14.4) & (b6 > 14.4)).alias("page"),
+        ((b1 > 6) & (b6 > 6)).alias("ticket"),
+    )
