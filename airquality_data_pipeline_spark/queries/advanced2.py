@@ -387,13 +387,24 @@ def q147_fuzzy_string_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q148: equi-depth histogram via ntile — 16 equal-population buckets
-# over l_extendedprice with a DETERMINISTIC total order (price, then
-# the unique line key, so both engines tile identically). ntile is the
-# one global-sort operator in the catalog; at scale the same statistic
-# comes from approx_percentile boundaries (q37/q61) — this is the exact
-# small-dimension variant, and the bucket profile (count/min/max/mass)
-# is what a cost-based optimizer's column histogram stores.
+# q148: equi-depth histogram — 16 equal-population buckets over
+# l_extendedprice with a DETERMINISTIC total order (price, then the
+# unique line key, so both engines tile identically). The oracle states
+# it as ntile(16); the Spark side computes the identical bucket via
+# TWO-PHASE RANK, because a literal ntile window would sort the whole
+# fact table on one partition (l_extendedprice is ~unique — 583k
+# distinct of 600k rows at sf0.1 — so pre-aggregating to the distinct
+# domain doesn't shrink anything): repartitionByRange on the full sort
+# key (range partitions hold disjoint ordered key ranges), row_number
+# within each range partition, then a broadcast join of the ≤64-row
+# per-partition count prefix-sums turns local ranks into global ranks.
+# The ntile bucket is then closed-form from (global rank, n): the first
+# n%16 buckets hold ceil(n/16) rows, the rest floor(n/16) — the exact
+# SQL ntile contract on both engines. Plan: two keyed fact exchanges
+# (range, then pid) instead of an all-rows single-partition sort; the
+# only single-partition window runs over the 64-row partition-count
+# frame. The bucket profile (count/min/max/mass) is what a cost-based
+# optimizer's column histogram stores.
 # --------------------------------------------------------------------------
 @register(
     "q148_equidepth_histogram",
@@ -416,15 +427,61 @@ def q148_equidepth_histogram(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    t = li.select(
-        "l_extendedprice",
-        F.ntile(16)
-        .over(
-            W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    # phase 1: range-partition on the full (unique) sort key and rank
+    # locally — the window is keyed on the partition id, never global.
+    local = (
+        li.repartitionByRange(
+            64, "l_extendedprice", "l_orderkey", "l_linenumber"
         )
-        .alias("bucket"),
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lrn",
+            F.row_number().over(
+                W.partitionBy("pid").orderBy(
+                    "l_extendedprice", "l_orderkey", "l_linenumber"
+                )
+            ),
+        )
     )
-    return t.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+    # phase 2: per-partition counts (≤64 rows) -> prefix-sum offsets +
+    # grand total; broadcast back to turn local ranks into global ones.
+    cnts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = cnts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("cnt").over(
+            W.orderBy("pid").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    ranked = local.join(F.broadcast(offs), "pid").select(
+        "l_extendedprice",
+        (F.col("off") + F.col("lrn")).cast("long").alias("rn"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+    # closed-form ntile(16): first rem buckets take q+1 rows each —
+    # pure integer arithmetic (no float division, no floor rounding).
+    t = ranked.select(
+        "l_extendedprice",
+        F.expr(
+            """
+            CAST(CASE
+              WHEN rn <= (n_total % 16) * (n_total div 16 + 1)
+              THEN (rn - 1) div (n_total div 16 + 1)
+              ELSE (n_total % 16)
+                   + (rn - (n_total % 16) * (n_total div 16 + 1) - 1)
+                     div greatest(n_total div 16, 1)
+            END + 1 AS BIGINT)
+            """
+        ).alias("bucket"),
+    )
+    return t.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
@@ -2638,12 +2695,19 @@ def q174_time_travel_lookup(spark, sf_dir):
 # --------------------------------------------------------------------------
 # q175: two-sample Kolmogorov-Smirnov test — are doc-length
 # distributions the same across the two largest sources? KS statistic
-# = max |ECDF_a - ECDF_b| over the POOLED sorted sample: one global
-# sort of per-doc lengths (dimension-scale: docs, not tokens), running
-# per-source counts via windows, and a max. ECDF values divide exact
-# integer ranks, so both engines agree bit-for-bit. The accept flag
-# compares against the alpha=0.01 large-sample threshold
-# 1.63*sqrt((na+nb)/(na*nb)).
+# = max |ECDF_a - ECDF_b| evaluated at the DISTINCT length values:
+# group the pooled sample by x = len(text) (the length domain is
+# value-bounded — ≤ max doc length distinct values regardless of
+# corpus size, 523 at sf0.1), take per-source counts per x, and run
+# the cumulative window over that pre-aggregated frame (the q190
+# pattern — never a per-row walk over the fact table, which an earlier
+# version did and which single-partitions the whole corpus at scale).
+# Evaluating at distinct values is also the statistically correct tie
+# handling: the ECDF only steps after absorbing ALL rows tied at x, so
+# intra-tie row order (doc_id) cannot leak into the statistic. ECDF
+# values divide exact integer counts, so both engines agree
+# bit-for-bit. The accept flag compares against the alpha=0.01
+# large-sample threshold 1.63*sqrt((na+nb)/(na*nb)).
 # --------------------------------------------------------------------------
 @register(
     "q175_ks_test",
@@ -2658,20 +2722,24 @@ def q174_time_travel_lookup(spark, sf_dir):
       SELECT d.doc_id, ab.prio, len(d.text) AS x
       FROM documents d JOIN ab ON d.source = ab.source
     ),
+    byx AS (
+      SELECT x,
+             CAST(SUM(CASE WHEN prio = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ax,
+             CAST(SUM(CASE WHEN prio = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bx
+      FROM docs2 GROUP BY x
+    ),
     walk AS (
-      SELECT x, prio,
-             SUM(CASE WHEN prio = 1 THEN 1 ELSE 0 END)
-               OVER (ORDER BY x, doc_id ROWS UNBOUNDED PRECEDING) AS ca,
-             SUM(CASE WHEN prio = 2 THEN 1 ELSE 0 END)
-               OVER (ORDER BY x, doc_id ROWS UNBOUNDED PRECEDING) AS cb
-      FROM docs2
+      SELECT x,
+             SUM(ax) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(bx) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cb
+      FROM byx
     ),
     tot AS (
-      SELECT CAST(SUM(CASE WHEN prio = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS na,
-             CAST(SUM(CASE WHEN prio = 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS nb
-      FROM docs2
+      SELECT CAST(SUM(ax) AS BIGINT) AS na,
+             CAST(SUM(bx) AS BIGINT) AS nb
+      FROM byx
     )
     SELECT t.na, t.nb,
            round(max(abs(CAST(w.ca AS DOUBLE) / t.na
@@ -2702,24 +2770,22 @@ def q175_ks_test(spark, sf_dir):
     d2 = docs.join(F.broadcast(pick), "source").select(
         "doc_id", "prio", "x"
     )
-    walk_w = W.orderBy("x", "doc_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    walk = d2.select(
-        F.sum(F.when(F.col("prio") == 1, 1).otherwise(0))
-        .over(walk_w)
-        .alias("ca"),
-        F.sum(F.when(F.col("prio") == 2, 1).otherwise(0))
-        .over(walk_w)
-        .alias("cb"),
-    )
-    tot = d2.agg(
+    byx = d2.groupBy("x").agg(
         F.sum(F.when(F.col("prio") == 1, 1).otherwise(0))
         .cast("long")
-        .alias("na"),
+        .alias("ax"),
         F.sum(F.when(F.col("prio") == 2, 1).otherwise(0))
         .cast("long")
-        .alias("nb"),
+        .alias("bx"),
+    )
+    walk_w = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    walk = byx.select(
+        F.sum("ax").over(walk_w).alias("ca"),
+        F.sum("bx").over(walk_w).alias("cb"),
+    )
+    tot = byx.agg(
+        F.sum("ax").cast("long").alias("na"),
+        F.sum("bx").cast("long").alias("nb"),
     )
     j = walk.crossJoin(F.broadcast(tot))
     diff = F.abs(

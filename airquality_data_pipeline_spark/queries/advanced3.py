@@ -518,11 +518,16 @@ def q195_activity_streaks(spark, sf_dir):
 # per-decile positive counts, cumulative capture rate, and lift. The
 # decile is assigned by explicit integer arithmetic over row_number
 # (((r-1)*10) div N + 1) rather than ntile, so both engines share one
-# bucket convention by construction. The ranking is the catalog's one
-# deliberate global sort family (like q90 pagination): Spark executes
-# it as a range-partitioned total sort; every later step is integer
-# aggregation over 10 rows. Lift/capture are single integer-ratio
-# divisions.
+# bucket convention by construction. The oracle keeps the literal
+# row_number statement; the Spark side decomposes the global rank via
+# the q190 pre-aggregate pattern: `value` is a 2-decimal score with a
+# value-bounded distinct domain (17.8k at sf0.1, saturating at the
+# cents grid regardless of event count), so groupBy(value) + a
+# cumulative count over the distinct-value frame gives each value's
+# rank offset, and a keyed window (PARTITION BY value ORDER BY
+# event_id) supplies the within-tie rank — no single-partition pass
+# over the fact table. Every later step is integer aggregation over 10
+# rows. Lift/capture are single integer-ratio divisions.
 # --------------------------------------------------------------------------
 @register(
     "q196_decile_lift",
@@ -575,10 +580,24 @@ def q196_decile_lift(spark, sf_dir):
         F.count(F.lit(1)).alias("n_total"),
         F.sum("pos").alias("pos_total"),
     )
-    r = F.row_number().over(
-        W.orderBy(F.col("value").desc(), F.col("event_id"))
-    ).cast("long")
-    ranked = base.select("pos", r.alias("r"))
+    # two-phase global rank: distinct-value prefix counts (bounded
+    # domain) + keyed within-value rank — replaces a global window.
+    byv = base.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = byv.select(
+        "value",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy(F.desc("value")).rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    lrn = F.row_number().over(W.partitionBy("value").orderBy("event_id"))
+    ranked = base.join(offs, "value").select(
+        "pos", (F.col("off") + lrn).cast("long").alias("r")
+    )
     dec_ = ranked.crossJoin(F.broadcast(tot)).select(
         (F.expr("((r - 1) * 10) div n_total") + 1).alias("decile"),
         "pos",

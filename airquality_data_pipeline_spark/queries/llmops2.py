@@ -264,8 +264,20 @@ def q216_tokenizer_fertility(spark, sf_dir):
 # rounds). Decile assignment uses the q196 integer formula over a
 # (n_chars, doc_id) rank; intra-stratum order is md5-derived (the
 # catalog's seedless shuffle). Emits the first 30 curriculum slots.
-# The global rank is the one sort (range-partitioned at scale, q90
-# family); everything else is keyed windows.
+# The oracle states the ranks as plain window statements; the Spark
+# side keeps every window off the full corpus: (1) the decile rank
+# decomposes via the q190 pattern (n_chars has a value-bounded
+# distinct domain — 523 values at sf0.1, capped by max doc length at
+# any corpus size — so distinct-domain prefix counts + a keyed
+# within-length rank replace the global sort); (2) the per-stratum
+# slot only matters for slot <= 30, so a local top-30 per
+# (stratum, scan-partition) window prunes the corpus to <= 30*10*P
+# candidate rows before the exact per-stratum slot window (the
+# candidate superset provably contains the true top-30, whose ranks
+# are unchanged under subsetting); (3) the final interleave position
+# window runs over <= 300 rows because slot > 30 implies
+# position > 30 unconditionally (a row's same-stratum smaller slots
+# alone push it past 30).
 # --------------------------------------------------------------------------
 @register(
     "q217_curriculum_interleave",
@@ -301,21 +313,55 @@ def q216_tokenizer_fertility(spark, sf_dir):
 def q217_curriculum_interleave(spark, sf_dir):
     utc(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    n_total = docs.agg(F.count(F.lit(1)).alias("n"))
-    r = F.row_number().over(W.orderBy("n_chars", "doc_id")).cast("long")
-    ranked = docs.select("doc_id", r.alias("r")).crossJoin(
-        F.broadcast(n_total)
+    # two-phase decile rank: distinct-length prefix counts (bounded
+    # domain) + keyed within-length rank.
+    byc = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = byc.select(
+        "n_chars",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy("n_chars").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("cnt").over(
+            W.orderBy("n_chars").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    lrn = F.row_number().over(W.partitionBy("n_chars").orderBy("doc_id"))
+    ranked = docs.join(offs, "n_chars").select(
+        "doc_id",
+        (F.col("off") + lrn).cast("long").alias("r"),
+        F.col("n").cast("long").alias("n"),
     )
     strata = ranked.select(
         "doc_id",
         F.expr("((r - 1) * 10) div n").alias("stratum"),
     )
-    slot = F.row_number().over(
-        W.partitionBy("stratum").orderBy(
-            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    # two-level top-30 per stratum: local prune per scan partition,
+    # exact slot over the bounded candidate union.
+    shuffle_key = (F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    local = strata.withColumn("pid", F.spark_partition_id())
+    cand = (
+        local.withColumn(
+            "ls",
+            F.row_number().over(
+                W.partitionBy("stratum", "pid").orderBy(*shuffle_key)
+            ),
         )
+        .where(F.col("ls") <= 30)
+        .select("doc_id", "stratum")
+    )
+    slot = F.row_number().over(
+        W.partitionBy("stratum").orderBy(*shuffle_key)
     ).cast("long")
-    ordered = strata.select("doc_id", "stratum", slot.alias("slot"))
+    ordered = cand.select("doc_id", "stratum", slot.alias("slot")).where(
+        F.col("slot") <= 30
+    )
     pos = F.row_number().over(W.orderBy("slot", "stratum")).cast("long")
     return (
         ordered.select("doc_id", "stratum", "slot", pos.alias("position"))
