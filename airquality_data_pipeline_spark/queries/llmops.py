@@ -260,7 +260,12 @@ def q129_containment(spark, sf_dir):
 # transitive closure is q120's job). The pairwise stage is an equi-join
 # on bucket, so candidate volume is cluster-bounded — the entire point
 # of clustering before comparing (Abbas et al., SemDeDup). Planted
-# near-dups (q45's corpus) make the >= 0.9 regime non-vacuous.
+# near-dups (q45's corpus) make the >= 0.9 regime non-vacuous. The
+# cluster count scales with the corpus (k = max(8, isqrt(n)), q172's
+# measured pattern): within-bucket pair volume is O(n^2/k), so a
+# frozen k is quadratic in corpus size while k ~ sqrt(n) keeps
+# per-bucket density — and the pair term per vector — constant as the
+# corpus grows (16x probe recorded in PLANS.md).
 # --------------------------------------------------------------------------
 @register(
     "q130_semdedup",
@@ -279,7 +284,9 @@ def q129_containment(spark, sf_dir):
     n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
     ),
-    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+              WHERE vec_id < greatest(8, CAST(floor(sqrt(
+                        (SELECT count(*) FROM corpus))) AS BIGINT))),
     assigned AS (
       SELECT id, v, nrm, bucket FROM (
         SELECT n.vec_id AS id, n.v, n.nrm, c.cent_id AS bucket,
@@ -305,9 +312,12 @@ def q129_containment(spark, sf_dir):
     """,
 )
 def q130_semdedup(spark, sf_dir):
+    import math
+
     emb = table(spark, sf_dir, "embeddings")
     corpus = planted_neardup_corpus(emb)
-    assigned = ivf_assign(corpus, F.col("id") < 8)
+    k = max(8, math.isqrt(corpus.count()))
+    assigned = ivf_assign(corpus, F.col("id") < k)
     pairs = (
         assigned.alias("a")
         .join(

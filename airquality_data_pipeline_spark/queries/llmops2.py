@@ -123,11 +123,18 @@ def q214_epoch_capped_mixture(spark, sf_dir):
         ranked.where(lam_i <= F.col("cap"))
         .agg(F.min("i").alias("k"))
     )
+    # level must ALWAYS be exactly one row, mirroring the oracle's
+    # LEFT JOIN level ON TRUE: when no rank is feasible (B exceeds the
+    # total cap, e.g. an en-heavy corpus) k is NULL, the old inner
+    # join produced ZERO rows, and the crossJoin silently emptied the
+    # whole allocation. A left join from the 1-row lam frame keeps the
+    # row with lambda_ NULL, so every language falls into the
+    # alloc=cap branch exactly like the oracle.
     level = (
-        ranked.join(F.broadcast(lam), ranked.i == F.col("k"))
+        lam.join(F.broadcast(ranked), lam.k == ranked.i, "left")
         .select(lam_i.alias("lambda_"), F.col("k").alias("k2"))
     )
-    j = ranked.crossJoin(F.broadcast(level.select("lambda_", "k2")))
+    j = ranked.crossJoin(F.broadcast(level))
     alloc = F.when(
         F.col("lambda_").isNull() | (F.col("i") < F.col("k2")),
         F.col("cap").cast("double"),

@@ -473,6 +473,36 @@ def test_waterfill_budget_and_caps(spark, sf_dir):
     assert capped and floating
 
 
+def test_waterfill_infeasible_budget_keeps_all_caps(spark, tmp_path):
+    # en-heavy corpus: B = 2.5x total tokens exceeds the cap sum
+    # (en caps at 1 epoch), so NO rank satisfies the water-level
+    # condition and lambda is undefined. The regression this pins: the
+    # level frame must still be one row (lambda_ NULL) so every
+    # language keeps alloc = cap — the old inner-join construction
+    # returned an EMPTY allocation table on this shape while the
+    # DuckDB oracle (LEFT JOIN level ON TRUE) kept every row.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "lang": ["en"] * 8 + ["de", "pl"],
+            "text": ["alpha beta gamma delta"] * 8
+            + ["ein zwei", "raz dwa"],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q214_epoch_capped_mixture"](
+        spark, str(tmp_path)
+    ).collect()
+    # tokens: en 32, de 2, pl 2 -> B = 90 > cap sum 48 (32 + 8 + 8)
+    assert {r.lang for r in rows} == {"en", "de", "pl"}
+    for r in rows:
+        cap_epochs = 1 if r.lang == "en" else 4
+        assert abs(r.cap - cap_epochs * r.lang_tokens) < 1e-9
+        assert abs(r.alloc_tokens - r.cap) < 1e-9
+
+
 def test_template_prefix_recovers_plant(spark, sf_dir):
     rows = QUERIES["q215_template_prefix"](spark, sf_dir).collect()
     planted_prefix = "TEMPLATE HEADER v1: all rights re"[:32]
