@@ -105,3 +105,59 @@ def pareto_frontier(
         F.col("_prev_max").isNull()
         | (F.col(maximize_col) > F.col("_prev_max"))
     ).select(minimize_col, maximize_col)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    num_partitions: int = 64,
+    rn_col: str = "rn",
+    n_col: str | None = None,
+) -> DataFrame:
+    """Distributed global row_number — the TWO-PHASE RANK that replaces
+    `row_number() OVER (ORDER BY ...)` when the input is fact-scale
+    (a literal global window moves every row to ONE partition; see
+    PLANS.md "Global windows"). Phase 1: repartitionByRange on the
+    full sort key, rank locally per range partition (the window is
+    keyed on the partition id). Phase 2: prefix-sum the per-partition
+    counts (a <= num_partitions-row frame) and broadcast the offsets
+    back. Any range-boundary placement yields the same global ranks
+    when the sort key is unique; with ties, the output is a valid
+    total order consistent with the key (ties ordered by partition),
+    so order STATISTICS (k-th value) are deterministic even then.
+    Adds `rn_col` (1-based global rank, BIGINT) and optionally
+    `n_col` (total row count) to df's columns."""
+    local = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrn",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(*order_cols)
+            ),
+        )
+    )
+    cnts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    offs = cnts.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__cnt").over(
+            Window.orderBy("__pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    out = local.join(F.broadcast(offs), "__pid")
+    cols = [F.col(c) for c in df.columns]
+    cols.append((F.col("__off") + F.col("__lrn")).cast("long").alias(rn_col))
+    if n_col is not None:
+        cols.append(F.col("__n").cast("long").alias(n_col))
+    return out.select(*cols)

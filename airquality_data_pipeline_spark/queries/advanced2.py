@@ -424,46 +424,18 @@ def q147_fuzzy_string_join(spark, sf_dir):
     """.format("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS mass"),
 )
 def q148_equidepth_histogram(spark, sf_dir):
+    from airquality_data_pipeline_spark.operators.windows import (
+        global_row_number,
+    )
+
     li = table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    # phase 1: range-partition on the full (unique) sort key and rank
-    # locally — the window is keyed on the partition id, never global.
-    local = (
-        li.repartitionByRange(
-            64, "l_extendedprice", "l_orderkey", "l_linenumber"
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "lrn",
-            F.row_number().over(
-                W.partitionBy("pid").orderBy(
-                    "l_extendedprice", "l_orderkey", "l_linenumber"
-                )
-            ),
-        )
-    )
-    # phase 2: per-partition counts (≤64 rows) -> prefix-sum offsets +
-    # grand total; broadcast back to turn local ranks into global ones.
-    cnts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    offs = cnts.select(
-        "pid",
-        F.coalesce(
-            F.sum("cnt").over(
-                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("off"),
-        F.sum("cnt").over(
-            W.orderBy("pid").rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        ).alias("n_total"),
-    )
-    ranked = local.join(F.broadcast(offs), "pid").select(
-        "l_extendedprice",
-        (F.col("off") + F.col("lrn")).cast("long").alias("rn"),
-        F.col("n_total").cast("long").alias("n_total"),
+    ranked = global_row_number(
+        li,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        rn_col="rn",
+        n_col="n_total",
     )
     # closed-form ntile(16): first rem buckets take q+1 rows each —
     # pure integer arithmetic (no float division, no floor rounding).

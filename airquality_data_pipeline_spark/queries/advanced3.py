@@ -1343,11 +1343,12 @@ def q259_psi_drift(spark, sf_dir):
 # the value regardless of tie order), then measure empirical coverage
 # of pred +/- q_hat on the test split: the conformal guarantee says
 # coverage >= 90% in expectation. The predictor table is bounded
-# (types x 24 hours) and broadcasts; the order statistic uses one
-# global-rank window over the CALIBRATION SPLIT ONLY (documented
-# single-partition hotspot — the production path at 100 TB swaps in
-# approx_percentile for q_hat, trading the exactness the oracle
-# needs; pinned by test_llmops3 coverage bound).
+# (types x 24 hours) and broadcasts; the order statistic comes from
+# the TWO-PHASE global rank (operators/windows.global_row_number) over
+# the calibration split — range-partitioned local ranks + broadcast
+# partition-count offsets, never a single-partition sort of the split
+# (pinned by test_llmops3 coverage bound and the WindowExec plan
+# guard).
 # --------------------------------------------------------------------------
 @register(
     "q260_conformal_calibration",
@@ -1448,10 +1449,16 @@ def q260_conformal_calibration(spark, sf_dir):
         )
 
     cal = _resid(ev.where((F.col("bucket") >= 60) & (F.col("bucket") < 80)))
-    ranked = cal.select(
-        "resid",
-        F.row_number().over(_W.partitionBy().orderBy("resid")).alias("rk"),
-        F.count(F.lit(1)).over(_W.partitionBy()).alias("n_cal"),
+    # two-phase global rank (operators/windows.global_row_number): the
+    # k-th order statistic is deterministic under ties for ANY
+    # tie-consistent total order, so the range-partitioned rank matches
+    # the oracle's single row_number exactly where it matters (rk = k).
+    from airquality_data_pipeline_spark.operators.windows import (
+        global_row_number,
+    )
+
+    ranked = global_row_number(
+        cal, ["resid"], rn_col="rk", n_col="n_cal"
     )
     qhat = ranked.where(
         F.col("rk")

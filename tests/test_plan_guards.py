@@ -65,6 +65,74 @@ def test_twice_referenced_aggregate_reuses_stage(name, spark, sf_dir):
     )
 
 
+_WINDOW_SHRINK = (
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "GlobalLimit",
+    "TakeOrderedAndProject",
+)
+
+
+def _children(node):
+    if node.nodeName() == "AdaptiveSparkPlan":
+        return [node.executedPlan()]
+    return [
+        node.children().apply(i) for i in range(node.children().size())
+    ]
+
+
+def _reaches_raw_scan(node):
+    """True if some path below `node` hits a file scan without an
+    aggregate/limit shrink in between — i.e. the frame this node sees
+    is still fact-table-sized. Bounded literal leaves (LocalTableScan,
+    Range anchors) are ignored: only parquet scans carry data that
+    grows with the corpus."""
+    name = node.nodeName()
+    if any(name.startswith(b) for b in _WINDOW_SHRINK):
+        return False
+    if name.startswith("Scan") or "FileSourceScan" in name:
+        return True
+    return any(_reaches_raw_scan(c) for c in _children(node))
+
+
+def _find_global_fact_windows(node, out):
+    name = node.nodeName()
+    if (
+        name in ("Window", "WindowInPandas")
+        and node.partitionSpec().size() == 0
+        and any(_reaches_raw_scan(c) for c in _children(node))
+    ):
+        out.append(name)
+    for c in _children(node):
+        _find_global_fact_windows(c, out)
+
+
+def test_catalog_wide_no_global_window_over_fact_scan(spark, sf_dir):
+    # The r5 regression class: a WindowExec with an EMPTY partition
+    # spec whose input subtree reaches a parquet scan with no
+    # aggregate/limit in between moves the whole fact table to one
+    # partition at scale (q148/q175/q196/q217/q260 all shipped this
+    # shape before the r6 rewrites). Global windows are fine over
+    # PRE-AGGREGATED frames (the q190 distinct-domain pattern) or
+    # limit-bounded frames — the path check allows exactly those.
+    # Plan-build only, no execution, so the sweep stays cheap.
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        bad = []
+        _find_global_fact_windows(
+            df._jdf.queryExecution().executedPlan(), bad
+        )
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "global window over an unaggregated fact scan — use the q190 "
+        "distinct-domain pre-aggregate or operators/windows."
+        f"global_row_number (two-phase rank): {offenders}"
+    )
+
+
 def test_catalog_wide_no_cartesian_or_rowwise_python(spark, sf_dir):
     # sweeping guard over EVERY registered query's physical plan:
     # no true cartesian product (broadcast nested-loop against bounded
