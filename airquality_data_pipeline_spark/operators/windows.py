@@ -161,3 +161,40 @@ def global_row_number(
     if n_col is not None:
         cols.append(F.col("__n").cast("long").alias(n_col))
     return out.select(*cols)
+
+
+def global_ntile(
+    df: DataFrame,
+    num_tiles: int,
+    order_cols: list,
+    *,
+    out_col: str = "tile",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Distributed ntile — `ntile(k) OVER (ORDER BY ...)` computed from
+    the two-phase global rank plus the closed-form SQL ntile contract
+    (the first n % k tiles hold n div k + 1 rows, the rest n div k),
+    in pure integer arithmetic. Matches Spark's and DuckDB's native
+    ntile bucket-for-bucket for any deterministic total order without
+    ever sorting the input on a single partition. order_cols may be
+    column names or Column expressions (e.g. F.col("x").desc())."""
+    k = int(num_tiles)
+    ranked = global_row_number(
+        df,
+        order_cols,
+        num_partitions=num_partitions,
+        rn_col="__rn",
+        n_col="__nt",
+    )
+    bucket = F.expr(
+        f"""
+        CAST(CASE
+          WHEN __rn <= (__nt % {k}) * (__nt div {k} + 1)
+          THEN (__rn - 1) div (__nt div {k} + 1)
+          ELSE (__nt % {k})
+               + (__rn - (__nt % {k}) * (__nt div {k} + 1) - 1)
+                 div greatest(__nt div {k}, 1)
+        END + 1 AS BIGINT)
+        """
+    )
+    return ranked.withColumn(out_col, bucket).drop("__rn", "__nt")

@@ -425,34 +425,18 @@ def q147_fuzzy_string_join(spark, sf_dir):
 )
 def q148_equidepth_histogram(spark, sf_dir):
     from airquality_data_pipeline_spark.operators.windows import (
-        global_row_number,
+        global_ntile,
     )
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    ranked = global_row_number(
+    t = global_ntile(
         li,
+        16,
         ["l_extendedprice", "l_orderkey", "l_linenumber"],
-        rn_col="rn",
-        n_col="n_total",
-    )
-    # closed-form ntile(16): first rem buckets take q+1 rows each —
-    # pure integer arithmetic (no float division, no floor rounding).
-    t = ranked.select(
-        "l_extendedprice",
-        F.expr(
-            """
-            CAST(CASE
-              WHEN rn <= (n_total % 16) * (n_total div 16 + 1)
-              THEN (rn - 1) div (n_total div 16 + 1)
-              ELSE (n_total % 16)
-                   + (rn - (n_total % 16) * (n_total div 16 + 1) - 1)
-                     div greatest(n_total div 16, 1)
-            END + 1 AS BIGINT)
-            """
-        ).alias("bucket"),
-    )
+        out_col="bucket",
+    ).select("l_extendedprice", "bucket")
     return t.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("l_extendedprice").alias("lo"),
@@ -763,20 +747,30 @@ def q152_rfm_segmentation(spark, sf_dir):
             F.sum(dec("o_totalprice", 2)).cast("double").alias("monetary"),
         )
     )
-    scored = rfm.select(
-        "*",
-        F.ntile(5)
-        .over(W.orderBy("recency_days", "c_custkey"))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("frequency").desc(), "c_custkey"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("monetary").desc(), "c_custkey"))
-        .cast("long")
-        .alias("m_score"),
+    # distributed ntile per metric (operators/windows.global_ntile):
+    # the per-customer frame is dimension-scale today but grows with
+    # the business — three global sorts would each single-partition
+    # it. The three score frames re-read the SAME rfm aggregate
+    # (exchange reuse: identical subplans) and join back on the key.
+    from airquality_data_pipeline_spark.operators.windows import (
+        global_ntile,
+    )
+
+    def score(order_cols, name):
+        return global_ntile(rfm, 5, order_cols, out_col=name).select(
+            "c_custkey", name
+        )
+
+    scored = (
+        rfm.join(score(["recency_days", "c_custkey"], "r_score"), "c_custkey")
+        .join(
+            score([F.col("frequency").desc(), "c_custkey"], "f_score"),
+            "c_custkey",
+        )
+        .join(
+            score([F.col("monetary").desc(), "c_custkey"], "m_score"),
+            "c_custkey",
+        )
     )
     return scored.withColumn(
         "segment",
@@ -1850,19 +1844,19 @@ def q165_revenue_concentration(spark, sf_dir):
     rev = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice", 2)).alias("r")
     )
-    everything = W.partitionBy()
-    ranked = rev.select(
-        "o_custkey",
-        "r",
-        F.row_number()
-        .over(W.orderBy(F.col("r").asc(), F.col("o_custkey"))).alias("i"),
-        F.count(F.lit(1)).over(everything).cast("long").alias("n"),
-        F.sum("r").over(everything).alias("tot"),
+    # two-phase global rank (operators/windows): the per-customer
+    # frame would otherwise hit one partition for the Gini rank sum.
+    from airquality_data_pipeline_spark.operators.windows import (
+        global_row_number,
+    )
+
+    ranked = global_row_number(
+        rev, [F.col("r").asc(), F.col("o_custkey")], rn_col="i", n_col="n"
     )
     zero = F.lit(0).cast("decimal(18,2)")
     g = ranked.agg(
         F.max("n").alias("n"),
-        F.max("tot").cast("double").alias("tot"),
+        F.sum("r").cast("double").alias("tot"),
         F.sum(F.col("i") * F.col("r")).cast("double").alias("iw"),
         F.sum(
             F.when(

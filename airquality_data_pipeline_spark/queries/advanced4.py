@@ -1955,12 +1955,21 @@ def q237_uplift_deciles(spark, sf_dir):
         "score",
         "converted",
     )
-    tot = per_user.agg(F.count(F.lit(1)).alias("n"))
-    r = F.row_number().over(
-        W.orderBy(F.col("score").desc(), F.col("user_id"))
-    ).cast("long")
-    ranked = per_user.select("treated", "converted", r.alias("r"))
-    dec_ = ranked.crossJoin(F.broadcast(tot)).select(
+    # two-phase global rank (operators/windows): per-user scores are
+    # near-unique doubles, so distinct-domain pre-aggregation would
+    # not shrink them — range-partitioned rank instead of a
+    # single-partition sort of the user dimension.
+    from airquality_data_pipeline_spark.operators.windows import (
+        global_row_number,
+    )
+
+    ranked = global_row_number(
+        per_user,
+        [F.col("score").desc(), F.col("user_id")],
+        rn_col="r",
+        n_col="n",
+    )
+    dec_ = ranked.select(
         (F.expr("((r - 1) * 10) div n") + 1).alias("decile"),
         "treated",
         "converted",
