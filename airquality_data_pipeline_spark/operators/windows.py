@@ -198,3 +198,50 @@ def global_ntile(
         """
     )
     return ranked.withColumn(out_col, bucket).drop("__rn", "__nt")
+
+
+def exact_decile_edges(
+    df: DataFrame,
+    value_col: str,
+    *,
+    out_col: str = "qs",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """1-row frame whose `out_col` is the 9-element array of exact
+    decile edges: edge i = the ceil(i*n/10)-th smallest value
+    (1-based), an order statistic that is deterministic under ties and
+    — unlike pairing percentile_approx against DuckDB's quantile_disc
+    — follows ONE rank convention both engines can state explicitly
+    (ceil via integer arithmetic, (i*n + 9) div 10, so no float
+    p*n rounding at decile boundaries). Rank comes from the two-phase
+    global_row_number, so no single-partition sort of the input."""
+    ranked = global_row_number(
+        df.select(value_col),
+        [value_col],
+        num_partitions=num_partitions,
+        rn_col="__rn",
+        n_col="__n",
+    )
+    anchor = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("long").alias("__i")
+    )
+    hit = ranked.join(
+        F.broadcast(anchor),
+        F.col("__rn") == F.expr("(__i * __n + 9) div 10"),
+    )
+    return (
+        hit.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__i").alias("i"),
+                        F.col(value_col).alias("v"),
+                    )
+                )
+            ).alias("__s")
+        )
+        .select(
+            F.transform(F.col("__s"), lambda s: s["v"]).alias(out_col)
+        )
+    )

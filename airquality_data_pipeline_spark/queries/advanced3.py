@@ -1194,8 +1194,12 @@ def q258_offpolicy_eval(spark, sf_dir):
 # q259: PSI feature-drift monitor — the population stability index,
 # the industry-standard companion to q175's KS test: reference window
 # = first half of the event timeline, current = second half; bins =
-# the reference window's deciles (exact discrete percentiles, so both
-# engines cut identically); PSI = sum (p_cur - p_ref) ln(p_cur/p_ref)
+# the reference window's deciles, each edge the EXPLICIT order
+# statistic at rank (i*n+9) div 10 (operators/windows.
+# exact_decile_edges — both engines state the same integer rank
+# formula, rather than trusting percentile_approx and quantile_disc
+# to share a discrete-quantile convention, which they don't for all
+# n); PSI = sum (p_cur - p_ref) ln(p_cur/p_ref)
 # with the 0.0001 floor convention for empty bins. Bin edges are a
 # 9-row broadcast; each window is binned with one range lookup, so
 # the fact table is scanned once per window and nothing is quadratic.
@@ -1211,10 +1215,15 @@ def q258_offpolicy_eval(spark, sf_dir):
                   ELSE 'cur' END AS win
       FROM events
     ),
-    edges AS (
-      SELECT quantile_disc(value, [0.1, 0.2, 0.3, 0.4, 0.5,
-                                   0.6, 0.7, 0.8, 0.9]) AS qs
+    refranked AS (
+      SELECT value, row_number() OVER (ORDER BY value) AS rn,
+             count(*) OVER () AS n
       FROM ev WHERE win = 'ref'
+    ),
+    edges AS (
+      SELECT list(r.value ORDER BY g.i) AS qs
+      FROM (SELECT UNNEST(generate_series(1, 9)) AS i) g
+      JOIN refranked r ON r.rn = (g.i * r.n + 9) // 10
     ),
     binned AS (
       SELECT win,
@@ -1259,15 +1268,12 @@ def q259_psi_drift(spark, sf_dir):
         "value",
         F.when(F.col("ts") < cutoff, "ref").otherwise("cur").alias("win"),
     )
-    edges = (
-        ev.where(F.col("win") == "ref")
-        .agg(
-            F.percentile_approx(
-                "value",
-                [i / 10 for i in range(1, 10)],
-                2147483647,
-            ).alias("qs")
-        )
+    from airquality_data_pipeline_spark.operators.windows import (
+        exact_decile_edges,
+    )
+
+    edges = exact_decile_edges(
+        ev.where(F.col("win") == "ref"), "value"
     )
     binned = ev.crossJoin(F.broadcast(edges)).select(
         "win",
@@ -1594,12 +1600,14 @@ def q261_fairness_audit(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # q262: WOE / Information Value — the credit-scoring feature-power
-# metric and PSI's sibling (q259): bin `value` by its global deciles,
-# per bin compute the positive (purchase) and negative share of their
-# respective totals (0.0001 floor), WOE = ln(p_pos/p_neg), and
-# IV = sum (p_pos - p_neg) * WOE. Same decile-cut + floor + rounded-
-# ln + decimal-sum discipline as q259; the bin-edge array is a
-# broadcast single row; one fact scan. Convention: IV < 0.02 useless,
+# metric and PSI's sibling (q259): bin `value` by its global deciles
+# (exact_decile_edges — the explicit (i*n+9) div 10 order-statistic
+# rank both engines share, see q259), per bin compute the positive
+# (purchase) and negative share of their respective totals (0.0001
+# floor), WOE = ln(p_pos/p_neg), and IV = sum (p_pos - p_neg) * WOE.
+# Same decile-cut + floor + rounded-ln + decimal-sum discipline as
+# q259; the bin-edge array is a broadcast single row; the fact scans
+# once for edges, once for binning. Convention: IV < 0.02 useless,
 # 0.1-0.3 medium, > 0.5 suspicious.
 # --------------------------------------------------------------------------
 @register(
@@ -1610,10 +1618,15 @@ def q261_fairness_audit(spark, sf_dir):
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
       FROM events
     ),
-    edges AS (
-      SELECT quantile_disc(value, [0.1, 0.2, 0.3, 0.4, 0.5,
-                                   0.6, 0.7, 0.8, 0.9]) AS qs
+    ranked AS (
+      SELECT value, row_number() OVER (ORDER BY value) AS rn,
+             count(*) OVER () AS n
       FROM ev
+    ),
+    edges AS (
+      SELECT list(r.value ORDER BY g.i) AS qs
+      FROM (SELECT UNNEST(generate_series(1, 9)) AS i) g
+      JOIN ranked r ON r.rn = (g.i * r.n + 9) // 10
     ),
     binned AS (
       SELECT y, 1 + len(list_filter(e.qs, q -> q < ev.value)) AS bin
@@ -1650,11 +1663,11 @@ def q262_woe_iv(spark, sf_dir):
         .otherwise(0)
         .alias("y"),
     )
-    edges = ev.agg(
-        F.percentile_approx(
-            "value", [i / 10 for i in range(1, 10)], 2147483647
-        ).alias("qs")
+    from airquality_data_pipeline_spark.operators.windows import (
+        exact_decile_edges,
     )
+
+    edges = exact_decile_edges(ev, "value")
     binned = ev.crossJoin(F.broadcast(edges)).select(
         "y",
         (
@@ -2051,8 +2064,12 @@ def q267_variant_rollup(spark, sf_dir):
 # hour, the 1h and 6h trailing error rates become burn rates
 # (error_rate / error_budget); a page fires when BOTH the fast and
 # slow window burn > 14.4, a ticket when both burn > 6. Hourly
-# rollup first (the fact table aggregates once); trailing windows are
-# keyed range-frames over the BOUNDED hourly series; rates are
+# rollup first (the fact table aggregates once); the 6h trailing
+# window is a RANGE frame on the integer epoch-hour key (RANGE 5
+# PRECEDING), so an hour with zero events leaves a real gap and the
+# window never silently spans more than six wall-clock hours — a
+# ROWS frame over the rollup would stretch across missing hours
+# (hours with zero events are absent rows, not zero rows). Rates are
 # exact-integer ratios so cross-engine equality is trivial.
 # --------------------------------------------------------------------------
 @register(
@@ -2069,9 +2086,11 @@ def q267_variant_rollup(spark, sf_dir):
       SELECT epoch_ms(h) AS hour_ms, n, n_bad,
              SUM(n) OVER w1 AS n_1h, SUM(n_bad) OVER w1 AS bad_1h,
              SUM(n) OVER w6 AS n_6h, SUM(n_bad) OVER w6 AS bad_6h
-      FROM hourly
-      WINDOW w1 AS (ORDER BY h ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
-             w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      FROM (SELECT h, n, n_bad, epoch_ms(h) // 3600000 AS hr
+            FROM hourly)
+      WINDOW w1 AS (ORDER BY hr ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+             w6 AS (ORDER BY hr RANGE BETWEEN 5 PRECEDING
+                    AND CURRENT ROW)
     )
     SELECT hour_ms, n, n_bad,
            round(CAST(bad_1h AS DOUBLE) / n_1h / 0.01, 6) AS burn_1h,
@@ -2093,8 +2112,12 @@ def q268_slo_burn_rate(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("bad").cast("long").alias("n_bad"),
     )
-    w1 = W.orderBy("h").rowsBetween(0, 0)
-    w6 = W.orderBy("h").rowsBetween(-5, 0)
+    hourly = hourly.withColumn(
+        "hr",
+        F.expr("unix_millis(cast(h as timestamp)) div 3600000"),
+    )
+    w1 = W.orderBy("hr").rowsBetween(0, 0)
+    w6 = W.orderBy("hr").rangeBetween(-5, 0)
     win = hourly.select(
         F.unix_millis(F.col("h").cast("timestamp")).alias("hour_ms"),
         "n",

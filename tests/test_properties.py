@@ -453,3 +453,38 @@ def test_pareto_frontier_matches_bruteforce(spark, points):
         )
     }
     assert got == expect
+
+
+def test_fixture_ids_stay_below_plant_offsets():
+    # Several harness queries plant synthetic rows at fixed id offsets
+    # (documents: +500000 q215, +600000/+700000 q137/q99/q229/q230,
+    # +900000 q234; orders: +5000000 q189) and q234 DETECTS plants via
+    # doc_id >= 900000. If the driver ever regenerates fixtures whose
+    # natural ids reach those ranges, planted ids would collide with
+    # real rows and the harness semantics silently break (parity would
+    # still hold — both engines share the construction — which is why
+    # only a fixture invariant can catch it). Checked over every
+    # fixture SF present, no Spark needed.
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs, "no fixture dirs found"
+    for d in sf_dirs:
+        (max_doc,) = con.execute(
+            f"SELECT max(doc_id) FROM '{d}/documents.parquet'"
+        ).fetchone()
+        assert max_doc < 500000, (
+            f"{d}: max doc_id {max_doc} collides with the smallest "
+            "documents plant offset (+500000) — derive offsets from "
+            "max(doc_id) before regenerating larger fixtures"
+        )
+        (max_ok,) = con.execute(
+            f"SELECT max(o_orderkey) FROM '{d}/orders.parquet'"
+        ).fetchone()
+        assert max_ok < 5000000, (
+            f"{d}: max o_orderkey {max_ok} collides with the orders "
+            "plant offset (+5000000)"
+        )
