@@ -205,7 +205,6 @@ def exact_decile_edges(
     value_col: str,
     *,
     out_col: str = "qs",
-    num_partitions: int = 64,
 ) -> DataFrame:
     """1-row frame whose `out_col` is the 9-element array of exact
     decile edges: edge i = the ceil(i*n/10)-th smallest value
@@ -213,35 +212,48 @@ def exact_decile_edges(
     — unlike pairing percentile_approx against DuckDB's quantile_disc
     — follows ONE rank convention both engines can state explicitly
     (ceil via integer arithmetic, (i*n + 9) div 10, so no float
-    p*n rounding at decile boundaries). Rank comes from the two-phase
-    global_row_number, so no single-partition sort of the input."""
-    ranked = global_row_number(
-        df.select(value_col),
-        [value_col],
-        num_partitions=num_partitions,
-        rn_col="__rn",
-        n_col="__n",
+    p*n rounding at decile boundaries). Computed over the DISTINCT
+    value domain: edge i is the smallest value whose cumulative
+    multiset count reaches the rank, so the only unpartitioned window
+    runs over |distinct values| aggregated rows. Use on value-bounded
+    domains (scores on a cents grid, integer lengths); for near-unique
+    keys, derive the order statistic from global_row_number instead
+    (the q260 pattern)."""
+    g = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = g.select(
+        F.col(value_col).alias("__v"),
+        F.sum("__cnt")
+        .over(
+            Window.orderBy(value_col).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("__cum"),
+        F.sum("__cnt")
+        .over(
+            Window.orderBy(value_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n"),
     )
     anchor = df.sparkSession.range(1, 10).select(
         F.col("id").cast("long").alias("__i")
     )
-    hit = ranked.join(
+    hit = cum.join(
         F.broadcast(anchor),
-        F.col("__rn") == F.expr("(__i * __n + 9) div 10"),
-    )
+        F.col("__cum") >= F.expr("(__i * __n + 9) div 10"),
+    ).groupBy("__i").agg(F.min("__v").alias("__edge"))
     return (
         hit.groupBy()
         .agg(
             F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("__i").alias("i"),
-                        F.col(value_col).alias("v"),
-                    )
-                )
+                F.collect_list(F.struct("__i", "__edge"))
             ).alias("__s")
         )
         .select(
-            F.transform(F.col("__s"), lambda s: s["v"]).alias(out_col)
+            F.transform(F.col("__s"), lambda s: s["__edge"]).alias(
+                out_col
+            )
         )
     )
