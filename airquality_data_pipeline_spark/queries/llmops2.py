@@ -484,14 +484,16 @@ def q218_matryoshka_recall(spark, sf_dir):
       SELECT dim,
              CAST(SUM(n) AS BIGINT) AS nt,
              CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS st,
-             SUM(ss - s * s / n) AS within_ss,
+             CAST(SUM(CAST(ss - s * s / n AS DECIMAL(28,10))) AS DOUBLE)
+               AS within_ss,
              CAST(count(*) AS BIGINT) AS n_classes
       FROM bylab GROUP BY dim
     ),
     fisher AS (
       SELECT b.dim,
-             SUM(b.n * (b.s / b.n - d.st / d.nt)
-                     * (b.s / b.n - d.st / d.nt)) AS between_ss,
+             CAST(SUM(CAST(b.n * (b.s / b.n - d.st / d.nt)
+                               * (b.s / b.n - d.st / d.nt)
+                           AS DECIMAL(28,10))) AS DOUBLE) AS between_ss,
              any_value(d.within_ss) AS within_ss,
              any_value(d.n_classes) AS n_classes
       FROM bylab b JOIN bydim d ON b.dim = d.dim
@@ -508,7 +510,13 @@ def q218_matryoshka_recall(spark, sf_dir):
 )
 def q219_fisher_dims(spark, sf_dir):
     utc(spark)
-    emb = table(spark, sf_dir, "embeddings").select("label", "embedding")
+    # cast to array<double> BEFORE exploding: float32 x*x is a
+    # single-precision product and its DECIMAL(18,6) quantization can
+    # land one quantum away from DuckDB's embedding::DOUBLE[] path
+    # (caught by the alt-seed robustness sweep, r6)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     flat = emb.select(
         "label",
         F.posexplode("embedding").alias("dim0", "x"),
@@ -524,14 +532,19 @@ def q219_fisher_dims(spark, sf_dir):
         F.sum("n").alias("nt"),
         F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("st"),
         F.sum(
-            F.col("ss") - F.col("s") * F.col("s") / F.col("n")
-        ).alias("within_ss"),
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            .cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("within_ss"),
         F.count(F.lit(1)).alias("n_classes"),
     )
     joined = bylab.join(F.broadcast(bydim), "dim")
     dev = F.col("s") / F.col("n") - F.col("st") / F.col("nt")
     fisher = joined.groupBy("dim").agg(
-        F.sum(F.col("n") * dev * dev).alias("between_ss"),
+        F.sum((F.col("n") * dev * dev).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("between_ss"),
         F.expr("any_value(within_ss)").alias("within_ss"),
         F.expr("any_value(n_classes)").alias("n_classes"),
     )

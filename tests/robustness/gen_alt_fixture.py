@@ -1,0 +1,195 @@
+"""Alternative-seed fixture generator for robustness sweeps.
+
+The external driver regenerates /root/testdata each round (TESTDATA.md:
+seed=42); a query that is parity-green only because of a fixture
+accident (tie pattern, value range, id region, language mix) will break
+on regen. This generator produces the SAME schemas (FIXTURES.md §A,
+verified by parquet inspection) with a different seed and deliberately
+hostile distributions:
+
+- heavy value ties (stress the shared decile-rank edges of q259/q262
+  and every percentile/ntile query),
+- an English-heavy corpus where 2.5x total tokens exceeds the 1x/4x
+  caps (the q214 infeasible-budget regime from ADVICE r5),
+- one user holding ~30% of events (skew),
+- natural exact-duplicate and every-17th-word near-duplicate documents
+  (dedup queries must find real structure, not only their own plants),
+- doc_ids kept below the smallest planted-id offset (500000) per the
+  fixture invariant (tests/test_fixture_invariants.py).
+
+Usage: python tests/robustness/gen_alt_fixture.py <outdir> [seed] [scale]
+scale multiplies the sf0.001 row counts (default 1 => ~6k lineitem).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+WORDS = ("the fast key order sort table scan merge part window small hash join "
+         "stream customer data group filter row line batch value slow query spark "
+         "big cache disk spill plan code push prune broad shuffle skew salt range "
+         "bucket delta state event click view error signup purchase").split()
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def _sentence(rng: np.random.Generator, n: int) -> str:
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+def generate(outdir: str, seed: int = 7, scale: float = 1.0) -> None:
+    rng = np.random.default_rng(seed)
+    os.makedirs(outdir, exist_ok=True)
+
+    def write(name: str, table: pa.Table) -> None:
+        pq.write_table(table, os.path.join(outdir, name + ".parquet"))
+
+    # --- region / nation (fixed shape, same key domains as TPC-H-ish)
+    write("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array(REGIONS, pa.string()),
+    }))
+    write("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)], pa.string()),
+        "n_regionkey": pa.array((rng.permutation(25) % 5).astype("int32")),
+    }))
+
+    n_cust = int(150 * scale)
+    n_supp = max(10, int(10 * scale))
+    n_part = int(200 * scale)
+    n_ord = int(1500 * scale)
+    n_li = int(6000 * scale)
+    n_ev = int(1000 * scale)
+    n_doc = int(500 * scale)
+    n_emb = int(500 * scale)
+
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    write("customer", pa.table({
+        "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(1, n_cust + 1)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype("int32")),
+        # heavy ties: acctbal quantized to 50 distinct values
+        "c_acctbal": pa.array(np.round(rng.integers(-20, 200, n_cust) * 50.0, 2)),
+        "c_mktsegment": pa.array(rng.choice(segs, n_cust)),
+    }))
+
+    write("supplier", pa.table({
+        "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(1, n_supp + 1)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype("int32")),
+        "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_supp), 2)),
+    }))
+
+    brands = [f"Brand#{b}" for b in (10, 11, 12, 13, 14, 15, 21, 22, 23, 24, 25, 31, 32, 33, 34, 35)]
+    types = ["PROMO", "ECONOMY", "MEDIUM", "SMALL", "LARGE", "STANDARD"]
+    write("part", pa.table({
+        "p_partkey": pa.array(range(1, n_part + 1), pa.int64()),
+        "p_name": pa.array([_sentence(rng, 3) for _ in range(n_part)]),
+        "p_brand": pa.array(rng.choice(brands, n_part)),
+        "p_type": pa.array(rng.choice(types, n_part)),
+        "p_size": pa.array(rng.integers(1, 51, n_part).astype("int32")),
+        "p_retailprice": pa.array(np.round(900 + rng.integers(0, 40, n_part) * 25.0, 2)),
+    }))
+
+    # --- orders: same 1995..2001 span as seed-42 (the catalog's literal
+    # date predicates must stay selective, not vacuous), tied totals
+    statuses = np.array(["O", "F", "P"])
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    base = np.datetime64("1995-01-01", "us")
+    odate = base + (rng.integers(0, 2400, n_ord) * np.int64(86400_000_000)).astype("timedelta64[us]")
+    # skew: first customer takes ~10% of orders
+    ocust = rng.integers(1, n_cust + 1, n_ord)
+    ocust[: n_ord // 10] = 1
+    write("orders", pa.table({
+        "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
+        "o_custkey": pa.array(ocust, pa.int64()),
+        "o_orderstatus": pa.array(statuses[rng.integers(0, 3, n_ord)]),
+        "o_totalprice": pa.array(np.round(rng.integers(1, 400, n_ord) * 77.0 + 0.5, 2)),
+        "o_orderdate": pa.array(odate),
+        "o_orderpriority": pa.array(prios[rng.integers(0, 5, n_ord)]),
+    }))
+
+    lidate = base + (rng.integers(0, 2500, n_li) * np.int64(86400_000_000)).astype("timedelta64[us]")
+    write("lineitem", pa.table({
+        "l_orderkey": pa.array(rng.integers(1, n_ord + 1, n_li), pa.int64()),
+        "l_partkey": pa.array(rng.integers(1, n_part + 1, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(1, n_supp + 1, n_li), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, n_li).astype("int32")),
+        # ties: integer quantities over a NARROW domain (1..10)
+        "l_quantity": pa.array(rng.integers(1, 11, n_li).astype("float64")),
+        "l_extendedprice": pa.array(np.round(rng.integers(10, 1000, n_li) * 11.0, 2)),
+        "l_discount": pa.array(rng.integers(0, 11, n_li) / 100.0),
+        "l_tax": pa.array(rng.integers(0, 9, n_li) / 100.0),
+        "l_returnflag": pa.array(np.array(["N", "R", "A"])[rng.integers(0, 3, n_li)]),
+        "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
+        "l_shipdate": pa.array(lidate),
+    }))
+
+    # --- events: same Jan-2024 window (catalog cutoffs at Jan 10/15/16/20
+    # must split the data non-trivially), skewed user, tied values
+    ev_types = np.array(["view", "click", "purchase", "signup", "error"])
+    ebase = np.datetime64("2024-01-01T00:00:00", "us")
+    ets = ebase + rng.integers(0, 30 * 86400 * 10**6, n_ev).astype("timedelta64[us]")
+    users = rng.integers(0, 40, n_ev)
+    users[: int(n_ev * 0.3)] = 7  # hot key
+    write("events", pa.table({
+        "event_id": pa.array(range(1, n_ev + 1), pa.int64()),
+        "ts": pa.array(np.sort(ets)),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(ev_types[rng.integers(0, 5, n_ev)]),
+        "value": pa.array(np.round(rng.integers(0, 20, n_ev) * 12.5, 2)),
+        "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
+    }))
+
+    # --- documents: English-heavy (q214 infeasible regime), natural dups
+    langs = np.array(["en", "de", "fr", "es", "zh"])
+    lang_p = np.array([0.72, 0.07, 0.07, 0.07, 0.07])
+    texts, lang_col = [], []
+    for i in range(n_doc):
+        lang = str(rng.choice(langs, p=lang_p))
+        t = _sentence(rng, int(rng.integers(20, 120)))
+        texts.append(t)
+        lang_col.append(lang)
+    # exact duplicates: docs 10..19 copy docs 0..9
+    for j in range(10):
+        texts[10 + j] = texts[j]
+    # near-duplicates: docs 30..39 mutate every 17th word of docs 0..9
+    for j in range(10):
+        w = texts[j].split()
+        for p in range(0, len(w), 17):
+            w[p] = "zzz"
+        texts[30 + j] = " ".join(w)
+    write("documents", pa.table({
+        "doc_id": pa.array(range(n_doc), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(lang_col),
+        "source": pa.array([f"src{int(s)}" for s in rng.integers(0, 12, n_doc)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    # --- embeddings: 64-dim, clustered + exact-duplicate vectors
+    dim = 64
+    centers = rng.normal(0, 1, (10, dim))
+    labels = rng.integers(0, 10, n_emb)
+    vecs = centers[labels] + rng.normal(0, 0.3, (n_emb, dim))
+    vecs[20:25] = vecs[0:5]  # exact dup vectors
+    write("embeddings", pa.table({
+        "vec_id": pa.array(range(n_emb), pa.int64()),
+        "embedding": pa.array([v.astype("float32") for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels.astype("int32")),
+    }))
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_alt/sfA"
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    generate(out, seed, scale)
+    print("wrote", out)
