@@ -103,6 +103,7 @@ _PRIORITY = [
     # ^^^ exactly 50 entries above this line — the driver window.
     # --- also modified in r6 (r5 driver rows exist for most; re-earn
     # when the window allows)
+    "q219_fisher_dims",  # float32-product quantization fix (robustness sweep)
     "q152_rfm_segmentation",
     "q165_revenue_concentration",
     "q237_uplift_deciles",
@@ -195,7 +196,6 @@ _PRIORITY = [
     "q212_survivorship",
     "q213_backtest_smape",
     "q216_tokenizer_fertility",
-    "q219_fisher_dims",
     # --- r5-driver-green tail (freshest evidence, lowest priority)
     "q267_variant_rollup",
     "q266_recursive_hierarchy",
