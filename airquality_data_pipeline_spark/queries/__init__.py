@@ -12,7 +12,8 @@ q63/q117/q133 (changed in r5, never driver-checked in their current
 form), then the six queries modified in r6 (q148/q175/q196/q217
 fact-window rewrites, q130 k-scaling, q214 infeasible-budget fix) —
 exactly 50 entries. After the window prefix: the other r6-modified
-queries (q215/q229/q230/q234 offset derivation, q259/q262 shared-rank
+queries (q219 float32 fix, q166/q167/q191/q228 try_divide hardening,
+q215/q229/q230/q234 offset derivation, q259/q262 shared-rank
 bin edges, q268 RANGE frame), then the remaining never-driver-checked
 backlog oldest-first (drains across r7+), then the rest. The r5 window
 checked only the 50 newest additions (q218-q268 region); roughly 86
@@ -104,6 +105,12 @@ _PRIORITY = [
     # --- also modified in r6 (r5 driver rows exist for most; re-earn
     # when the window allows)
     "q219_fisher_dims",  # float32-product quantization fix (robustness sweep)
+    # try_divide hardening (robustness sweep: zero-variance / zero-
+    # conversion denominators NULL like the oracle instead of throwing)
+    "q166_series_correlation",
+    "q167_ab_test",
+    "q191_acf",
+    "q228_runs_test",
     "q152_rfm_segmentation",
     "q165_revenue_concentration",
     "q237_uplift_deciles",
@@ -149,8 +156,6 @@ _PRIORITY = [
     "q162_incremental_agg_merge",
     "q163_grouped_linear_trend",
     "q164_chi_square",
-    "q166_series_correlation",
-    "q167_ab_test",
     "q168_fulfillment_latency",
     "q169_bounce_rate",
     "q170_mom_growth",
@@ -173,7 +178,6 @@ _PRIORITY = [
     "q188_invoice_reconciliation",
     "q189_duplicate_payments",
     "q190_roc_auc",
-    "q191_acf",
     "q192_cusum_changepoint",
     "q193_survival_km",
     "q194_interval_union",
@@ -231,7 +235,6 @@ _PRIORITY = [
     "q231_srm_check",
     "q232_capping_sensitivity",
     "q227_mann_kendall",
-    "q228_runs_test",
     "q225_seasonal_decompose",
     "q226_burst_detection",
     "q222_poisson_bootstrap",

@@ -1940,11 +1940,13 @@ def q166_series_correlation(spark, sf_dir):
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
     deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    # try_divide: a zero-variance series (constant hourly volume) zeroes
+    # the denominator; DuckDB's x/0 is NULL, ANSI Spark's `/` throws.
     return s.select(
         "et_a",
         "et_b",
         "n",
-        F.round(num / (denx * deny), 6).alias("r"),
+        F.round(F.try_divide(num, denx * deny), 6).alias("r"),
     )
 
 
@@ -2029,13 +2031,18 @@ def q167_ab_test(spark, sf_dir):
     pp = (F.col("c0") + F.col("c1")).cast("double") / (
         F.col("n0") + F.col("n1")
     )
-    z = (p0 - p1) / F.sqrt(
-        pp
-        * (1 - pp)
-        * (
-            F.lit(1).cast("double") / F.col("n0")
-            + F.lit(1).cast("double") / F.col("n1")
-        )
+    # try_divide: pp*(1-pp) is 0 when nobody (or everybody) converts;
+    # DuckDB's x/0 is NULL, ANSI Spark's `/` throws.
+    z = F.try_divide(
+        p0 - p1,
+        F.sqrt(
+            pp
+            * (1 - pp)
+            * (
+                F.lit(1).cast("double") / F.col("n0")
+                + F.lit(1).cast("double") / F.col("n1")
+            )
+        ),
     )
     return wide.select(
         "n0",

@@ -184,7 +184,9 @@ def q191_acf(spark, sf_dir):
     return m.select(
         "lag",
         "n",
-        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
+        # try_divide: a zero-variance tail (constant series at this lag)
+        # zeroes the denominator; DuckDB's x/0 is NULL, ANSI `/` throws.
+        F.round(F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
     )
 
 

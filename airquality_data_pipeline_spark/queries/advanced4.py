@@ -1747,19 +1747,19 @@ def q228_runs_test(spark, sf_dir):
     )
     n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
     er = 2.0 * n1 * n2 / (n1 + n2) + 1
-    vr = (
-        2.0
-        * n1
-        * n2
-        * (2.0 * n1 * n2 - n1 - n2)
-        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))
+    # try_divide x2: a single off-median day makes n1+n2-1 = 0, and an
+    # all-one-sign series makes vr = 0; DuckDB's x/0 is NULL, ANSI
+    # Spark's `/` throws.
+    vr = F.try_divide(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2),
+        (n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1),
     )
     return agg.select(
         "r",
         "n1",
         "n2",
         F.round(er, 6).alias("expected_r"),
-        F.round((r - er) / F.sqrt(vr), 6).alias("z"),
+        F.round(F.try_divide(r - er, F.sqrt(vr)), 6).alias("z"),
     )
 
 

@@ -1,0 +1,108 @@
+"""Degenerate-denominator regression: statistics queries whose test
+statistic divides by a variance-like quantity must return NULL — not
+throw — when the data makes that quantity zero, and the NULL must agree
+with the DuckDB oracle (whose ``x / 0`` is NULL, vs ANSI Spark's ``/``
+which raises DIVIDE_BY_ZERO).
+
+Found by the alt-seed robustness sweep (tests/robustness/run_sweep.py):
+a seed-13 half-scale fixture produced a constant hourly series and blew
+up q166. This fixture engineers every such degeneracy at once:
+
+- every event-type pair's hourly volume series is constant except pairs
+  involving "click" -> q166 Pearson denominator 0 for non-click pairs;
+- two days of near-identical volume -> q191 ACF zero-variance tails and
+  q228 runs-test vr = 0 (n1 = n2 = 1 makes the numerator's
+  (2*n1*n2 - n1 - n2) factor vanish);
+- zero purchase events -> q167 pooled conversion pp = 0, z undefined.
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from airquality_data_pipeline_spark.queries import ORACLE, QUERIES
+from tests.oracle_utils import compare
+
+QUERY_NAMES = [
+    "q166_series_correlation",
+    "q167_ab_test",
+    "q191_acf",
+    "q228_runs_test",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("degenerate")
+    # 2 days x 2 hours; per hour one event of each non-purchase type, so
+    # every hourly pair series is (1,1,1,1); one extra click on day 2
+    # perturbs only click-pairs and makes the two daily totals differ
+    # by exactly one (one up day, one down day around the median).
+    types = ["view", "click", "signup", "error"]
+    rows = []
+    for day in (1, 2):
+        for hour in (9, 10):
+            for i, et in enumerate(types):
+                rows.append((f"2024-01-0{day}T{hour:02d}:{i:02d}:00", et))
+    rows.append(("2024-01-02T10:59:00", "click"))
+    ts = pa.array(
+        [np.datetime64(t, "us") for t, _ in rows], pa.timestamp("us")
+    )
+    n = len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(1, n + 1), pa.int64()),
+                "ts": ts,
+                "user_id": pa.array(
+                    [i % 7 + 1 for i in range(n)], pa.int64()
+                ),
+                "event_type": pa.array([et for _, et in rows]),
+                "value": pa.array([10.0] * n),
+                "props": pa.array([json.dumps({"k": 1})] * n),
+            }
+        ),
+        str(out / "events.parquet"),
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def degenerate_duck(degenerate_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{degenerate_dir}/events.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_degenerate_division_parity(name, spark, degenerate_dir, degenerate_duck):
+    df = QUERIES[name](spark, degenerate_dir)
+    rows = df.collect()  # would raise DIVIDE_BY_ZERO before the fix
+    assert rows, f"{name} returned no rows on the degenerate fixture"
+    problems = compare(df, degenerate_duck, ORACLE[name])
+    assert not problems, problems
+
+
+def test_degeneracy_actually_hit(spark, degenerate_dir):
+    """The fixture must produce at least one NULL statistic per query —
+    otherwise the parity assertions above prove nothing."""
+    nulls = {}
+    for name, col in [
+        ("q166_series_correlation", "r"),
+        ("q167_ab_test", "z"),
+        ("q191_acf", "acf"),
+        ("q228_runs_test", "z"),
+    ]:
+        rows = QUERIES[name](spark, degenerate_dir).collect()
+        nulls[name] = sum(1 for row in rows if row[col] is None)
+    assert all(v > 0 for v in nulls.values()), nulls
