@@ -1697,9 +1697,9 @@ def q162_incremental_agg_merge(spark, sf_dir):
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) + 0.0 AS slope,
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                 6) AS intercept
+                 6) + 0.0 AS intercept
     FROM s
     """,
 )
@@ -1728,10 +1728,11 @@ def q163_grouped_linear_trend(spark, sf_dir):
     return s.select(
         "event_type",
         "n",
-        F.round(slope, 8).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
+        (F.round(slope, 8) + F.lit(0.0)).alias("slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
     )
 
 
@@ -1912,7 +1913,8 @@ def q165_revenue_concentration(spark, sf_dir):
     SELECT et_a, et_b, n,
            round((n * sxy - sx * sy)
                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             + 0.0 AS r
     FROM s
     """,
 )
@@ -1946,7 +1948,7 @@ def q166_series_correlation(spark, sf_dir):
         "et_a",
         "et_b",
         "n",
-        F.round(F.try_divide(num, denx * deny), 6).alias("r"),
+        (F.round(F.try_divide(num, denx * deny), 6) + F.lit(0.0)).alias("r"),
     )
 
 
@@ -1991,7 +1993,7 @@ def q166_series_correlation(spark, sf_dir):
                  / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                         * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                         * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)),
-                 6) AS z,
+                 6) + 0.0 AS z,
            abs((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
                / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                       * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
@@ -2051,7 +2053,7 @@ def q167_ab_test(spark, sf_dir):
         "c1",
         F.round(p0, 6).alias("p0"),
         F.round(p1, 6).alias("p1"),
-        F.round(z, 6).alias("z"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
         (F.abs(z) < 1.96).alias("no_difference"),
     )
 
@@ -2199,7 +2201,7 @@ def q169_bounce_rate(spark, sf_dir):
                  ELSE (CAST(CAST(m AS VARCHAR) AS DOUBLE)
                        - CAST(CAST(lag(m) OVER w AS VARCHAR) AS DOUBLE))
                       / CAST(CAST(lag(m) OVER w AS VARCHAR) AS DOUBLE)
-                 END, 6) AS mom_growth
+                 END, 6) + 0.0 AS mom_growth
     FROM rev
     WINDOW w AS (PARTITION BY r_name ORDER BY month_ms)
     """,
@@ -2234,7 +2236,7 @@ def q170_mom_growth(spark, sf_dir):
         "r_name",
         "month_ms",
         cur.alias("revenue"),
-        F.round((cur - prev) / prev, 6).alias("mom_growth"),
+        (F.round((cur - prev) / prev, 6) + F.lit(0.0)).alias("mom_growth"),
     )
 
 
@@ -2930,7 +2932,7 @@ def q177_interevent_fit(spark, sf_dir):
       FROM expl GROUP BY dim
     )
     SELECT dim, n,
-           round(sx / n, 6) AS mean,
+           round(sx / n, 6) + 0.0 AS mean,
            round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std,
            sqrt((sxx - sx * sx / n) / (n - 1)) < 0.5 AS collapsed,
            abs(sx / n) > 0.1 AS biased
@@ -2969,7 +2971,7 @@ def q178_embedding_dim_stats(spark, sf_dir):
     return s.select(
         "dim",
         "n",
-        F.round(mean, 6).alias("mean"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean"),
         F.round(std, 6).alias("std"),
         (std < 0.5).alias("collapsed"),
         (F.abs(mean) > 0.1).alias("biased"),
@@ -3169,8 +3171,8 @@ def q180_join_cardinality(spark, sf_dir):
     )
     SELECT s.event_type,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(median(s.slope), 8) AS slope_per_hour,
-           round(median(s.slope) * 24, 6) AS slope_per_day
+           round(median(s.slope), 8) + 0.0 AS slope_per_hour,
+           round(median(s.slope) * 24, 6) + 0.0 AS slope_per_day
     FROM slopes s GROUP BY s.event_type
     """,
 )
@@ -3202,8 +3204,12 @@ def q181_theil_sen(spark, sf_dir):
     )
     return slopes.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.median("slope"), 8).alias("slope_per_hour"),
-        F.round(F.median("slope") * 24, 6).alias("slope_per_day"),
+        (F.round(F.median("slope"), 8) + F.lit(0.0)).alias(
+            "slope_per_hour"
+        ),
+        (F.round(F.median("slope") * 24, 6) + F.lit(0.0)).alias(
+            "slope_per_day"
+        ),
     )
 
 
@@ -3243,7 +3249,7 @@ def q181_theil_sen(spark, sf_dir):
     )
     SELECT p.tok_a, p.tok_b, p.c_ab, ua.c AS c_a, ub.c AS c_b,
            round(log2(CAST(p.c_ab AS DOUBLE) * t.n / (ua.c * ub.c)), 6)
-             AS pmi
+             + 0.0 AS pmi
     FROM pairs p
     JOIN uni ua ON p.tok_a = ua.tok
     JOIN uni ub ON p.tok_b = ub.tok
@@ -3291,13 +3297,16 @@ def q182_token_pmi(spark, sf_dir):
             "c_ab",
             "c_a",
             "c_b",
-            F.round(
-                F.log2(
-                    F.col("c_ab").cast("double")
-                    * F.col("n")
-                    / (F.col("c_a") * F.col("c_b"))
-                ),
-                6,
+            (
+                F.round(
+                    F.log2(
+                        F.col("c_ab").cast("double")
+                        * F.col("n")
+                        / (F.col("c_a") * F.col("c_b"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("pmi"),
         )
     )
@@ -3689,7 +3698,7 @@ def q186_funnel_latency(spark, sf_dir):
       FROM deltas WHERE d IS NOT NULL GROUP BY event_type
     )
     SELECT x.event_type, x.n,
-           round(x.sd / x.n, 6) AS mean_delta,
+           round(x.sd / x.n, 6) + 0.0 AS mean_delta,
            round(sqrt((x.sdd - x.sd * x.sd / x.n) / (x.n - 1)), 6)
              AS sigma_delta,
            CAST(SUM(CASE WHEN abs(dl.d - x.sd / x.n)
@@ -3733,7 +3742,7 @@ def q187_rate_change_alert(spark, sf_dir):
     ).select(
         "event_type",
         "n",
-        F.round(mean, 6).alias("mean_delta"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_delta"),
         F.round(sigma, 6).alias("sigma_delta"),
         "n_jumps",
     )

@@ -143,7 +143,8 @@ def q190_roc_auc(spark, sf_dir):
     SELECT lag, n,
            round(CAST(n * sxy - sx * sy AS DOUBLE)
                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             + 0.0 AS acf
     FROM m
     """,
 )
@@ -186,7 +187,10 @@ def q191_acf(spark, sf_dir):
         "n",
         # try_divide: a zero-variance tail (constant series at this lag)
         # zeroes the denominator; DuckDB's x/0 is NULL, ANSI `/` throws.
-        F.round(F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
+        (
+            F.round(F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 6)
+            + F.lit(0.0)
+        ).alias("acf"),
     )
 
 
@@ -236,7 +240,7 @@ def q191_acf(spark, sf_dir):
     )
     SELECT event_type, n AS n_days,
            date_diff('day', DATE '1970-01-01', d) AS chg_epoch_day,
-           round(s_t, 6) AS cusum_peak
+           round(s_t, 6) + 0.0 AS cusum_peak
     FROM r WHERE rk = 1
     """,
 )
@@ -273,7 +277,7 @@ def q192_cusum_changepoint(spark, sf_dir):
             "event_type",
             F.col("n").alias("n_days"),
             F.datediff("d", F.lit("1970-01-01")).alias("chg_epoch_day"),
-            F.round("s_t", 6).alias("cusum_peak"),
+            (F.round("s_t", 6) + F.lit(0.0)).alias("cusum_peak"),
         )
     )
 
@@ -856,19 +860,19 @@ def q199_calibration_bins(spark, sf_dir):
                   + s2 * (s1y * s12 - s11 * s2y))
                  / (n * (s11 * s22 - s12 * s12)
                     - s1 * (s1 * s22 - s12 * s2)
-                    + s2 * (s1 * s12 - s11 * s2)), 6) AS beta0,
+                    + s2 * (s1 * s12 - s11 * s2)), 6) + 0.0 AS beta0,
            round((n * (s1y * s22 - s2y * s12)
                   - sy * (s1 * s22 - s12 * s2)
                   + s2 * (s1 * s2y - s1y * s2))
                  / (n * (s11 * s22 - s12 * s12)
                     - s1 * (s1 * s22 - s12 * s2)
-                    + s2 * (s1 * s12 - s11 * s2)), 6) AS beta1,
+                    + s2 * (s1 * s12 - s11 * s2)), 6) + 0.0 AS beta1,
            round((n * (s11 * s2y - s12 * s1y)
                   - s1 * (s1 * s2y - s1y * s2)
                   + sy * (s1 * s12 - s11 * s2))
                  / (n * (s11 * s22 - s12 * s12)
                     - s1 * (s1 * s22 - s12 * s2)
-                    + s2 * (s1 * s12 - s11 * s2)), 6) AS beta2
+                    + s2 * (s1 * s12 - s11 * s2)), 6) + 0.0 AS beta2
     FROM m
     """,
 )
@@ -926,9 +930,9 @@ def q200_ols_two_feature(spark, sf_dir):
     )
     return m.select(
         n.cast("long").alias("n"),
-        F.round(d0 / det, 6).alias("beta0"),
-        F.round(d1 / det, 6).alias("beta1"),
-        F.round(d2 / det, 6).alias("beta2"),
+        (F.round(d0 / det, 6) + F.lit(0.0)).alias("beta0"),
+        (F.round(d1 / det, 6) + F.lit(0.0)).alias("beta1"),
+        (F.round(d2 / det, 6) + F.lit(0.0)).alias("beta2"),
     )
 
 
@@ -1531,7 +1535,7 @@ def q260_conformal_calibration(spark, sf_dir):
            round(CAST(g.tp AS DOUBLE) / g.n_pos, 6) AS tpr,
            round(CAST(g.fp AS DOUBLE) / (g.n - g.n_pos), 6) AS fpr,
            round(CAST(g.n_pred AS DOUBLE) / g.n - o.ppr_all, 6)
-             AS dp_gap,
+             + 0.0 AS dp_gap,
            round(abs(CAST(g.tp AS DOUBLE) / g.n_pos - o.tpr_all), 6)
              AS eo_tpr_gap,
            round(abs(CAST(g.fp AS DOUBLE) / (g.n - g.n_pos)
@@ -1578,9 +1582,13 @@ def q261_fairness_audit(spark, sf_dir):
         F.round(
             F.col("fp").cast("double") / (F.col("n") - F.col("n_pos")), 6
         ).alias("fpr"),
-        F.round(
-            F.col("n_pred").cast("double") / F.col("n") - F.col("ppr_all"),
-            6,
+        (
+            F.round(
+                F.col("n_pred").cast("double") / F.col("n")
+                - F.col("ppr_all"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("dp_gap"),
         F.round(
             F.abs(
@@ -1647,7 +1655,7 @@ def q261_fairness_audit(spark, sf_dir):
       FROM cnt, tot
     )
     SELECT CAST(bin AS BIGINT) AS bin, n_pos, n_neg,
-           round(ln(p / q), 6) AS woe,
+           round(ln(p / q), 6) + 0.0 AS woe,
            round((p - q) * ln(p / q), 6) AS iv_term,
            CAST(SUM(CAST(round((p - q) * ln(p / q), 6)
                          AS DECIMAL(18,6))) OVER () AS DOUBLE)
@@ -1701,7 +1709,7 @@ def q262_woe_iv(spark, sf_dir):
         F.col("bin").cast("long").alias("bin"),
         "n_pos",
         "n_neg",
-        F.round(woe, 6).alias("woe"),
+        (F.round(woe, 6) + F.lit(0.0)).alias("woe"),
         term.alias("iv_term"),
         F.sum(dec(term, 6))
         .over(_W.partitionBy())
@@ -1857,9 +1865,9 @@ def q263_oof_target_encoding(spark, sf_dir):
     )
     SELECT e.x AS stratum, e.n, e.n_t,
            round(e.prop, 6) AS propensity,
-           round(e.mu_t - e.mu_c, 6) AS stratum_gap,
-           round(i.s1 / i.n_events - i.s0 / i.n_events, 6) AS ipw_ate,
-           round(a.att, 6) AS stratified_att
+           round(e.mu_t - e.mu_c, 6) + 0.0 AS stratum_gap,
+           round(i.s1 / i.n_events - i.s0 / i.n_events, 6) + 0.0 AS ipw_ate,
+           round(a.att, 6) + 0.0 AS stratified_att
     FROM e, ipw i, att a
     """,
 )
@@ -1938,15 +1946,18 @@ def q264_causal_estimators(spark, sf_dir):
             "n",
             "n_t",
             F.round("prop", 6).alias("propensity"),
-            F.round(F.col("mu_t") - F.col("mu_c"), 6).alias(
-                "stratum_gap"
-            ),
-            F.round(
-                F.col("s1") / F.col("n_events")
-                - F.col("s0") / F.col("n_events"),
-                6,
+            (
+                F.round(F.col("mu_t") - F.col("mu_c"), 6) + F.lit(0.0)
+            ).alias("stratum_gap"),
+            (
+                F.round(
+                    F.col("s1") / F.col("n_events")
+                    - F.col("s0") / F.col("n_events"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("ipw_ate"),
-            F.round("att", 6).alias("stratified_att"),
+            (F.round("att", 6) + F.lit(0.0)).alias("stratified_att"),
         )
     )
 

@@ -1046,7 +1046,8 @@ def q220_cuped(spark, sf_dir):
            round(t_post, 6) AS treated_post,
            round(c_pre, 6) AS control_pre,
            round(c_post, 6) AS control_post,
-           round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+           round((t_post - t_pre) - (c_post - c_pre), 6)
+             + 0.0 AS did_estimate
     FROM wide
     """,
 )
@@ -1085,10 +1086,13 @@ def q221_diff_in_diff(spark, sf_dir):
         F.round("t_post", 6).alias("treated_post"),
         F.round("c_pre", 6).alias("control_pre"),
         F.round("c_post", 6).alias("control_post"),
-        F.round(
-            (F.col("t_post") - F.col("t_pre"))
-            - (F.col("c_post") - F.col("c_pre")),
-            6,
+        (
+            F.round(
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre")),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("did_estimate"),
     )
 
@@ -1420,8 +1424,8 @@ def q224_negative_sampling(spark, sf_dir):
       FROM det GROUP BY dow
     )
     SELECT det.d, det.v, round(det.trend, 6) AS trend,
-           round(s.seasonal, 6) AS seasonal,
-           round(CAST(det.dt AS DOUBLE) - s.seasonal, 6) AS residual
+           round(s.seasonal, 6) + 0.0 AS seasonal,
+           round(CAST(det.dt AS DOUBLE) - s.seasonal, 6) + 0.0 AS residual
     FROM det JOIN seas s ON det.dow = s.dow
     """,
 )
@@ -1453,13 +1457,18 @@ def q225_seasonal_decompose(spark, sf_dir):
         (F.sum("dt").cast("double") / F.count(F.lit(1))).alias("seasonal")
     )
     j = det.join(F.broadcast(seas), "dow")
+    # + 0.0 normalizes -0.0 -> 0.0: DuckDB's round keeps the sign of a
+    # tiny negative (-1e-14 -> -0.0) while Spark's round drops it; the
+    # signable components must normalize on BOTH engines (alt-seed
+    # sweep seed3 x0.25 caught the '-0.0' vs '0.0' hash split).
     return j.select(
         "d",
         "v",
         F.round("trend", 6).alias("trend"),
-        F.round("seasonal", 6).alias("seasonal"),
-        F.round(
-            F.col("dt").cast("double") - F.col("seasonal"), 6
+        (F.round("seasonal", 6) + F.lit(0.0)).alias("seasonal"),
+        (
+            F.round(F.col("dt").cast("double") - F.col("seasonal"), 6)
+            + F.lit(0.0)
         ).alias("residual"),
     )
 
@@ -1605,7 +1614,7 @@ def q226_burst_detection(spark, sf_dir):
              WHEN s.s_stat < 0 THEN (s.s_stat + 1)
                / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
                            - ties.tie_term AS DOUBLE) / 18)
-             ELSE 0.0 END, 6) AS z,
+             ELSE 0.0 END, 6) + 0.0 AS z,
            CASE WHEN s.s_stat > 0 THEN 'increasing'
                 WHEN s.s_stat < 0 THEN 'decreasing'
                 ELSE 'no_trend' END AS direction
@@ -1661,7 +1670,7 @@ def q227_mann_kendall(spark, sf_dir):
         "n",
         "s_stat",
         F.round(var18 / 18, 6).alias("var_s"),
-        F.round(z, 6).alias("z"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
         F.when(F.col("s_stat") > 0, "increasing")
         .when(F.col("s_stat") < 0, "decreasing")
         .otherwise("no_trend")
@@ -1709,7 +1718,7 @@ def q227_mann_kendall(spark, sf_dir):
            round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
                         / ((n1 + n2) * (n1 + n2) * 1.0
-                           * (n1 + n2 - 1))), 6) AS z
+                           * (n1 + n2 - 1))), 6) + 0.0 AS z
     FROM agg
     """,
 )
@@ -1759,7 +1768,9 @@ def q228_runs_test(spark, sf_dir):
         "n1",
         "n2",
         F.round(er, 6).alias("expected_r"),
-        F.round(F.try_divide(r - er, F.sqrt(vr)), 6).alias("z"),
+        (
+            F.round(F.try_divide(r - er, F.sqrt(vr)), 6) + F.lit(0.0)
+        ).alias("z"),
     )
 
 
@@ -1931,13 +1942,13 @@ def q232_capping_sensitivity(spark, sf_dir):
     SELECT decile, n_t, c_t, n_c, c_c,
            round(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
                  ELSE CAST(c_t AS DOUBLE) / n_t
-                      - CAST(c_c AS DOUBLE) / n_c END, 6) AS uplift,
+                      - CAST(c_c AS DOUBLE) / n_c END, 6) + 0.0 AS uplift,
            round(SUM(CASE WHEN n_t = 0 OR n_c = 0 THEN 0.0
                      ELSE CAST(c_t AS DOUBLE) / n_t
                           - CAST(c_c AS DOUBLE) / n_c END)
                  OVER (ORDER BY decile
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 6) AS cum_uplift
+                 6) + 0.0 AS cum_uplift
     FROM g
     """,
 )
@@ -1998,8 +2009,10 @@ def q237_uplift_deciles(spark, sf_dir):
         "c_t",
         "n_c",
         "c_c",
-        F.round(uplift, 6).alias("uplift"),
-        F.round(F.sum(uplift0).over(wc), 6).alias("cum_uplift"),
+        (F.round(uplift, 6) + F.lit(0.0)).alias("uplift"),
+        (
+            F.round(F.sum(uplift0).over(wc), 6) + F.lit(0.0)
+        ).alias("cum_uplift"),
     )
 
 
