@@ -46,12 +46,16 @@ def main() -> None:
     # warmup: JVM/JIT, codegen, parquet footer caches — one query per
     # input family (fact scan, text/regex+md5 path, vector-fold path,
     # 64-bit simhash band fold: its first compile costs ~8 s of pure
-    # codegen that otherwise lands on q117's reported time)
+    # codegen that otherwise lands on q117's reported time; the
+    # row-local minhash_sig_expr 16-fold likewise costs ~6 s of pure
+    # Janino compile — measured sf0.001 cold 6.9 s vs warm 1.1 s —
+    # that otherwise lands on q132 when the codegen cache evicts it)
     for warm in (
         "q01_pricing_summary",
         "q51_fingerprint",
         "q44_cosine_topk",
         "q117_simhash_neardup",
+        "q132_incremental_dedup",
     ):
         run_query(QUERIES[warm](spark, sf_dir))
 
