@@ -608,3 +608,74 @@ def product_quantize(
             F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias("recon_err"),
         )
     )
+
+
+def ivf_assign_matmul(
+    emb: DataFrame,
+    centroid_pred: Column,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Large-k IVF coarse quantizer: ivf_assign's contract (bucket =
+    max-cosine centroid, ties to the lowest cent_id) computed as an
+    Arrow-batched BLOCKED MATMUL instead of k inlined fold expressions.
+
+    ivf_assign's generated code grows linearly with k — fine to a few
+    hundred centroids (the registered queries' regime), uncompilable at
+    the k ~ sqrt(n) of a 100 TB corpus (10^4-10^5 centroids, the
+    SemDeDup/IVF regime PLANS.md flags). Here the prenormalized
+    centroid matrix ships once per executor as an explicit Spark
+    broadcast, and each Arrow batch does one (batch x d) @ (d x k)
+    BLAS call — the KMeansModel.transform shape: zero shuffles, work
+    linear in rows, centroid count bounded only by executor memory
+    (10^5 x 64 doubles = 51 MB).
+
+    Two deliberate differences from ivf_assign: sims are argmaxed
+    UNROUNDED (the fold path rounds to 6 decimals for DuckDB oracle
+    exactness; this scale path has no oracle — cent_sim is rounded on
+    output only), and all arithmetic is float64 end-to-end (the q219
+    float32-product lesson). Exact ties still break to the lowest
+    cent_id: centroid columns are laid out in id order and np.argmax
+    returns the first maximum.
+    """
+    import numpy as np
+
+    cents = (
+        _norm_projection(emb, vec_col, id_col).where(centroid_pred).collect()
+    )
+    cents.sort(key=lambda r: r.id)
+    if not cents:
+        raise ValueError("ivf_assign_matmul: centroid_pred matched no rows")
+    ct = (
+        np.asarray([list(r.v) for r in cents], dtype=np.float64)
+        / np.asarray([r.nrm for r in cents], dtype=np.float64)[:, None]
+    ).T  # d x k, prenormalized so the matmul yields cosine directly
+    cids = np.asarray([r.id for r in cents], dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((ct, cids))
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ct_, cids_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
+            s = (x @ ct_) / pdf["nrm"].to_numpy()[:, None]
+            j = _np.argmax(s, axis=1)
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "v": pdf["v"],
+                    "nrm": pdf["nrm"],
+                    "bucket": cids_[j],
+                    "cent_sim": _np.round(s[_np.arange(len(j)), j], 6),
+                }
+            )
+
+    return with_norm(emb, vec_col, id_col).mapInPandas(
+        assign,
+        schema="id long, v array<double>, nrm double, "
+        "bucket long, cent_sim double",
+    )

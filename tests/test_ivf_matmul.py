@@ -1,0 +1,102 @@
+"""ivf_assign_matmul (large-k blocked-matmul IVF assignment) vs the
+fold-expression ivf_assign: same contract, different execution shape.
+
+The fold path is the registered-query path (oracle-checked via
+q46/q104/q107/q130); the matmul path is the k ~ 10^4-10^5 scale
+variant PLANS.md flags. Contract pinned here: both report the same
+rounded max cosine for every row, and buckets agree except where the
+ROUNDED sims tie — the fold path argmaxes 6-decimal-rounded sims (a
+DuckDB-oracle-exactness artifact), the matmul path argmaxes raw
+float64 sims, so on a rounded tie the matmul may pick the truly-higher
+centroid (sf0.001 fixture vec 63 is such a tie). Exact raw ties break
+to the lowest cent_id on both paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.operators.similarity import (
+    ivf_assign,
+    ivf_assign_matmul,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from airquality_data_pipeline_spark.queries.common import table
+
+    return table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.mark.parametrize("k", [4, 32])
+def test_matmul_matches_fold_up_to_rounded_ties(emb, k):
+    pred = F.col("id") < k
+    fold = {
+        r.id: (r.bucket, r.cent_sim) for r in ivf_assign(emb, pred).collect()
+    }
+    mat = {
+        r.id: (r.bucket, r.cent_sim)
+        for r in ivf_assign_matmul(emb, pred).collect()
+    }
+    assert set(mat) == set(fold)
+    assert len(mat) == emb.count()
+    disagreements = 0
+    for vid, (fb, fs) in fold.items():
+        mb, ms = mat[vid]
+        # the reported max cosine must agree to the rounding quantum
+        # on every row (same winner value, whatever the winner id)
+        assert ms == pytest.approx(fs, abs=2e-6), (vid, fs, ms)
+        if mb != fb:
+            disagreements += 1
+            # bucket may differ ONLY on a rounded tie, and then the
+            # matmul's pick is the truly-higher (or equal) centroid —
+            # verify with an independent numpy cosine
+            import numpy as np
+
+            row = emb.where(F.col("vec_id") == vid).collect()[0]
+            cents = {
+                r.vec_id: r.embedding
+                for r in emb.where(F.col("vec_id") < k).collect()
+            }
+            v = np.asarray(row.embedding, dtype=np.float64)
+
+            def cos(c):
+                c = np.asarray(c, dtype=np.float64)
+                return float(
+                    v @ c / (np.linalg.norm(v) * np.linalg.norm(c))
+                )
+
+            assert round(cos(cents[mb]), 6) == round(cos(cents[fb]), 6)
+            assert cos(cents[mb]) >= cos(cents[fb])
+    # ties are the exception, not the rule
+    assert disagreements <= max(1, len(fold) // 100)
+
+
+def test_matmul_exact_ties_break_to_lowest_centroid_id(spark):
+    # centroids 0 and 1 are IDENTICAL vectors; every row must bucket
+    # to 0 (np.argmax first occurrence == the fold path's
+    # array_position first occurrence; centroid columns are in id
+    # order on both paths).
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0])] + [
+        (i, [1.0, float(i % 3) * 0.01]) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = ivf_assign_matmul(df, F.col("id") < 2).collect()
+    assert len(out) == 30
+    assert all(r.bucket == 0 for r in out)
+
+
+def test_matmul_empty_centroids_raise(emb):
+    with pytest.raises(ValueError):
+        ivf_assign_matmul(emb, F.col("id") < 0)
+
+
+def test_matmul_output_columns_match_fold(emb):
+    pred = F.col("id") < 4
+    assert (
+        ivf_assign_matmul(emb, pred).columns
+        == ivf_assign(emb, pred).columns
+    )
