@@ -12,10 +12,12 @@ q63/q117/q133 (changed in r5, never driver-checked in their current
 form), then the six queries modified in r6 (q148/q175/q196/q217
 fact-window rewrites, q130 k-scaling, q214 infeasible-budget fix) —
 exactly 50 entries. After the window prefix: the other r6-modified
-queries (q219 float32 fix, q166/q167/q191/q228 try_divide hardening,
-q215/q229/q230/q234 offset derivation, q259/q262 shared-rank
-bin edges, q268 RANGE frame), then the remaining never-driver-checked
-backlog oldest-first (drains across r7+), then the rest. The r5 window
+queries (q219 float32 fix; the degenerate-text/decimal-tie fixes
+q135/q163/q127/q132/q85/q164/q171/q178/q184/q225;
+q166/q167/q191/q228 try_divide hardening; q215/q229/q230/q234 offset
+derivation; q259/q262 shared-rank bin edges; q268 RANGE frame), then
+the remaining never-driver-checked backlog oldest-first (drains
+across r7+), then the rest. The r5 window
 checked only the 50 newest additions (q218-q268 region); roughly 86
 catalog queries still await a first driver row — all are locally
 parity-green at sf0.001/0.01/0.1 under the hostile replica
@@ -105,6 +107,19 @@ _PRIORITY = [
     # --- also modified in r6 (r5 driver rows exist for most; re-earn
     # when the window allows)
     "q219_fisher_dims",  # float32-product quantization fix (robustness sweep)
+    # degenerate-text + decimal-tie fixes (robustness sweep seed31/19:
+    # sequence(1,0) descending inference, EMPTY sentinel, zero-weight
+    # A-ES, CAST-to-DECIMAL tie hazard -> shared floor grid)
+    "q135_char_entropy",
+    "q163_grouped_linear_trend",
+    "q127_weighted_sample",
+    "q132_incremental_dedup",
+    "q85_doc_chunking",
+    "q164_chi_square",
+    "q171_anova_f",
+    "q178_embedding_dim_stats",
+    "q184_retention_halflife",
+    "q225_seasonal_decompose",
     # try_divide hardening (robustness sweep: zero-variance / zero-
     # conversion denominators NULL like the oracle instead of throwing)
     "q166_series_correlation",
@@ -122,13 +137,10 @@ _PRIORITY = [
     "q262_woe_iv",
     "q268_slo_burn_rate",
     # --- never-driver-checked backlog, oldest-first (drains r7+)
-    "q127_weighted_sample",
     "q128_unigram_crossentropy",
     "q129_containment",
     "q131_cms_heavy_hitters",
-    "q132_incremental_dedup",
     "q134_hll_shard_union",
-    "q135_char_entropy",
     "q136_bigram_crossentropy",
     "q137_split_ngram_leakage",
     "q138_containment_capped",

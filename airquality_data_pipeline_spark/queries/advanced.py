@@ -49,7 +49,11 @@ def q85_doc_chunking(spark, sf_dir):
     utc(spark)
     docs = table(spark, sf_dir, "documents")
     n_chunks = F.floor((F.length("text") - F.lit(1)) / F.lit(_STRIDE))
-    out = docs.select(
+    # length > 0 guard: an empty doc gives n_chunks = -1 and Spark's
+    # sequence(0, -1) infers a DESCENDING [0, -1] — two phantom chunks
+    # (chunk_idx -1, start_pos -149) — while DuckDB's
+    # generate_series(0, -1) is empty (alt-seed sweep catch)
+    out = docs.where(F.length("text") > 0).select(
         "doc_id",
         "text",
         F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("i"),

@@ -23,6 +23,7 @@ from airquality_data_pipeline_spark.functions.expr import let, materialize
 from airquality_data_pipeline_spark.operators.dedup import shingle_array
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    decq,
     table,
     utc,
 )
@@ -1688,12 +1689,18 @@ def q162_incremental_agg_merge(spark, sf_dir):
       FROM events CROSS JOIN anchor
     ),
     s AS (
+      -- x is CONTINUOUS (ms/3600000): quantize on the shared
+      -- floor(v*1e6 + 0.5) grid — CAST(double AS DECIMAL) tie handling
+      -- differs between engines (common.decq docstring; seed31 catch)
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS HUGEINT))
+                  AS VARCHAR) AS DOUBLE) / 1000000 AS sx,
              CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS HUGEINT))
+                  AS VARCHAR) AS DOUBLE) / 1000000 AS sxx,
+             CAST(CAST(SUM(CAST(floor(x * y * 1000000.0 + 0.5) AS HUGEINT))
+                  AS VARCHAR) AS DOUBLE) / 1000000 AS sxy
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
@@ -1717,10 +1724,16 @@ def q163_grouped_linear_trend(spark, sf_dir):
     )
     s = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec("x", 6)).cast("double").alias("sx"),
+        (F.sum(decq("x", 6)).cast("double") / F.lit(1e6)).alias("sx"),
         F.sum(dec("y", 6)).cast("double").alias("sy"),
-        F.sum(dec(F.col("x") * F.col("x"), 6)).cast("double").alias("sxx"),
-        F.sum(dec(F.col("x") * F.col("y"), 6)).cast("double").alias("sxy"),
+        (
+            F.sum(decq(F.col("x") * F.col("x"), 6)).cast("double")
+            / F.lit(1e6)
+        ).alias("sxx"),
+        (
+            F.sum(decq(F.col("x") * F.col("y"), 6)).cast("double")
+            / F.lit(1e6)
+        ).alias("sxy"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -1762,10 +1775,15 @@ def q163_grouped_linear_trend(spark, sf_dir):
       FROM obs JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN tot
     )
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
-           round(CAST(CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,8)))
-                           AS VARCHAR) AS DOUBLE), 6) AS chi2,
-           CAST(CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,8)))
-                     AS VARCHAR) AS DOUBLE) < 45.56 AS independent_995
+           -- floor grid, not CAST-to-DECIMAL: the term is continuous
+           -- (common.decq docstring)
+           round(CAST(CAST(SUM(CAST(floor((o - e) * (o - e) / e
+                                          * 100000000.0 + 0.5) AS HUGEINT))
+                           AS VARCHAR) AS DOUBLE) / 100000000, 6) AS chi2,
+           CAST(CAST(SUM(CAST(floor((o - e) * (o - e) / e
+                                    * 100000000.0 + 0.5) AS HUGEINT))
+                     AS VARCHAR) AS DOUBLE) / 100000000 < 45.56
+             AS independent_995
     FROM cells
     """,
 )
@@ -1790,7 +1808,7 @@ def q164_chi_square(spark, sf_dir):
         )
     )
     term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
-    chi2 = F.sum(dec(term, 8)).cast("double")
+    chi2 = F.sum(decq(term, 8)).cast("double") / F.lit(1e8)
     return cells.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.round(chi2, 6).alias("chi2"),
@@ -2269,12 +2287,14 @@ def q170_mom_growth(spark, sf_dir):
     ),
     parts AS (
       SELECT max(t.nn) AS nn, max(t.k) AS k,
-             CAST(CAST(SUM(CAST(g.s * g.s / g.n AS DECIMAL(18,6)))
-                       AS VARCHAR) AS DOUBLE)
+             -- floor grid: s*s/n is continuous (common.decq)
+             CAST(CAST(SUM(CAST(floor(g.s * g.s / g.n * 1000000.0 + 0.5)
+                                AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 1000000
                - max(t.gs) * max(t.gs) / max(t.nn) AS ssb,
              max(t.gss)
-               - CAST(CAST(SUM(CAST(g.s * g.s / g.n AS DECIMAL(18,6)))
-                           AS VARCHAR) AS DOUBLE) AS ssw
+               - CAST(CAST(SUM(CAST(floor(g.s * g.s / g.n * 1000000.0 + 0.5)
+                                    AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                 / 1000000 AS ssw
       FROM g CROSS JOIN tot t
     )
     SELECT nn, k,
@@ -2300,9 +2320,11 @@ def q171_anova_f(spark, sf_dir):
         F.count(F.lit(1)).alias("k"),
         F.sum(dec("s", 6)).cast("double").alias("gs"),
         F.sum(dec("ss", 6)).cast("double").alias("gss"),
-        F.sum(dec(F.col("s") * F.col("s") / F.col("n"), 6))
-        .cast("double")
-        .alias("between_raw"),
+        (
+            F.sum(decq(F.col("s") * F.col("s") / F.col("n"), 6))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("between_raw"),
     )
     ssb = F.col("between_raw") - F.col("gs") * F.col("gs") / F.col("nn")
     ssw = F.col("gss") - F.col("between_raw")
@@ -2924,11 +2946,13 @@ def q177_interevent_fit(spark, sf_dir):
       FROM base, UNNEST(generate_series(0, len(v) - 1)) AS g(i)
     ),
     s AS (
+      -- floor grid: embedding x is a generic double (common.decq)
       SELECT dim, CAST(count(*) AS BIGINT) AS n,
-             CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR)
-                  AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(x * x AS DECIMAL(18,8))) AS VARCHAR)
-                  AS DOUBLE) AS sxx
+             CAST(CAST(SUM(CAST(floor(x * 100000000.0 + 0.5) AS HUGEINT))
+                  AS VARCHAR) AS DOUBLE) / 100000000 AS sx,
+             CAST(CAST(SUM(CAST(floor(x * x * 100000000.0 + 0.5)
+                                AS HUGEINT))
+                  AS VARCHAR) AS DOUBLE) / 100000000 AS sxx
       FROM expl GROUP BY dim
     )
     SELECT dim, n,
@@ -2960,8 +2984,11 @@ def q178_embedding_dim_stats(spark, sf_dir):
     ).select(F.col("dim").cast("long").alias("dim"), "x")
     s = expl.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec("x", 8)).cast("double").alias("sx"),
-        F.sum(dec(F.col("x") * F.col("x"), 8)).cast("double").alias("sxx"),
+        (F.sum(decq("x", 8)).cast("double") / F.lit(1e8)).alias("sx"),
+        (
+            F.sum(decq(F.col("x") * F.col("x"), 8)).cast("double")
+            / F.lit(1e8)
+        ).alias("sxx"),
     )
     mean = F.col("sx") / F.col("n")
     std = F.sqrt(
@@ -3429,12 +3456,14 @@ def q183_benford_audit(spark, sf_dir):
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR)
                   AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(y AS DECIMAL(18,8))) AS VARCHAR)
-                  AS DOUBLE) AS sy,
+             -- floor grid for the ln-derived terms (common.decq)
+             CAST(CAST(SUM(CAST(floor(y * 100000000.0 + 0.5) AS HUGEINT))
+                  AS VARCHAR) AS DOUBLE) / 100000000 AS sy,
              CAST(CAST(SUM(CAST(x * x AS DECIMAL(18,8))) AS VARCHAR)
                   AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(x * y AS DECIMAL(18,8))) AS VARCHAR)
-                  AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(floor(x * y * 100000000.0 + 0.5)
+                                AS HUGEINT))
+                  AS VARCHAR) AS DOUBLE) / 100000000 AS sxy
       FROM pts
     )
     SELECT n, decay_b,
@@ -3490,9 +3519,12 @@ def q184_retention_halflife(spark, sf_dir):
     s = pts.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("x", 8)).cast("double").alias("sx"),
-        F.sum(dec("y", 8)).cast("double").alias("sy"),
+        (F.sum(decq("y", 8)).cast("double") / F.lit(1e8)).alias("sy"),
         F.sum(dec(F.col("x") * F.col("x"), 8)).cast("double").alias("sxx"),
-        F.sum(dec(F.col("x") * F.col("y"), 8)).cast("double").alias("sxy"),
+        (
+            F.sum(decq(F.col("x") * F.col("y"), 8)).cast("double")
+            / F.lit(1e8)
+        ).alias("sxy"),
     )
     b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

@@ -58,6 +58,37 @@ def dec(col: Column | str, scale: int = 6) -> Column:
     return c.cast(f"decimal(18,{scale})")
 
 
+def decq(col: Column | str, scale: int = 6) -> Column:
+    """Quantize a CONTINUOUS double to `scale` decimals on the shared
+    IEEE grid: floor(x * 10^scale + 0.5) as an exact DECIMAL(38,0)
+    scaled integer. Use this — not dec() — whenever the value carries
+    more precision than the quantum (time divisions, float products,
+    (o-e)^2/e terms, logs).
+
+    Why: `CAST(double AS DECIMAL)` disagrees between engines when
+    x*10^k sits within 1 ULP of a .5 boundary — Spark converts via
+    exact BigDecimal, DuckDB via scaled-float rounding (alt-seed sweep
+    seed31: q163's sx differed by 5 quanta, flipping the rounded
+    intercept). floor(x*1e6 + 0.5) is the SAME three IEEE ops on both
+    engines, so the grid cell is identical by construction. For
+    already-exact inputs (<= scale decimals) dec() is identity and
+    stays preferred (cheaper, keeps DECIMAL sums).
+
+    SQL twin: sql_decq(). Callers divide the summed integer by
+    10^scale at the end (one shared float op; VARCHAR-hop the decimal
+    sum on the DuckDB side per the >17-digit rule)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+
+
+def sql_decq(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of decq(): same floor(x*10^k + 0.5) grid, HUGEINT-
+    exact (cast the SUM through VARCHAR before any double use)."""
+    return f"CAST(floor(({expr}) * {10**scale}.0 + 0.5) AS HUGEINT)"
+
+
 def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
     """Order-independent double SUM (exact decimal accumulation)."""
     return F.sum(dec(col, scale)).cast("double").alias(alias)

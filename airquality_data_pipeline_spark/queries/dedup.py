@@ -311,11 +311,20 @@ def q71_neardup_components(spark, sf_dir):
 @register(
     "q63_ml_minhash_lsh",
     oracle="""
-    WITH corpus AS (
+    WITH shingleable AS (
+      -- 3-gram LSH is defined only for docs with >= 3 tokens: shorter
+      -- docs featurize to the all-zero vector, which Spark ML's
+      -- MinHashLSH rejects ('at least 1 non zero entry'); both engines
+      -- exclude them with this SAME predicate (alt-seed sweep catch)
       SELECT doc_id, text FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+        AND length(trim(text)) > 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM shingleable
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text
-      FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+      FROM (SELECT * FROM shingleable ORDER BY doc_id LIMIT 20)
     )
     SELECT a.doc_id AS id_a,
            b.doc_id AS id_b,
@@ -330,6 +339,13 @@ def q63_ml_minhash_lsh(spark, sf_dir):
     from pyspark.ml.functions import vector_to_array
 
     base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # sub-shingle docs (< 3 tokens) featurize to the all-zero vector,
+    # which MinHashLSH rejects; exclude them with the SAME predicate
+    # the oracle uses, BEFORE planting, so both corpora are identical
+    base = base.where(
+        (F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 3)
+        & (F.length(F.trim("text")) > 0)
+    )
     # bounded planted-dup set: 20 rows, deterministic; the limit's
     # single-partition gather is over 20 rows, never corpus-sized
     planted = (

@@ -25,7 +25,7 @@ from airquality_data_pipeline_spark.operators.similarity import (
     ivf_assign,
     planted_neardup_corpus,
 )
-from airquality_data_pipeline_spark.queries.common import table
+from airquality_data_pipeline_spark.queries.common import decq, table
 from airquality_data_pipeline_spark.queries.registry import register
 
 
@@ -75,7 +75,11 @@ def q127_weighted_sample(spark, sf_dir):
     # pulls the key toward 0). The key itself is float-log arithmetic,
     # so it ORDERS rows but is never emitted (cross-engine last-ulp
     # noise lives ~1e-16 below any plausible ranking tie).
-    key = F.log(_hash_unit(F.col("doc_id"))) / F.col("n_chars")
+    # try_divide: a zero-length doc has weight 0 — the A-ES limit puts
+    # it last (u^(1/w) -> 0). NULL keys sort last under DESC on both
+    # engines (DuckDB double x/0 is NULL and DESC defaults NULLS LAST),
+    # so the engines agree; ANSI `/` would throw instead.
+    key = F.try_divide(F.log(_hash_unit(F.col("doc_id"))), F.col("n_chars"))
     w = Window.partitionBy("source").orderBy(F.desc(key), F.asc("doc_id"))
     return (
         docs.select(
@@ -482,8 +486,12 @@ def _q132_oracle() -> str:
       FROM mh_long GROUP BY id
     ),
     labeled AS (
-      SELECT c.doc_id, c.grp, s.sig
-      FROM corpus c JOIN sig s ON c.doc_id = s.id
+      -- LEFT join + 'EMPTY' sentinel: sub-shingle docs (< 3 tokens)
+      -- have no signature rows; the Spark side's minhash_sig_expr
+      -- gives them the shared EMPTY sentinel (one degenerate cluster,
+      -- first-wins) and the oracle must do the same
+      SELECT c.doc_id, c.grp, COALESCE(s.sig, 'EMPTY') AS sig
+      FROM corpus c LEFT JOIN sig s ON c.doc_id = s.id
     ),
     seen AS (SELECT DISTINCT sig FROM labeled WHERE grp = 'seen'),
     incoming AS (
@@ -522,8 +530,11 @@ def q132_incremental_dedup(spark, sf_dir):
     corpus = base.unionByName(planted).select(
         "doc_id", "grp", minhash_sig_expr(F.col("text")).alias("sig")
     )
-    # fixture docs all shingle (>= 10 tokens); the EMPTY sentinel
-    # branch is covered by the streaming twin's short-doc test
+    # sub-shingle docs (< 3 tokens) share the EMPTY sentinel and
+    # collapse to one degenerate first-wins cluster on BOTH engines
+    # (the oracle's LEFT JOIN + COALESCE mirrors minhash_sig_expr);
+    # the streaming twin instead digest-qualifies short docs -- there
+    # suppression must not collapse distinct short docs (r4 advice)
     seen = corpus.where(F.col("grp") == "seen").select("sig").distinct()
     w = Window.partitionBy("sig").orderBy("doc_id")
     incoming = (
@@ -637,22 +648,29 @@ def q134_hll_shard_union(spark, sf_dir):
     ),
     n AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id),
     terms AS (
+      -- floor grid at 1e10: p*log2(p) is continuous (common.decq)
       SELECT counts.doc_id,
-             CAST(round((c / n::DOUBLE) * log2(c / n::DOUBLE), 10)
-                  AS DECIMAL(18,10)) AS term
+             CAST(floor((c / n::DOUBLE) * log2(c / n::DOUBLE)
+                        * 10000000000.0 + 0.5) AS HUGEINT) AS term
       FROM counts JOIN n ON counts.doc_id = n.doc_id
     )
     SELECT t.doc_id,
            CAST(n.n AS BIGINT) AS n_chars_counted,
-           round(CAST(-sum(t.term) AS DOUBLE), 6) AS entropy,
-           round(CAST(-sum(t.term) AS DOUBLE), 6) < 3.0 AS low_entropy
+           round(-(CAST(CAST(sum(t.term) AS VARCHAR) AS DOUBLE)
+                   / 10000000000), 6) + 0.0 AS entropy,
+           round(-(CAST(CAST(sum(t.term) AS VARCHAR) AS DOUBLE)
+                   / 10000000000), 6) + 0.0 < 3.0 AS low_entropy
     FROM terms t JOIN n ON t.doc_id = n.doc_id
     GROUP BY t.doc_id, n.n
     """,
 )
 def q135_char_entropy(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    chars = docs.select(
+    # length > 0 guard: Spark's sequence(1, 0) infers a DESCENDING
+    # step and yields [1, 0] — an empty doc would contribute two
+    # phantom empty-string chars (n=2, entropy 0) while DuckDB's
+    # range(1, 1) is empty and drops the doc (alt-seed sweep catch)
+    chars = docs.where(F.length("text") > 0).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -667,9 +685,13 @@ def q135_char_entropy(spark, sf_dir):
     terms = counts.join(n, "doc_id").select(
         "doc_id",
         "n",
-        F.round(p * F.log2(p), 10).cast("decimal(18,10)").alias("term"),
+        decq(p * F.log2(p), 10).alias("term"),
     )
-    ent = F.round((-F.sum("term")).cast("double"), 6)
+    # + 0.0 folds the -0.0 a zero-entropy doc's negated sum produces
+    ent = (
+        F.round(-(F.sum("term").cast("double") / F.lit(1e10)), 6)
+        + F.lit(0.0)
+    )
     return terms.groupBy("doc_id", "n").agg(
         ent.alias("entropy"),
         (ent < 3.0).alias("low_entropy"),

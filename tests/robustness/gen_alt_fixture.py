@@ -165,6 +165,19 @@ def generate(outdir: str, seed: int = 7, scale: float = 1.0) -> None:
         for p in range(0, len(w), 17):
             w[p] = "zzz"
         texts[30 + j] = " ".join(w)
+    # degenerate / hostile text shapes (docs 40..46): empty string,
+    # whitespace-only, below-shingle token counts (1 and 2 words),
+    # internal tabs/newlines/runs of spaces, unicode (accents, CJK,
+    # emoji). These stress trim/split(\s+)/shingle-EMPTY sentinel
+    # paths and any per-token or per-sentence denominator.
+    if n_doc > 46:
+        texts[40] = ""
+        texts[41] = "   \t  "
+        texts[42] = "single"
+        texts[43] = "two words"
+        texts[44] = "tab\tseparated  double  spaced\nnewline line"
+        texts[45] = "café naïve résumé Zürich façade coöperate"
+        texts[46] = "数据 处理 引擎 测试 🚀 emoji 混合 text"
     write("documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
         "text": pa.array(texts),
