@@ -166,24 +166,19 @@ _PRIORITY = [
     "q160_entry_paths",
     "q161_dq_audit",
     "q162_incremental_agg_merge",
-    "q163_grouped_linear_trend",
-    "q164_chi_square",
     "q168_fulfillment_latency",
     "q169_bounce_rate",
     "q170_mom_growth",
-    "q171_anova_f",
     "q172_knn_label_noise",
     "q173_grid_nn_join",
     "q174_time_travel_lookup",
     "q176_quantile_normalization",
     "q177_interevent_fit",
-    "q178_embedding_dim_stats",
     "q179_hub_detection",
     "q180_join_cardinality",
     "q181_theil_sen",
     "q182_token_pmi",
     "q183_benford_audit",
-    "q184_retention_halflife",
     "q185_weighted_median",
     "q186_funnel_latency",
     "q187_rate_change_alert",
@@ -247,7 +242,6 @@ _PRIORITY = [
     "q231_srm_check",
     "q232_capping_sensitivity",
     "q227_mann_kendall",
-    "q225_seasonal_decompose",
     "q226_burst_detection",
     "q222_poisson_bootstrap",
     "q223_cohort_ltv",

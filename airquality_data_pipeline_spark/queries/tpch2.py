@@ -499,6 +499,7 @@ def q247_disjunctive_revenue(spark, sf_dir):
              CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE p.p_name LIKE '%widget'
+        AND l.l_partkey IS NOT NULL AND l.l_suppkey IS NOT NULL
       GROUP BY 1, 2
     ),
     t AS (
@@ -524,8 +525,16 @@ def q248_dominant_widget_suppliers(spark, sf_dir):
         .where(F.col("p_name").like("%widget"))
         .select("p_partkey")
     )
+    # explicit isnotnull on BOTH keys in the shared subtree: the later
+    # suppkey join implies isnotnull(l_suppkey) on only one of sh's two
+    # references, which desyncs the branch filters and breaks AQE
+    # exchange reuse (the q244 lesson; surfaced again on an alt-stats
+    # fixture). Semantically a no-op (join keys are non-null).
     sh = (
         table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec("l_quantity", 2)).cast("double").alias("q"))
