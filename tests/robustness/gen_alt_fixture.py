@@ -192,6 +192,12 @@ def generate(outdir: str, seed: int = 7, scale: float = 1.0) -> None:
     labels = rng.integers(0, 10, n_emb)
     vecs = centers[labels] + rng.normal(0, 0.3, (n_emb, dim))
     vecs[20:25] = vecs[0:5]  # exact dup vectors
+    if n_emb > 30:
+        # degenerate-vector axis: zero-norm (cosine 0/0) and a
+        # tiny-magnitude vector (float32 underflow territory in
+        # norm/products)
+        vecs[26] = 0.0
+        vecs[27] = 1e-30
     write("embeddings", pa.table({
         "vec_id": pa.array(range(n_emb), pa.int64()),
         "embedding": pa.array([v.astype("float32") for v in vecs],

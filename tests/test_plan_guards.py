@@ -146,6 +146,57 @@ def test_catalog_wide_no_global_window_over_fact_scan(spark, sf_dir):
     )
 
 
+# Queries whose pre-AQE plan may contain a SortMergeJoin. Every entry
+# is a FACT-FACT keyed join where SMJ (or shuffled hash) is the correct
+# 100 TB strategy — there is no dimension side to broadcast:
+#   - LSH/banding candidate joins over fact-scale signature sets
+#     (q63/q112/q115/q120/q124/q172/q229/q230),
+#   - merges/diffs of two fact-scale batches (q26/q27/q93/q162),
+#   - full-outer over two fact tables (q81),
+#   - graph edge-edge joins (q157 triangles, q206 k-hop frontier),
+#   - retrieval postings joins over the fact-scale tf table
+#     (q254/q255).
+# At runtime AQE still converts any side that turns out small to a
+# broadcast. The set is identical at sf0.001 and sf0.01 (census r6).
+_SMJ_WHITELIST = {
+    "q112_jaccard_estimate",
+    "q115_ann_recall",
+    "q120_dedup_pipeline",
+    "q124_leakage_free_split",
+    "q157_triangle_count",
+    "q162_incremental_agg_merge",
+    "q172_knn_label_noise",
+    "q206_khop_reachability",
+    "q229_dedup_pr_harness",
+    "q230_band_threshold_sweep",
+    "q254_ndcg_at_10",
+    "q255_rrf_fusion",
+    "q26_greatest_merge",
+    "q27_coalesce_merge",
+    "q63_ml_minhash_lsh",
+    "q81_full_outer_join",
+    "q93_snapshot_diff",
+}
+
+
+def test_catalog_smj_only_on_fact_fact_whitelist(spark, sf_dir):
+    # Ratchet: a dimension join losing its broadcast (the silent
+    # regression class the TPC-H-batch guard pins for ten queries)
+    # now fails CATALOG-WIDE — any query newly planning a
+    # SortMergeJoin must be consciously added to the whitelist with a
+    # fact-fact justification. Plan-build only, no execution.
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" in plan and name not in _SMJ_WHITELIST:
+            offenders[name] = "SortMergeJoin outside the fact-fact whitelist"
+    assert not offenders, (
+        f"{offenders} — if the join is genuinely fact-fact, whitelist it "
+        "with a justification; if a dimension side regressed to SMJ, "
+        "restore the broadcast (see PLANS.md join-discipline census)"
+    )
+
+
 def test_catalog_wide_no_cartesian_or_rowwise_python(spark, sf_dir):
     # sweeping guard over EVERY registered query's physical plan:
     # no true cartesian product (broadcast nested-loop against bounded
