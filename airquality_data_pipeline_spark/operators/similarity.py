@@ -54,21 +54,37 @@ def _norm_projection(
 ) -> DataFrame:
     """with_norm's projection without the fan-out exchange — for
     bounded side-inputs (centroid seeds) where a full-corpus
-    repartition ahead of a pushed-down filter would be wasted."""
+    repartition ahead of a pushed-down filter would be wasted.
+
+    Zero-norm vectors are EXCLUDED: cosine is undefined for them, and
+    under ANSI mode the norm division would throw DIVIDE_BY_ZERO (the
+    r6 zero-vector sweep axis caught 12 queries). Same contract as the
+    MinHashLSH zero-vector filter; the predicate (sqrt of an IEEE dot
+    fold > 0) is computed identically by the DuckDB oracles' nested
+    `WHERE nrm > 0`. cosine() additionally uses try_divide — see its
+    docstring for why the filter alone is not a sound ANSI guard."""
     v = F.col(vec_col).cast("array<double>")
     out = df.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         F.sqrt(_dot(v, v)).alias("nrm"),
-    )
+    ).where(F.col("nrm") > 0)
     return out.persist() if persist else out
 
 
 def cosine(a_v: Column, a_n: Column, b_v: Column, b_n: Column, scale: int = 6) -> Column:
     """Rounded cosine similarity — rounding makes ranking/thresholding
     deterministic across engines (fold-order ULP noise is ~1e-16,
-    far below the 5e-7 grid)."""
-    return F.round(_dot(a_v, b_v) / (a_n * b_n), scale)
+    far below the 5e-7 grid).
+
+    try_divide, not `/`: zero-norm rows are excluded upstream
+    (_norm_projection), but Catalyst inlines this expression into
+    Filter predicates via project-collapsing and does NOT guarantee
+    the nrm > 0 conjunct evaluates first — under ANSI a speculative
+    evaluation on a to-be-filtered row would throw DIVIDE_BY_ZERO
+    (observed: q107's pushed-down window filter, r6 zero-vector
+    sweep). NULL only ever appears on rows the norm filter drops."""
+    return F.round(F.try_divide(_dot(a_v, b_v), a_n * b_n), scale)
 
 
 def cosine_topk(
@@ -353,16 +369,18 @@ def ivf_assign(
     sims = F.array(
         *[
             F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in c.v]),
-                        lambda a, b: a * b,
+                F.try_divide(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in c.v]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
                     ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("nrm") * F.lit(float(c.nrm))),
+                    F.col("nrm") * F.lit(float(c.nrm)),
+                ),
                 6,
             )
             for c in cents

@@ -1275,7 +1275,9 @@ def q158_snowflake_rollup(spark, sf_dir):
       FROM base WHERE vec_id % 5 = 0
     ),
     n AS (
-      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+      SELECT * FROM (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+      ) WHERE nrm > 0
     ),
     cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
     assigned AS (
@@ -2362,7 +2364,9 @@ def q171_anova_f(spark, sf_dir):
       SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
     ),
     n AS (
-      SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM base
+      SELECT * FROM (
+        SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM base
+      ) WHERE nrm > 0
     ),
     cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
               WHERE vec_id < greatest(8, CAST(floor(sqrt(

@@ -1320,7 +1320,7 @@ def q223_cohort_ltv(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
                  round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6)
                    DESC, n.vec_id) AS rank
-        FROM n, q WHERE n.vec_id <> q.qid
+        FROM n, q WHERE n.vec_id <> q.qid AND n.nrm > 0 AND q.qn > 0
       ) WHERE rank <= 3
     ),
     neg AS (

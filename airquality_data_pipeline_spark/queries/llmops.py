@@ -286,7 +286,9 @@ def q129_containment(spark, sf_dir):
       FROM base WHERE vec_id % 5 = 0
     ),
     n AS (
-      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+      SELECT * FROM (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+      ) WHERE nrm > 0
     ),
     cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
               WHERE vec_id < greatest(8, CAST(floor(sqrt(

@@ -408,7 +408,7 @@ def q217_curriculum_interleave(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
                  round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6)
                    DESC, n.vec_id) AS rank
-        FROM n, q WHERE n.vec_id <> q.qid
+        FROM n, q WHERE n.vec_id <> q.qid AND n.nrm > 0 AND q.qn > 0
       ) WHERE rank <= 5
     ),
     trunc_k AS (
@@ -417,7 +417,7 @@ def q217_curriculum_interleave(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
                  round(list_dot_product(q.qtv, n.tv) / (q.qtn * n.tnrm),
                        6) DESC, n.vec_id) AS rank
-        FROM n, q WHERE n.vec_id <> q.qid
+        FROM n, q WHERE n.vec_id <> q.qid AND n.tnrm > 0 AND q.qtn > 0
       ) WHERE rank <= 5
     )
     SELECT f.query_id,

@@ -20,12 +20,16 @@ from airquality_data_pipeline_spark.operators.similarity import (
 from airquality_data_pipeline_spark.queries.common import table
 from airquality_data_pipeline_spark.queries.registry import register
 
-# shared oracle CTE: vectors cast to double + L2 norms
+# shared oracle CTE: vectors cast to double + L2 norms. Zero-norm
+# vectors are excluded in lockstep with _norm_projection (cosine is
+# undefined for them; ANSI division would throw on the Spark side).
 _NORM_CTE = """
     n AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      SELECT * FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+      ) WHERE nrm > 0
     )
 """
 
@@ -96,7 +100,9 @@ def q44_cosine_topk(spark, sf_dir):
       FROM base WHERE vec_id % 5 = 0
     ),
     n AS (
-      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+      SELECT * FROM (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+      ) WHERE nrm > 0
     ),
     params AS (
       SELECT unnest(range(16)) AS j,
@@ -230,7 +236,9 @@ def q47_vector_lsh(spark, sf_dir):
     )
     SELECT vec_id, mn, mx,
            array_to_string(list_transform(v,
-             x -> CAST(round(((x - mn) / (mx - mn)) * 255) AS INTEGER)
+             x -> CASE WHEN mn = mx THEN 0
+                  ELSE CAST(round(((x - mn) / (mx - mn)) * 255) AS INTEGER)
+                  END
            ), ',') AS q8_csv
     FROM s
     """,
@@ -252,11 +260,14 @@ def q66_embedding_quantize(spark, sf_dir):
         "_e",
     )
     mn, mx = F.col("_e.mn"), F.col("_e.mx")
+    # constant vectors (mn = mx, e.g. all-zero) would divide by zero —
+    # the CASE short-circuits the range division on both engines and
+    # pins their code to 0
     q8_csv = F.array_join(
         F.transform(
             F.col("_e.v"),
-            lambda x: F.round(((x - mn) / (mx - mn)) * 255, 0)
-            .cast("int")
+            lambda x: F.when(mn == mx, F.lit(0))
+            .otherwise(F.round(((x - mn) / (mx - mn)) * 255, 0).cast("int"))
             .cast("string"),
         ),
         ",",
