@@ -337,64 +337,97 @@ def lsh_gated_neardup(
     )
 
 
-def ivf_assign(
+def sqrt_k_centroids(
     emb: DataFrame,
-    centroid_pred: Column,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    floor_k: int = 8,
+) -> DataFrame:
+    """Centroid seed frame with k = max(floor_k, floor(sqrt(n))) derived
+    INSIDE the plan (a 1-row count aggregate cross-joined into the seed
+    filter) — no driver-side `corpus.count()` job at plan build (r7
+    verdict item). floor(sqrt(CAST n AS DOUBLE)) is IEEE-identical on
+    Spark and DuckDB for any n < 2^52, so oracles pin the same k with
+    `greatest(floor_k, CAST(floor(sqrt(count(*))) AS BIGINT))`. Cost at
+    execution: one extra count scan of `emb` inside the (broadcast)
+    centroid subtree — at real scale k comes from table statistics or a
+    parameter instead; this helper exists for oracle-replicable
+    sqrt-scaled k."""
+    kframe = emb.agg(
+        F.greatest(
+            F.lit(floor_k).cast("long"),
+            F.floor(F.sqrt(F.count(F.lit(1)))).cast("long"),
+        ).alias("_k")
+    )
+    return (
+        _norm_projection(emb, vec_col, id_col)
+        .crossJoin(F.broadcast(kframe))
+        .where(F.col("id") < F.col("_k"))
+        .select("id", "v", "nrm")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroid_pred: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: centroid seed vectors are the rows matching
     centroid_pred (deterministic seed choice — one k-means round would
-    refine them; the bucketing mechanics are identical). Assigns every
-    vector to its max-cosine centroid ROW-LOCALLY: the k centroid
-    vectors are collected (bounded by construction — this is the
-    KMeansModel.transform pattern of broadcasting model state) and the
-    argmax is computed per row as array_position(sims, array_max(sims))
-    over k inlined dot products. r5: replaces the crossJoin +
-    Window.partitionBy(id) row_number shape, which shuffled and sorted
-    k x corpus rows just to pick each row's max — assignment now adds
-    ZERO shuffles, which q46/q104/q107/q115 inherit. Ties break to the
-    lowest cent_id (array_position returns the first occurrence;
-    centroids are scanned in id order), matching the old
-    ORDER BY c_sim DESC, cent_id ASC."""
-    cents = (
-        _norm_projection(emb, vec_col, id_col)
-        .where(centroid_pred)
-        .collect()
+    refine them; the bucketing mechanics are identical), or an explicit
+    `centroids` frame of (id, v, nrm) (e.g. sqrt_k_centroids). Assigns
+    every vector to its max-cosine centroid ROW-LOCALLY: the k centroid
+    rows fold into ONE sorted array<struct> row (the broadcast-model
+    state of KMeansModel.transform, expressed as a lazy aggregate), the
+    1-row frame broadcast-joins onto the corpus, and the argmax is
+    computed per row as array_position(sims, array_max(sims)) over a
+    transform() of k dot-product folds. r8: replaces the r5 shape that
+    `.collect()`ed the centroids and inlined them as literals — building
+    the plan now runs ZERO Spark jobs (r7 verdict: q130's plan-build
+    count() plus the centroid collects made `QUERIES[name](...)` eager),
+    and the HOF form scales past the ~1k-centroid expression-size limit
+    of the unrolled fold. Still zero shuffles on the corpus side, which
+    q46/q104/q107/q115 inherit. Arithmetic is expression-identical to
+    the literal form (same zip_with/aggregate fold order, same
+    round(try_divide, 6) grid). Ties break to the lowest cent_id
+    (sort_array orders the struct array by id; array_position returns
+    the first occurrence), matching ORDER BY c_sim DESC, cent_id ASC.
+    An empty centroid set yields NULL bucket/cent_sim for every row
+    (previously a build-time ValueError)."""
+    if centroids is None:
+        if centroid_pred is None:
+            raise ValueError("ivf_assign: pass centroid_pred or centroids")
+        centroids = _norm_projection(emb, vec_col, id_col).where(centroid_pred)
+    cents_row = centroids.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col("v"), F.col("nrm")))
+        ).alias("_cents")
     )
-    cents.sort(key=lambda r: r.id)
-    if not cents:
-        raise ValueError("ivf_assign: centroid_pred matched no rows")
     n = with_norm(emb, vec_col, id_col)
-    sims = F.array(
-        *[
-            F.round(
-                F.try_divide(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(float(x)) for x in c.v]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    F.col("nrm") * F.lit(float(c.nrm)),
-                ),
-                6,
-            )
-            for c in cents
-        ]
+    sims = F.transform(
+        F.col("_cents"),
+        lambda c: F.round(
+            F.try_divide(_dot(F.col("v"), c["v"]), F.col("nrm") * c["nrm"]),
+            6,
+        ),
     )
-    cent_ids = F.array(*[F.lit(c.id) for c in cents])
-    # bind the k-fold sims array once; the argmax reads it three times
-    scored = n.select("id", "v", "nrm", sims.alias("sims"))
+    # bind the k-fold sims array once (CollapseProject keeps non-cheap
+    # expressions unduplicated); the argmax reads it three times
+    scored = n.crossJoin(F.broadcast(cents_row)).select(
+        "id",
+        "v",
+        "nrm",
+        F.transform(F.col("_cents"), lambda c: c["id"]).alias("_cids"),
+        sims.alias("sims"),
+    )
     return scored.select(
         "id",
         "v",
         "nrm",
         F.element_at(
-            cent_ids,
+            F.col("_cids"),
             F.array_position(F.col("sims"), F.array_max("sims")).cast("int"),
         ).alias("bucket"),
         F.array_max("sims").alias("cent_sim"),

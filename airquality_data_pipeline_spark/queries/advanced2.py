@@ -2349,10 +2349,11 @@ def q171_anova_f(spark, sf_dir):
 # the pair term is bucket-local), majority neighbor label vs own
 # label, flag disagreements. Deterministic top-k via (cos desc, id
 # asc) ranking; majority via count desc + label asc argmax.
-# The cluster count SCALES WITH THE CORPUS (k = max(8, isqrt(n)), the
-# classic IVF k ~ sqrt(n) balance between row-local assignment cost
-# (linear in k) and per-bucket pair volume (n^2/k); one
-# count-star on the driver) so per-bucket density — and with it the
+# The cluster count SCALES WITH THE CORPUS (k = max(8, floor(sqrt(n))),
+# the classic IVF k ~ sqrt(n) balance between row-local assignment cost
+# (linear in k) and per-bucket pair volume (n^2/k); the count is an
+# in-plan aggregate, not a driver job) so per-bucket density — and with
+# it the
 # in-bucket pair term — stays constant as the corpus grows; a frozen k
 # measured 3.2x wall at 4x vectors (the q130 dial, here applied as the
 # registered default).
@@ -2417,15 +2418,15 @@ def q172_knn_label_noise(spark, sf_dir):
     from airquality_data_pipeline_spark.operators.similarity import (
         cosine,
         ivf_assign,
+        sqrt_k_centroids,
     )
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    import math
-
-    k = max(8, math.isqrt(emb.count()))
-    assigned = ivf_assign(emb, F.col("id") < k).join(
+    # k = max(8, floor(sqrt(n))) inside the plan — no plan-build count
+    # job (r7 verdict); oracle pins the identical formula.
+    assigned = ivf_assign(emb, centroids=sqrt_k_centroids(emb)).join(
         emb.select(F.col("vec_id").alias("id"), "label"), "id"
     )
     a = assigned.select(

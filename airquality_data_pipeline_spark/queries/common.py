@@ -29,6 +29,28 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Inferred-schema cache: without an explicit schema every
+# spark.read.parquet() runs a 1-task footer-read job AT PLAN BUILD,
+# which (a) makes QUERIES[name](spark, sf_dir) eager (r7 verdict:
+# plan construction must run zero Spark jobs) and (b) adds a fixed
+# per-query job to the bench loop. Fixtures are immutable within a
+# process (the driver regenerates them only between rounds), so the
+# first read of each (sf_dir, table) infers and caches; later reads
+# pass the schema explicitly and run no job.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
@@ -40,12 +62,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #     session-local timestamp (session is pinned UTC, so the wall
         #     clock is preserved and matches DuckDB's naive timestamps).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = _read_parquet(spark, sf_dir, "events")
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, sf_dir, name)
 
 
 def utc(spark: SparkSession) -> None:

@@ -318,12 +318,16 @@ def q129_containment(spark, sf_dir):
     """,
 )
 def q130_semdedup(spark, sf_dir):
-    import math
+    from airquality_data_pipeline_spark.operators.similarity import (
+        sqrt_k_centroids,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     corpus = planted_neardup_corpus(emb)
-    k = max(8, math.isqrt(corpus.count()))
-    assigned = ivf_assign(corpus, F.col("id") < k)
+    # k = max(8, floor(sqrt(n))) derived inside the plan (r7 verdict:
+    # the old math.isqrt(corpus.count()) ran a full-table count job at
+    # plan BUILD); the oracle pins the identical formula.
+    assigned = ivf_assign(corpus, centroids=sqrt_k_centroids(corpus))
     pairs = (
         assigned.alias("a")
         .join(

@@ -149,8 +149,14 @@ def test_catalog_wide_no_global_window_over_fact_scan(spark, sf_dir):
 # Queries whose pre-AQE plan may contain a SortMergeJoin. Every entry
 # is a FACT-FACT keyed join where SMJ (or shuffled hash) is the correct
 # 100 TB strategy — there is no dimension side to broadcast:
-#   - LSH/banding candidate joins over fact-scale signature sets
-#     (q63/q112/q115/q120/q124/q172/q229/q230),
+#   - LSH/banding/IVF-bucket candidate joins over fact-scale
+#     signature or assignment sets
+#     (q63/q112/q115/q120/q124/q130/q159/q172/q229/q230 — q130/q159's
+#     within-bucket pair self-joins planned as broadcast before r8
+#     only because the lazy-centroid subtree had no size estimate to
+#     shrink them; both sides are corpus-scale, so SMJ on the bucket
+#     key is the honest 100 TB strategy and AQE still broadcasts a
+#     side that turns out small),
 #   - merges/diffs of two fact-scale batches (q26/q27/q93/q162),
 #   - full-outer over two fact tables (q81),
 #   - graph edge-edge joins (q157 triangles, q206 k-hop frontier),
@@ -163,7 +169,9 @@ _SMJ_WHITELIST = {
     "q115_ann_recall",
     "q120_dedup_pipeline",
     "q124_leakage_free_split",
+    "q130_semdedup",
     "q157_triangle_count",
+    "q159_semantic_decontamination",
     "q162_incremental_agg_merge",
     "q172_knn_label_noise",
     "q206_khop_reachability",
@@ -216,3 +224,67 @@ def test_catalog_wide_no_cartesian_or_rowwise_python(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+# Queries whose PLAN BUILD legitimately runs bounded Spark jobs. Every
+# entry is a documented driver-side materialization, not an accident:
+#   - iterative fixed-point closures (connected components) must run
+#     their convergence loop to know the final plan (q71/q120/q124) —
+#     the per-iteration frames are localCheckpoint lineage cuts;
+#   - q149/q157 localCheckpoint a reused edge frame between unrolled
+#     iterations so the downstream plan doesn't re-derive it 3x;
+#   - q113 collects the benchmark's bloom bit positions into a fixed
+#     512 KiB bitmap broadcast (model-state collect, bounded by the
+#     benchmark's size, never by the train corpus).
+# Nothing else may run a job during QUERIES[name](spark, sf_dir): the
+# r7 verdict flagged q130's plan-build corpus.count() (now an in-plan
+# aggregate via sqrt_k_centroids) and the ivf_assign centroid collect
+# (now a lazy 1-row collect_list broadcast). Parquet schema inference
+# is cached per (sf_dir, table) in queries/common.py, so after the
+# warm-up below a table() call runs no footer-read job either.
+_EAGER_BUILD_WHITELIST = {
+    "q71_neardup_components",
+    "q113_bloom_decontamination",
+    "q120_dedup_pipeline",
+    "q124_leakage_free_split",
+    "q149_pagerank",
+    "q157_triangle_count",
+}
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_catalog_plan_build_runs_no_spark_jobs(spark, sf_dir):
+    # Building a query must be plan CONSTRUCTION, not execution: at
+    # 100 TB a driver-side count()/collect() at build time is a full
+    # job before the real query starts, and it makes the catalog's
+    # build loop (bench.py, this test file, the driver) eager.
+    from airquality_data_pipeline_spark.queries.common import table
+
+    for t in _TABLES:  # warm the parquet schema cache
+        table(spark, sf_dir, t)
+
+    sc = spark.sparkContext
+
+    def n_jobs() -> int:
+        # next-to-be-assigned job id == number of jobs submitted so far
+        return int(sc._jsc.sc().dagScheduler().nextJobId())
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in _EAGER_BUILD_WHITELIST:
+            continue
+        before = n_jobs()
+        fn(spark, sf_dir)
+        ran = n_jobs() - before
+        if ran:
+            offenders[name] = f"{ran} Spark job(s) at plan build"
+    assert not offenders, (
+        f"{offenders} — plan construction ran Spark jobs; move the "
+        "driver-side count()/collect() into the plan (in-plan scalar "
+        "aggregate / lazy collect_list broadcast) or whitelist with a "
+        "documented bounded-model-state justification"
+    )
