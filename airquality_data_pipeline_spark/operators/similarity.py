@@ -684,7 +684,8 @@ def ivf_assign_matmul(
     Two deliberate differences from ivf_assign: sims are argmaxed
     UNROUNDED (the fold path rounds to 6 decimals for DuckDB oracle
     exactness; this scale path has no oracle — cent_sim is rounded on
-    output only), and all arithmetic is float64 end-to-end (the q219
+    output only, on the SAME half-up 1e-6 grid as the fold path's
+    F.round), and all arithmetic is float64 end-to-end (the q219
     float32-product lesson). Exact ties still break to the lowest
     cent_id: centroid columns are laid out in id order and np.argmax
     returns the first maximum.
@@ -715,13 +716,21 @@ def ivf_assign_matmul(
             x = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
             s = (x @ ct_) / pdf["nrm"].to_numpy()[:, None]
             j = _np.argmax(s, axis=1)
+            top = s[_np.arange(len(j)), j]
+            # HALF_UP (away from zero) on the 1e-6 grid — the same
+            # convention as the fold path's F.round; np.round's
+            # half-to-even differed by one quantum at exact halves
+            # (r6 ADVICE item)
             yield _pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "v": pdf["v"],
                     "nrm": pdf["nrm"],
                     "bucket": cids_[j],
-                    "cent_sim": _np.round(s[_np.arange(len(j)), j], 6),
+                    "cent_sim": _np.trunc(
+                        top * 1e6 + _np.copysign(0.5, top)
+                    )
+                    / 1e6,
                 }
             )
 

@@ -128,6 +128,12 @@ def global_row_number(
     so order STATISTICS (k-th value) are deterministic even then.
     Adds `rn_col` (1-based global rank, BIGINT) and optionally
     `n_col` (total row count) to df's columns."""
+    clash = {"__pid", "__lrn", "__off", "__n"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            "global_row_number: input already carries reserved internal "
+            f"columns {sorted(clash)} — rename them first"
+        )
     local = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
@@ -244,6 +250,12 @@ def exact_decile_edges(
         F.broadcast(anchor),
         F.col("__cum") >= F.expr("(__i * __n + 9) div 10"),
     ).groupBy("__i").agg(F.min("__v").alias("__edge"))
+    # Always emit exactly 9 elements: for n >= 1 every decile rank has
+    # a hit (ceil(i*n/10) <= n), but on EMPTY input the hit join is
+    # empty and transform over the collected structs used to yield a
+    # 0-element array — consumers indexing element_at(qs, i) then threw
+    # under ANSI (r6 ADVICE item). F.get returns NULL out-of-bounds, so
+    # an empty input now yields [null x 9] instead.
     return (
         hit.groupBy()
         .agg(
@@ -252,8 +264,11 @@ def exact_decile_edges(
             ).alias("__s")
         )
         .select(
-            F.transform(F.col("__s"), lambda s: s["__edge"]).alias(
-                out_col
-            )
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), F.lit(9).cast("long")),
+                lambda i: F.get(
+                    F.filter(F.col("__s"), lambda s: s["__i"] == i), 0
+                )["__edge"],
+            ).alias(out_col)
         )
     )

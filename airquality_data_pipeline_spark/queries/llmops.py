@@ -492,11 +492,13 @@ def _q132_oracle() -> str:
       FROM mh_long GROUP BY id
     ),
     labeled AS (
-      -- LEFT join + 'EMPTY' sentinel: sub-shingle docs (< 3 tokens)
-      -- have no signature rows; the Spark side's minhash_sig_expr
-      -- gives them the shared EMPTY sentinel (one degenerate cluster,
-      -- first-wins) and the oracle must do the same
-      SELECT c.doc_id, c.grp, COALESCE(s.sig, 'EMPTY') AS sig
+      -- LEFT join + digest-qualified EMPTY sentinel: sub-shingle docs
+      -- (< 3 tokens) have no signature rows; like the STREAMING twin
+      -- (r6 ADVICE: batch and stream diverged — batch collapsed all
+      -- short docs into ONE degenerate cluster) they dedup on
+      -- 'EMPTY:' || md5(text), so only IDENTICAL short docs cluster
+      SELECT c.doc_id, c.grp,
+             COALESCE(s.sig, 'EMPTY:' || md5(c.text)) AS sig
       FROM corpus c LEFT JOIN sig s ON c.doc_id = s.id
     ),
     seen AS (SELECT DISTINCT sig FROM labeled WHERE grp = 'seen'),
@@ -533,14 +535,19 @@ def q132_incremental_dedup(spark, sf_dir):
         "text",
         F.lit("incoming").alias("grp"),
     )
+    raw_sig = minhash_sig_expr(F.col("text"))
+    # digest-qualify the sub-shingle (< 3 tokens) sentinel exactly like
+    # the streaming twin (streaming/jobs.py): distinct short docs must
+    # NOT collapse into one degenerate cluster — only byte-identical
+    # short docs dedup ('EMPTY:' || md5(text)); the oracle's LEFT JOIN
+    # + COALESCE mirrors this (r6 ADVICE: batch/stream divergence)
     corpus = base.unionByName(planted).select(
-        "doc_id", "grp", minhash_sig_expr(F.col("text")).alias("sig")
+        "doc_id",
+        "grp",
+        F.when(raw_sig != "EMPTY", raw_sig)
+        .otherwise(F.concat(F.lit("EMPTY:"), F.md5(F.col("text"))))
+        .alias("sig"),
     )
-    # sub-shingle docs (< 3 tokens) share the EMPTY sentinel and
-    # collapse to one degenerate first-wins cluster on BOTH engines
-    # (the oracle's LEFT JOIN + COALESCE mirrors minhash_sig_expr);
-    # the streaming twin instead digest-qualifies short docs -- there
-    # suppression must not collapse distinct short docs (r4 advice)
     seen = corpus.where(F.col("grp") == "seen").select("sig").distinct()
     w = Window.partitionBy("sig").orderBy("doc_id")
     incoming = (

@@ -73,6 +73,15 @@ def main() -> None:
     # 8.0 s in-bench vs 0.9 s isolated). Every-10 keeps the whole
     # tail under ~3.3 s. A cluster deployment never sees this — each
     # query is its own application.
+    # Outlier defense (r7 verdict): this host is shared, and driver-run
+    # benches have carried 5-11x host-load spikes on contiguous
+    # stretches (BENCH_r06 305.5 s vs 217.7 s clean; untouched q17
+    # 0.21 -> 2.26 s). min-of-2 can't tell "both runs co-scheduled
+    # under load" from a real regression, so when the two runs
+    # disagree by more than 2.5x the query gets a THIRD run and the
+    # min of all three is reported; the spread is logged to stderr so
+    # a post-hoc read of the driver log can attribute any remaining
+    # outlier to load rather than a plan change.
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for qi, name in enumerate(sorted(QUERIES)):
@@ -83,6 +92,16 @@ def main() -> None:
             start = time.perf_counter()
             run_query(QUERIES[name](spark, sf_dir))
             runs.append(round(time.perf_counter() - start, 3))
+        if max(runs) > 2.5 * min(runs):
+            start = time.perf_counter()
+            run_query(QUERIES[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - start, 3))
+            print(
+                f"bench: {name} run spread {runs} (>2.5x) — "
+                f"third run taken, reporting min {min(runs)}",
+                file=sys.stderr,
+                flush=True,
+            )
         all_runs[name] = runs
         timings[name] = min(runs)
 

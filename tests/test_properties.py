@@ -466,12 +466,19 @@ def test_fixture_ids_stay_below_plant_offsets():
     # only a fixture invariant can catch it). Checked over every
     # fixture SF present, no Spark needed.
     import glob
+    import os
 
     import duckdb
 
+    from tests.conftest import SF_DIR
+
     con = duckdb.connect()
-    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
-    assert sf_dirs, "no fixture dirs found"
+    # resolve the fixture ROOT from the configured sf_dir (r6 ADVICE:
+    # no hardcoded /root/testdata) so an alternative fixture tree is
+    # swept instead of silently checking the default one
+    root = os.path.dirname(SF_DIR.rstrip("/"))
+    sf_dirs = sorted(glob.glob(os.path.join(root, "sf*")))
+    assert sf_dirs, f"no fixture dirs found under {root}"
     for d in sf_dirs:
         (max_doc,) = con.execute(
             f"SELECT max(doc_id) FROM '{d}/documents.parquet'"

@@ -122,3 +122,26 @@ def test_exact_decile_edges_matches_order_statistic(spark, vals):
     n = len(svals)
     want = [svals[math.ceil(i * n / 10) - 1] for i in range(1, 10)]
     assert list(row.qs) == want
+
+
+def test_exact_decile_edges_empty_input_yields_nine_nulls(spark):
+    # r6 ADVICE: an empty input used to yield a 0-element array, so
+    # consumers doing element_at(qs, i) threw under ANSI. The frame
+    # stays 1-row with exactly 9 (null) edges.
+    df = spark.createDataFrame([], "v long")
+    [row] = exact_decile_edges(df, "v").collect()
+    assert list(row.qs) == [None] * 9
+
+
+def test_global_row_number_rejects_reserved_columns(spark):
+    # r6 ADVICE: silently mis-ranking when the input already carries
+    # the operator's internal columns — now an explicit error.
+    import pytest as _pytest
+
+    from airquality_data_pipeline_spark.operators.windows import (
+        global_row_number,
+    )
+
+    df = spark.range(5).select(F.col("id"), F.lit(1).alias("__pid"))
+    with _pytest.raises(ValueError, match="reserved internal"):
+        global_row_number(df, ["id"])
