@@ -7,16 +7,19 @@ Registration order is deliberate: the external driver checks a ~50-entry
 prefix of the catalog each round, so _PRIORITY below puts the queries
 that most need a fresh CORRECTNESS row first. Round-8 order (catalog
 growth frozen; the round-7 window duplicated round 6's, so the window
-rotates to the evidence debt): first the 10 queries modified in r6
-whose newest driver rows (r3/r5) predate their current code
+rotates to the evidence debt): first q79/q253, modified THIS round
+(all-ties axis zero-variance fixes), then the 10 queries modified in
+r6 whose newest driver rows (r3/r5) predate their current code
 (q85/q225/q228/q229/q230/q234/q237/q259/q262/q268 — decimal-tie /
-try_divide / offset-derivation / shared-rank-bin fixes), then the 15
-r6-modified queries never driver-checked (q219 float32 fix; the
-degenerate-text fixes q135/q163/q127/q132/q164/q171/q178/q184; the
-try_divide set q166/q167/q191/q152/q165; q215), then 25 of the
-never-driver-checked backlog oldest-first (q128..q158) — exactly 50
-entries. After the window prefix: the remaining 45 never-checked
-(q159..q216), then the driver-green tail oldest-evidence-first
+try_divide / offset-derivation / shared-rank-bin fixes; q229/q230's
+r6 change was a fixture-invariant TEST, their query code is unchanged
+since r5), then the 15 r6-modified queries never driver-checked (q219
+float32 fix; the degenerate-text fixes
+q135/q163/q127/q132/q164/q171/q178/q184; the try_divide set
+q166/q167/q191/q152/q165; q215), then 23 of the never-driver-checked
+backlog oldest-first (q128..q156) — exactly 50 entries. After the
+window prefix: the remaining 47 never-checked (q157..q216), then the
+driver-green tail oldest-evidence-first
 (r3, r4, r5, r7). All 263 queries are locally parity-green at
 sf0.001/0.01/0.1 under the hostile replica
 (tests/test_oracle_parity.py); the window exists purely to convert
@@ -47,8 +50,13 @@ from airquality_data_pipeline_spark.queries import llmops3  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
-    # --- round-8 window, part 1: the 10 r6-modified queries whose
-    # newest driver rows (r3/r5) predate their current code
+    # --- round-8 window, part 0: modified THIS round (all-ties
+    # robustness axis: zero-variance divisions moved to try_divide /
+    # guarded zone width) — their old driver rows predate the code
+    "q79_stat_aggs",
+    "q253_zone_map_skipping",
+    # --- part 1: the 10 r6-modified queries whose newest driver rows
+    # (r3/r5) predate their current code
     "q85_doc_chunking",
     "q225_seasonal_decompose",
     "q228_runs_test",
@@ -101,10 +109,10 @@ _PRIORITY = [
     "q154_winsorized_scaling",
     "q155_ohlc_bars",
     "q156_scd2_intervals",
-    "q157_triangle_count",
-    "q158_snowflake_rollup",
     # ^^^ exactly 50 entries above this line — the driver window.
     # --- remaining never-driver-checked backlog (drains r9+)
+    "q157_triangle_count",
+    "q158_snowflake_rollup",
     "q159_semantic_decontamination",
     "q160_entry_paths",
     "q161_dq_audit",
@@ -256,7 +264,6 @@ _PRIORITY = [
     "q250_dsir_selection",
     "q251_perplexity_terciles",
     "q252_bpe_pair_stats",
-    "q253_zone_map_skipping",
     "q254_ndcg_at_10",
     "q255_rrf_fusion",
     "q256_temperature_sampling",
@@ -302,7 +309,6 @@ _PRIORITY = [
     "q73_multi_exists",
     "q74_date_arithmetic",
     "q78_grouping_sets",
-    "q79_stat_aggs",
     "q81_full_outer_join",
     "q82_lateral_topk",
     "q84_month_spine",

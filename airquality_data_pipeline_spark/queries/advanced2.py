@@ -230,7 +230,11 @@ def q145_mad_outliers(spark, sf_dir):
         F.sum(F.when(dev > 3.5 * F.col("mad"), 1).otherwise(0))
         .cast("long")
         .alias("n_outliers"),
-        F.round(F.max(dev) / F.col("mad"), 6).alias("max_abs_z"),
+        # try_divide: mad = 0 when a group's values are all equal
+        # (all-ties robustness axis) — DuckDB's x/0 is NULL
+        F.round(F.try_divide(F.max(dev), F.col("mad")), 6).alias(
+            "max_abs_z"
+        ),
     ).select(
         "event_type",
         "n",
@@ -2335,10 +2339,16 @@ def q171_anova_f(spark, sf_dir):
         "k",
         F.round(ssb, 6).alias("ss_between"),
         F.round(ssw, 6).alias("ss_within"),
+        # try_divide: ssw = 0 (and ssb + ssw = 0) when every value is
+        # identical (all-ties robustness axis) — DuckDB yields NULL
         F.round(
-            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+            F.try_divide(
+                F.try_divide(ssb, (F.col("k") - 1).cast("double")),
+                F.try_divide(ssw, (F.col("nn") - F.col("k")).cast("double")),
+            ),
+            6,
         ).alias("f_stat"),
-        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+        F.round(F.try_divide(ssb, ssb + ssw), 6).alias("eta_squared"),
     )
 
 

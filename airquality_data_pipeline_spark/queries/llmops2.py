@@ -949,8 +949,12 @@ def q239_compaction_plan(spark, sf_dir):
       FROM events
       UNION ALL
       SELECT value, 'value_clustered' AS layout,
-             least(63, CAST(floor((value - vmin)
-                                  / ((vmax - vmin) / 64.0)) AS BIGINT))
+             -- degenerate range (all-ties axis): one zone, file 0 —
+             -- guards the /0 and avoids NULL-in-least ambiguity
+             CASE WHEN vmax > vmin
+                  THEN least(63, CAST(floor((value - vmin)
+                                       / ((vmax - vmin) / 64.0)) AS BIGINT))
+                  ELSE 0 END
       FROM events, stats
     ),
     zones AS (
@@ -983,13 +987,22 @@ def q253_zone_map_skipping(spark, sf_dir):
         ).cast("long")
         % 64
     )
-    clustered_file = F.least(
-        F.lit(63).cast("long"),
-        F.floor(
-            (F.col("value") - F.col("vmin"))
-            / ((F.col("vmax") - F.col("vmin")) / 64.0)
+    # try_divide + degenerate-range guard: vmax = vmin under the
+    # all-ties robustness axis — everything lands in one zone (file 0)
+    # on BOTH engines instead of an ANSI DIVIDE_BY_ZERO (Spark) vs a
+    # NULL-fed least() (DuckDB)
+    clustered_file = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.least(
+            F.lit(63).cast("long"),
+            F.floor(
+                F.try_divide(
+                    F.col("value") - F.col("vmin"),
+                    (F.col("vmax") - F.col("vmin")) / 64.0,
+                )
+            ),
         ),
-    )
+    ).otherwise(F.lit(0).cast("long"))
     assigned = (
         ev.crossJoin(F.broadcast(stats))
         .select(

@@ -102,9 +102,19 @@ def q79_stat_aggs(spark, sf_dir):
     def q(c, alias):
         return c.cast("decimal(18,12)").cast("double").alias(alias)
 
+    # corr as try_divide(covar_pop, sdp_x * sdp_y), NOT F.corr: Spark's
+    # fused Corr divides by sqrt(xMk*yMk) and THROWS under ANSI when
+    # either variance is 0 (all-ties robustness axis: constant
+    # l_quantity), while DuckDB's corr yields NULL. The explicit form
+    # is the same statistic off the degenerate case (moment drift is
+    # absorbed by the DECIMAL(18,12) quantize) and NULL on it.
+    corr = F.try_divide(
+        F.covar_pop("l_extendedprice", "l_quantity"),
+        F.stddev_pop("l_extendedprice") * F.stddev_pop("l_quantity"),
+    )
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        q(F.corr("l_extendedprice", "l_quantity"), "corr_qty_price"),
+        q(corr, "corr_qty_price"),
         q(F.stddev_samp("l_discount"), "sd_disc"),
         q(F.stddev_pop("l_discount"), "sdp_disc"),
         q(F.var_samp("l_discount"), "var_disc"),

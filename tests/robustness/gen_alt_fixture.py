@@ -42,7 +42,23 @@ def _sentence(rng: np.random.Generator, n: int) -> str:
     return " ".join(rng.choice(WORDS, size=n))
 
 
-def generate(outdir: str, seed: int = 7, scale: float = 1.0) -> None:
+def generate(
+    outdir: str, seed: int = 7, scale: float = 1.0, axis: str | None = None
+) -> None:
+    """axis selects an EXTRA hostile distribution on top of the base
+    hostile shapes (r7 brief):
+      - "all_ties": every continuous value column collapses to ONE
+        constant (events.value, l_quantity, l_extendedprice grid,
+        c_acctbal, o_totalprice) — stresses decile/ntile edges on a
+        1-value domain, zero-variance denominators (try_divide NULL
+        paths), correlation/trend statistics, and any ORDER BY whose
+        tie-break must be deterministic.
+      - "single_lang": the whole corpus is one language — language
+        mixtures/temperature sampling (q100/q144/q214) degenerate to a
+        single group; per-language shares must come out exactly 1.
+    """
+    if axis not in (None, "all_ties", "single_lang"):
+        raise ValueError(f"unknown axis {axis!r}")
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
 
@@ -75,7 +91,12 @@ def generate(outdir: str, seed: int = 7, scale: float = 1.0) -> None:
         "c_name": pa.array([f"Customer#{i:09d}" for i in range(1, n_cust + 1)]),
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype("int32")),
         # heavy ties: acctbal quantized to 50 distinct values
-        "c_acctbal": pa.array(np.round(rng.integers(-20, 200, n_cust) * 50.0, 2)),
+        # (all_ties axis: ONE value)
+        "c_acctbal": pa.array(
+            np.full(n_cust, 1250.0)
+            if axis == "all_ties"
+            else np.round(rng.integers(-20, 200, n_cust) * 50.0, 2)
+        ),
         "c_mktsegment": pa.array(rng.choice(segs, n_cust)),
     }))
 
@@ -110,7 +131,11 @@ def generate(outdir: str, seed: int = 7, scale: float = 1.0) -> None:
         "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
         "o_custkey": pa.array(ocust, pa.int64()),
         "o_orderstatus": pa.array(statuses[rng.integers(0, 3, n_ord)]),
-        "o_totalprice": pa.array(np.round(rng.integers(1, 400, n_ord) * 77.0 + 0.5, 2)),
+        "o_totalprice": pa.array(
+            np.full(n_ord, 5000.5)
+            if axis == "all_ties"
+            else np.round(rng.integers(1, 400, n_ord) * 77.0 + 0.5, 2)
+        ),
         "o_orderdate": pa.array(odate),
         "o_orderpriority": pa.array(prios[rng.integers(0, 5, n_ord)]),
     }))
@@ -121,9 +146,18 @@ def generate(outdir: str, seed: int = 7, scale: float = 1.0) -> None:
         "l_partkey": pa.array(rng.integers(1, n_part + 1, n_li), pa.int64()),
         "l_suppkey": pa.array(rng.integers(1, n_supp + 1, n_li), pa.int64()),
         "l_linenumber": pa.array(rng.integers(1, 8, n_li).astype("int32")),
-        # ties: integer quantities over a NARROW domain (1..10)
-        "l_quantity": pa.array(rng.integers(1, 11, n_li).astype("float64")),
-        "l_extendedprice": pa.array(np.round(rng.integers(10, 1000, n_li) * 11.0, 2)),
+        # ties: integer quantities over a NARROW domain (1..10);
+        # all_ties axis: the whole column is ONE value
+        "l_quantity": pa.array(
+            np.full(n_li, 5.0)
+            if axis == "all_ties"
+            else rng.integers(1, 11, n_li).astype("float64")
+        ),
+        "l_extendedprice": pa.array(
+            np.full(n_li, 1100.0)
+            if axis == "all_ties"
+            else np.round(rng.integers(10, 1000, n_li) * 11.0, 2)
+        ),
         "l_discount": pa.array(rng.integers(0, 11, n_li) / 100.0),
         "l_tax": pa.array(rng.integers(0, 9, n_li) / 100.0),
         "l_returnflag": pa.array(np.array(["N", "R", "A"])[rng.integers(0, 3, n_li)]),
@@ -143,13 +177,19 @@ def generate(outdir: str, seed: int = 7, scale: float = 1.0) -> None:
         "ts": pa.array(np.sort(ets)),
         "user_id": pa.array(users, pa.int64()),
         "event_type": pa.array(ev_types[rng.integers(0, 5, n_ev)]),
-        "value": pa.array(np.round(rng.integers(0, 20, n_ev) * 12.5, 2)),
+        "value": pa.array(
+            np.full(n_ev, 12.5)
+            if axis == "all_ties"
+            else np.round(rng.integers(0, 20, n_ev) * 12.5, 2)
+        ),
         "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
     }))
 
     # --- documents: English-heavy (q214 infeasible regime), natural dups
     langs = np.array(["en", "de", "fr", "es", "zh"])
     lang_p = np.array([0.72, 0.07, 0.07, 0.07, 0.07])
+    if axis == "single_lang":
+        lang_p = np.array([1.0, 0.0, 0.0, 0.0, 0.0])
     texts, lang_col = [], []
     for i in range(n_doc):
         lang = str(rng.choice(langs, p=lang_p))
@@ -210,5 +250,6 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_alt/sfA"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
     scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
-    generate(out, seed, scale)
+    axis = sys.argv[4] if len(sys.argv) > 4 else None
+    generate(out, seed, scale, axis)
     print("wrote", out)

@@ -32,14 +32,13 @@ TABLES = [
 ]
 
 
-def main(seed: int = 7, scale: float = 1.0) -> int:
+def main(seed: int = 7, scale: float = 1.0, axis: str | None = None) -> int:
     sys.path.insert(0, REPO)
     from tests.robustness.gen_alt_fixture import generate
 
-    sfdir = os.path.join(
-        tempfile.gettempdir(), "testdata_alt", f"seed{seed}_x{scale:g}"
-    )
-    generate(sfdir, seed, scale)
+    tag = f"seed{seed}_x{scale:g}" + (f"_{axis}" if axis else "")
+    sfdir = os.path.join(tempfile.gettempdir(), "testdata_alt", tag)
+    generate(sfdir, seed, scale, axis)
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
@@ -88,7 +87,7 @@ def main(seed: int = 7, scale: float = 1.0) -> int:
         print("ROWS-ONLY EMPTIES:", empties)
     verdict = "ALL MATCH" if fails == 0 else f"{fails} FAILURES"
     print(
-        f"RESULT seed={seed} scale={scale:g}: {verdict} "
+        f"RESULT seed={seed} scale={scale:g} axis={axis}: {verdict} "
         f"({time.time() - t0:.0f}s, {len(qs)} queries)"
     )
     return fails
@@ -97,4 +96,5 @@ def main(seed: int = 7, scale: float = 1.0) -> int:
 if __name__ == "__main__":
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
-    raise SystemExit(main(seed, scale))
+    axis = sys.argv[3] if len(sys.argv) > 3 else None
+    raise SystemExit(main(seed, scale, axis))

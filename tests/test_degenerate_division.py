@@ -14,6 +14,14 @@ up q166. This fixture engineers every such degeneracy at once:
   q228 runs-test vr = 0 (n1 = n2 = 1 makes the numerator's
   (2*n1*n2 - n1 - n2) factor vanish);
 - zero purchase events -> q167 pooled conversion pp = 0, z undefined.
+
+The r8 all-ties sweep axis added four more zero-variance victims, all
+pinned here on the same fixture (events.value is constant 10.0, and a
+constant-l_quantity lineitem is written alongside): q79's corr (Spark's
+fused Corr THROWS under ANSI at zero variance -- re-expressed as
+try_divide(covar_pop, sdp*sdp)), q145's max|z| (mad = 0), q171's
+F-statistic and eta-squared (ssw = ssb = 0), and q253's zone width
+(vmax = vmin -> one zone, file 0, on both engines).
 """
 from __future__ import annotations
 
@@ -32,6 +40,10 @@ QUERY_NAMES = [
     "q167_ab_test",
     "q191_acf",
     "q228_runs_test",
+    "q79_stat_aggs",
+    "q145_mad_outliers",
+    "q171_anova_f",
+    "q253_zone_map_skipping",
 ]
 
 
@@ -68,6 +80,31 @@ def degenerate_dir(tmp_path_factory):
         ),
         str(out / "events.parquet"),
     )
+    # constant-quantity lineitem: q79's corr denominator is 0
+    n_li = 12
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(1, n_li + 1), pa.int64()),
+                "l_partkey": pa.array([1] * n_li, pa.int64()),
+                "l_suppkey": pa.array([1] * n_li, pa.int64()),
+                "l_linenumber": pa.array([1] * n_li, pa.int32()),
+                "l_quantity": pa.array([5.0] * n_li),
+                "l_extendedprice": pa.array(
+                    [100.0 + 7.0 * i for i in range(n_li)]
+                ),
+                "l_discount": pa.array([0.01 * (i % 4) for i in range(n_li)]),
+                "l_tax": pa.array([0.02] * n_li),
+                "l_returnflag": pa.array(["N", "R", "A"] * (n_li // 3)),
+                "l_linestatus": pa.array(["O", "F"] * (n_li // 2)),
+                "l_shipdate": pa.array(
+                    [np.datetime64("1996-03-01", "us")] * n_li,
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(out / "lineitem.parquet"),
+    )
     return str(out)
 
 
@@ -76,10 +113,11 @@ def degenerate_duck(degenerate_dir):
     import duckdb
 
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"'{degenerate_dir}/events.parquet'"
-    )
+    for t in ("events", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{degenerate_dir}/{t}.parquet'"
+        )
     yield con
     con.close()
 
@@ -102,7 +140,19 @@ def test_degeneracy_actually_hit(spark, degenerate_dir):
         ("q167_ab_test", "z"),
         ("q191_acf", "acf"),
         ("q228_runs_test", "z"),
+        ("q79_stat_aggs", "corr_qty_price"),
+        ("q145_mad_outliers", "max_abs_z"),
+        ("q171_anova_f", "f_stat"),
     ]:
         rows = QUERIES[name](spark, degenerate_dir).collect()
         nulls[name] = sum(1 for row in rows if row[col] is None)
     assert all(v > 0 for v in nulls.values()), nulls
+    # q253's degeneracy is NULL-free by design: a zero value range must
+    # collapse the clustered layout to exactly one zone (file 0)
+    zones = {
+        row.layout: row.n_files
+        for row in QUERIES["q253_zone_map_skipping"](
+            spark, degenerate_dir
+        ).collect()
+    }
+    assert zones["value_clustered"] == 1, zones
