@@ -476,15 +476,30 @@ def kmeans_step(
         F.sum(F.col("cent_sim").cast("decimal(18,6)")).alias("sum_sim"),
         F.count(F.lit(1)).alias("n"),
     )
-    m = F.round("mean_val", 6).cast("decimal(18,6)")
+    # shared floor(x*1e6 + 0.5) grid, NOT round(): mean_val and the
+    # mean cosine are CONTINUOUS double ratios, and Spark's
+    # BigDecimal-exact round vs DuckDB's scaled-float round diverge by
+    # one quantum when x*1e6 sits within ~1 ULP of a .5 boundary
+    # (minimal-scale sweep catch: new_centroid_norm 7.799393 vs
+    # 7.799392 — the common.decq tie class). The grid is the same
+    # three IEEE ops on both engines by construction.
+    m = F.floor(F.col("mean_val") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     at0 = lambda c: F.max(F.when(F.col("dim") == 0, c))  # noqa: E731
     return per_dim.groupBy("bucket").agg(
         at0(F.col("n")).alias("n_vectors"),
-        F.round(at0(F.col("sum_sim")).cast("double") / at0(F.col("n")), 6).alias(
-            "mean_cent_sim"
-        ),
+        (
+            F.floor(
+                at0(F.col("sum_sim")).cast("double")
+                / at0(F.col("n"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_cent_sim"),
         F.round(
-            F.sqrt(F.sum(m * m).cast("decimal(18,8)").cast("double")), 6
+            F.sqrt(F.sum(m * m).cast("double") / F.lit(1e12)), 6
         ).alias("new_centroid_norm"),
     ).select(
         F.col("bucket").alias("cluster"),

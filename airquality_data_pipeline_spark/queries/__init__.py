@@ -7,18 +7,20 @@ Registration order is deliberate: the external driver checks a ~50-entry
 prefix of the catalog each round, so _PRIORITY below puts the queries
 that most need a fresh CORRECTNESS row first. Round-8 order (catalog
 growth frozen; the round-7 window duplicated round 6's, so the window
-rotates to the evidence debt): first q79/q253, modified THIS round
-(all-ties axis zero-variance fixes), then the 10 queries modified in
-r6 whose newest driver rows (r3/r5) predate their current code
+rotates to the evidence debt): first the 8 queries modified THIS
+round (q79/q253/q171's all-ties zero-variance fixes landed first;
+then the minimal-scale sweep fixes q104/q126/q177/q187/q261/q264 —
+q171 was already in part 2), then the 10 queries modified in r6
+whose newest driver rows (r3/r5) predate their current code
 (q85/q225/q228/q229/q230/q234/q237/q259/q262/q268 — decimal-tie /
 try_divide / offset-derivation / shared-rank-bin fixes; q229/q230's
 r6 change was a fixture-invariant TEST, their query code is unchanged
 since r5), then the 15 r6-modified queries never driver-checked (q219
 float32 fix; the degenerate-text fixes
 q135/q163/q127/q132/q164/q171/q178/q184; the try_divide set
-q166/q167/q191/q152/q165; q215), then 23 of the never-driver-checked
-backlog oldest-first (q128..q156) — exactly 50 entries. After the
-window prefix: the remaining 47 never-checked (q157..q216), then the
+q166/q167/q191/q152/q165; q215), then 17 of the never-driver-checked
+backlog oldest-first (q128..q149) — exactly 50 entries. After the
+window prefix: the remaining 53 never-checked (q150..q216), then the
 driver-green tail oldest-evidence-first
 (r3, r4, r5, r7). All 263 queries are locally parity-green at
 sf0.001/0.01/0.1 under the hostile replica
@@ -50,11 +52,19 @@ from airquality_data_pipeline_spark.queries import llmops3  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
-    # --- round-8 window, part 0: modified THIS round (all-ties
-    # robustness axis: zero-variance divisions moved to try_divide /
-    # guarded zone width) — their old driver rows predate the code
+    # --- round-8 window, part 0: modified THIS round — their old
+    # driver rows predate the code (q79/q253: all-ties axis
+    # zero-variance fixes; q104: shared floor grid for continuous
+    # ratio roundings; q126/q177/q187/q261/q264: minimal-scale sweep
+    # try_divide + decimal-headroom fixes)
     "q79_stat_aggs",
     "q253_zone_map_skipping",
+    "q104_kmeans_refine",
+    "q126_token_drift",
+    "q177_interevent_fit",
+    "q187_rate_change_alert",
+    "q261_fairness_audit",
+    "q264_causal_estimators",
     # --- part 1: the 10 r6-modified queries whose newest driver rows
     # (r3/r5) predate their current code
     "q85_doc_chunking",
@@ -85,7 +95,7 @@ _PRIORITY = [
     "q152_rfm_segmentation",
     "q165_revenue_concentration",
     "q215_template_prefix",
-    # --- part 3: 25 never-driver-checked, oldest-first
+    # --- part 3: 17 never-driver-checked, oldest-first
     "q128_unigram_crossentropy",
     "q129_containment",
     "q131_cms_heavy_hitters",
@@ -103,14 +113,14 @@ _PRIORITY = [
     "q146_ewma",
     "q147_fuzzy_string_join",
     "q149_pagerank",
+    # ^^^ exactly 50 entries above this line — the driver window.
+    # --- remaining never-driver-checked backlog (drains r9+)
     "q150_seasonal_anomaly",
     "q151_markov_transitions",
     "q153_stratified_kfold",
     "q154_winsorized_scaling",
     "q155_ohlc_bars",
     "q156_scd2_intervals",
-    # ^^^ exactly 50 entries above this line — the driver window.
-    # --- remaining never-driver-checked backlog (drains r9+)
     "q157_triangle_count",
     "q158_snowflake_rollup",
     "q159_semantic_decontamination",
@@ -124,7 +134,6 @@ _PRIORITY = [
     "q173_grid_nn_join",
     "q174_time_travel_lookup",
     "q176_quantile_normalization",
-    "q177_interevent_fit",
     "q179_hub_detection",
     "q180_join_cardinality",
     "q181_theil_sen",
@@ -132,7 +141,6 @@ _PRIORITY = [
     "q183_benford_audit",
     "q185_weighted_median",
     "q186_funnel_latency",
-    "q187_rate_change_alert",
     "q188_invoice_reconciliation",
     "q189_duplicate_payments",
     "q190_roc_auc",
@@ -180,7 +188,6 @@ _PRIORITY = [
     "q100_language_sampling",
     "q101_pii_scrub",
     "q103_curation_pipeline",
-    "q104_kmeans_refine",
     "q105_length_filter",
     "q106_source_mix",
     "q107_ivf_multiprobe",
@@ -235,7 +242,6 @@ _PRIORITY = [
     "q123_source_calibration",
     "q124_leakage_free_split",
     "q125_token_budget_selection",
-    "q126_token_drift",
     "q218_matryoshka_recall",
     "q220_cuped",
     "q221_diff_in_diff",
@@ -270,9 +276,7 @@ _PRIORITY = [
     "q257_ushaped_attribution",
     "q258_offpolicy_eval",
     "q260_conformal_calibration",
-    "q261_fairness_audit",
     "q263_oof_target_encoding",
-    "q264_causal_estimators",
     "q265_blocklist_screen",
     "q266_recursive_hierarchy",
     "q267_variant_rollup",

@@ -2884,7 +2884,11 @@ def q176_quantile_normalization(spark, sf_dir):
              CAST(count(gap_s) AS BIGINT) AS n,
              CAST(CAST(SUM(CAST(gap_s AS DECIMAL(18,6))) AS VARCHAR)
                   AS DOUBLE) AS sg,
-             CAST(CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(18,6)))
+             -- DECIMAL(28,6): gap_s is on the exact ms grid, but its
+             -- SQUARE reaches ~7e12 s^2 on sparse fixtures (days-long
+             -- gaps) and overflows 18,6's 1e12 integer headroom
+             -- (minimal-scale robustness sweep catch)
+             CAST(CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(28,6)))
                        AS VARCHAR) AS DOUBLE) AS sgg
       FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type
     )
@@ -2916,20 +2920,30 @@ def q177_interevent_fit(spark, sf_dir):
     s = gaps.groupBy("event_type").agg(
         F.count("gap_s").alias("n"),
         F.sum(dec("gap_s", 6)).cast("double").alias("sg"),
-        F.sum(dec(F.col("gap_s") * F.col("gap_s"), 6))
+        # decimal(28,6), not dec()'s (18,6): the squared gap is still
+        # grid-exact but needs ~1e13 integer headroom on sparse
+        # fixtures (minimal-scale robustness sweep catch)
+        F.sum((F.col("gap_s") * F.col("gap_s")).cast("decimal(28,6)"))
         .cast("double")
         .alias("sgg"),
     )
+    # try_divide throughout: a type with ONE gap has n - 1 = 0, and
+    # same-timestamp bursts make sg = 0 (mean 0 -> cv2 0/0) — DuckDB's
+    # x/0 is NULL and the poisson_like comparison is NULL on both
+    # engines (minimal-scale robustness sweep catch)
     mean = F.col("sg") / F.col("n")
-    var = (F.col("sgg") - F.col("sg") * F.col("sg") / F.col("n")) / (
-        F.col("n") - 1
+    var = F.try_divide(
+        F.col("sgg") - F.col("sg") * F.col("sg") / F.col("n"),
+        (F.col("n") - 1).cast("double"),
     )
-    cv2 = var / (mean * mean)
+    cv2 = F.try_divide(var, mean * mean)
     return s.select(
         "event_type",
         "n",
         F.round(mean, 6).alias("mean_gap_s"),
-        F.round(F.col("n") / F.col("sg"), 6).alias("lambda_per_s"),
+        F.round(F.try_divide(F.col("n"), F.col("sg")), 6).alias(
+            "lambda_per_s"
+        ),
         F.round(cv2, 6).alias("cv_squared"),
         (cv2 < 1.5).alias("poisson_like"),
     )
@@ -3775,9 +3789,15 @@ def q187_rate_change_alert(spark, sf_dir):
         F.sum(dec(F.col("d") * F.col("d"), 6)).cast("double").alias("sdd"),
     )
     mean = F.col("sd") / F.col("n")
+    # try_divide: a type with a single hourly delta has n - 1 = 0
+    # (minimal-scale robustness sweep catch); sigma NULL disables the
+    # 3-sigma test identically on both engines (comparison -> NULL ->
+    # CASE else-branch)
     sigma = F.sqrt(
-        (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n"))
-        / (F.col("n") - 1)
+        F.try_divide(
+            F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n"),
+            (F.col("n") - 1).cast("double"),
+        )
     )
     j = deltas.join(F.broadcast(stats), "event_type")
     return j.groupBy("event_type", "n", "sd", "sdd").agg(

@@ -1563,12 +1563,26 @@ def q261_fairness_audit(spark, sf_dir):
         .alias("fp"),
         F.sum("y").cast("long").alias("n_pos"),
     )
+    # try_divide on every positive/negative-count denominator: a tiny
+    # fixture can have ZERO purchases (n_pos = 0 -> tpr undefined) or
+    # all-purchase groups (n - n_pos = 0 -> fpr undefined); DuckDB's
+    # x/0 is NULL (minimal-scale robustness sweep catch)
     o = g.agg(
         (F.sum("n_pred").cast("double") / F.sum("n")).alias("ppr_all"),
-        (F.sum("tp").cast("double") / F.sum("n_pos")).alias("tpr_all"),
-        (
-            F.sum("fp").cast("double") / F.sum(F.col("n") - F.col("n_pos"))
+        F.try_divide(
+            F.sum("tp").cast("double"), F.sum("n_pos").cast("double")
+        ).alias("tpr_all"),
+        F.try_divide(
+            F.sum("fp").cast("double"),
+            F.sum(F.col("n") - F.col("n_pos")).cast("double"),
         ).alias("fpr_all"),
+    )
+    tpr = F.try_divide(
+        F.col("tp").cast("double"), F.col("n_pos").cast("double")
+    )
+    fpr = F.try_divide(
+        F.col("fp").cast("double"),
+        (F.col("n") - F.col("n_pos")).cast("double"),
     )
     return g.crossJoin(F.broadcast(o)).select(
         "grp",
@@ -1576,12 +1590,8 @@ def q261_fairness_audit(spark, sf_dir):
         F.round(F.col("n_pred").cast("double") / F.col("n"), 6).alias(
             "ppr"
         ),
-        F.round(F.col("tp").cast("double") / F.col("n_pos"), 6).alias(
-            "tpr"
-        ),
-        F.round(
-            F.col("fp").cast("double") / (F.col("n") - F.col("n_pos")), 6
-        ).alias("fpr"),
+        F.round(tpr, 6).alias("tpr"),
+        F.round(fpr, 6).alias("fpr"),
         (
             F.round(
                 F.col("n_pred").cast("double") / F.col("n")
@@ -1590,21 +1600,8 @@ def q261_fairness_audit(spark, sf_dir):
             )
             + F.lit(0.0)
         ).alias("dp_gap"),
-        F.round(
-            F.abs(
-                F.col("tp").cast("double") / F.col("n_pos")
-                - F.col("tpr_all")
-            ),
-            6,
-        ).alias("eo_tpr_gap"),
-        F.round(
-            F.abs(
-                F.col("fp").cast("double")
-                / (F.col("n") - F.col("n_pos"))
-                - F.col("fpr_all")
-            ),
-            6,
-        ).alias("eo_fpr_gap"),
+        F.round(F.abs(tpr - F.col("tpr_all")), 6).alias("eo_tpr_gap"),
+        F.round(F.abs(fpr - F.col("fpr_all")), 6).alias("eo_fpr_gap"),
     )
 
 
@@ -1889,13 +1886,22 @@ def q264_causal_estimators(spark, sf_dir):
         .cast("double")
         .alias("sum_y_c"),
     )
+    # try_divide: a sparse stratum can be all-control (n_t = 0 ->
+    # mu_t undefined, and the IPW weight t*y/prop divides 0/0 on its
+    # control rows) or all-treated (mu_c, 1-prop) — DuckDB's x/0 is
+    # NULL and SUM skips NULLs on both engines (minimal-scale
+    # robustness sweep catch)
     e = strata.select(
         "x",
         "n",
         "n_t",
         (F.col("n_t").cast("double") / F.col("n")).alias("prop"),
-        (F.col("sum_y_t") / F.col("n_t")).alias("mu_t"),
-        (F.col("sum_y_c") / (F.col("n") - F.col("n_t"))).alias("mu_c"),
+        F.try_divide(
+            F.col("sum_y_t"), F.col("n_t").cast("double")
+        ).alias("mu_t"),
+        F.try_divide(
+            F.col("sum_y_c"), (F.col("n") - F.col("n_t")).cast("double")
+        ).alias("mu_c"),
     )
     ipw = (
         ev.join(F.broadcast(e), "x")
@@ -1904,7 +1910,10 @@ def q264_causal_estimators(spark, sf_dir):
             F.sum(
                 dec(
                     F.round(
-                        F.col("t") * F.col("y") / F.col("prop"), 6
+                        F.try_divide(
+                            F.col("t") * F.col("y"), F.col("prop")
+                        ),
+                        6,
                     ),
                     6,
                 )
@@ -1914,9 +1923,10 @@ def q264_causal_estimators(spark, sf_dir):
             F.sum(
                 dec(
                     F.round(
-                        (1 - F.col("t"))
-                        * F.col("y")
-                        / (1 - F.col("prop")),
+                        F.try_divide(
+                            (1 - F.col("t")) * F.col("y"),
+                            1 - F.col("prop"),
+                        ),
                         6,
                     ),
                     6,
@@ -1931,7 +1941,10 @@ def q264_causal_estimators(spark, sf_dir):
         e.crossJoin(F.broadcast(nt_tot))
         .select(
             F.round(
-                (F.col("n_t").cast("double") / F.col("nt_tot"))
+                F.try_divide(
+                    F.col("n_t").cast("double"),
+                    F.col("nt_tot").cast("double"),
+                )
                 * (F.col("mu_t") - F.col("mu_c")),
                 6,
             ).alias("term")

@@ -307,9 +307,12 @@ from airquality_data_pipeline_spark.operators.similarity import kmeans_step  # n
       ) WHERE r = 1
     ),
     stats AS (
+      -- floor grid (common.sql_decq convention), not round(): the
+      -- mean cosine is a continuous double ratio (see kmeans_step)
       SELECT bucket, count(*) AS n_vectors,
-             round(CAST(SUM(CAST(c_sim AS DECIMAL(18,6))) AS DOUBLE)
-                   / count(*), 6) AS mean_cent_sim
+             floor(CAST(SUM(CAST(c_sim AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) * 1000000.0 + 0.5) / 1000000.0
+               AS mean_cent_sim
       FROM assigned GROUP BY bucket
     ),
     dims AS (
@@ -322,10 +325,15 @@ from airquality_data_pipeline_spark.operators.similarity import kmeans_step  # n
       FROM dims GROUP BY bucket, dim
     ),
     nm AS (
+      -- per-dim means quantize on the shared floor grid (HUGEINT-exact
+      -- scaled integers); sqrt over the identical double on both
+      -- engines, final round is over a sqrt output (safe class)
       SELECT bucket,
-             round(sqrt(CAST(CAST(SUM(m * m) AS DECIMAL(18,8)) AS DOUBLE)), 6)
+             round(sqrt(CAST(SUM(m * m) AS DOUBLE) / 1000000000000.0), 6)
                AS new_centroid_norm
-      FROM (SELECT bucket, CAST(round(mean_val, 6) AS DECIMAL(18,6)) AS m FROM md)
+      FROM (SELECT bucket,
+                   CAST(floor(mean_val * 1000000.0 + 0.5) AS HUGEINT) AS m
+            FROM md)
       GROUP BY bucket
     )
     SELECT stats.bucket AS cluster, n_vectors, mean_cent_sim, new_centroid_norm

@@ -1522,16 +1522,24 @@ def q126_token_drift(spark, sf_dir):
         F.sum("cnt_train").cast("double").alias("tot_train"),
         F.sum("cnt_held").cast("double").alias("tot_held"),
     )
+    # try_divide: a sparse corpus can leave one split EMPTY (no doc
+    # hashes into the 5% held-out bucket) — DuckDB's x/0 is NULL and
+    # both engines then order the all-NULL rate_diff by term
+    # (minimal-scale robustness sweep catch)
     scored = per.crossJoin(F.broadcast(tot)).select(
         "term",
         "cnt_train",
         "cnt_held",
-        F.round(F.col("cnt_train") / F.col("tot_train"), 6).alias("rate_train"),
-        F.round(F.col("cnt_held") / F.col("tot_held"), 6).alias("rate_held"),
+        F.round(
+            F.try_divide(F.col("cnt_train"), F.col("tot_train")), 6
+        ).alias("rate_train"),
+        F.round(
+            F.try_divide(F.col("cnt_held"), F.col("tot_held")), 6
+        ).alias("rate_held"),
         F.round(
             F.abs(
-                F.col("cnt_train") / F.col("tot_train")
-                - F.col("cnt_held") / F.col("tot_held")
+                F.try_divide(F.col("cnt_train"), F.col("tot_train"))
+                - F.try_divide(F.col("cnt_held"), F.col("tot_held"))
             ),
             6,
         ).alias("rate_diff"),

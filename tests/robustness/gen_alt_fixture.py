@@ -196,11 +196,12 @@ def generate(
         t = _sentence(rng, int(rng.integers(20, 120)))
         texts.append(t)
         lang_col.append(lang)
-    # exact duplicates: docs 10..19 copy docs 0..9
-    for j in range(10):
+    # exact duplicates: docs 10..19 copy docs 0..9 (clamped so tiny
+    # --scale fixtures still generate)
+    for j in range(min(10, max(0, n_doc - 10))):
         texts[10 + j] = texts[j]
     # near-duplicates: docs 30..39 mutate every 17th word of docs 0..9
-    for j in range(10):
+    for j in range(min(10, max(0, n_doc - 30))):
         w = texts[j].split()
         for p in range(0, len(w), 17):
             w[p] = "zzz"
@@ -231,7 +232,8 @@ def generate(
     centers = rng.normal(0, 1, (10, dim))
     labels = rng.integers(0, 10, n_emb)
     vecs = centers[labels] + rng.normal(0, 0.3, (n_emb, dim))
-    vecs[20:25] = vecs[0:5]  # exact dup vectors
+    if n_emb >= 25:
+        vecs[20:25] = vecs[0:5]  # exact dup vectors
     if n_emb > 30:
         # degenerate-vector axis: zero-norm (cosine 0/0) and a
         # tiny-magnitude vector (float32 underflow territory in
