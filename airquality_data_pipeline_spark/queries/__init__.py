@@ -8,9 +8,10 @@ prefix of the catalog each round, so _PRIORITY below puts the queries
 that most need a fresh CORRECTNESS row first. Round-8 order (catalog
 growth frozen; the round-7 window duplicated round 6's, so the window
 rotates to the evidence debt): first the 8 queries modified THIS
-round (q79/q253/q171's all-ties zero-variance fixes landed first;
-then the minimal-scale sweep fixes q104/q126/q177/q187/q261/q264 —
-q171 was already in part 2), then the 10 queries modified in r6
+round (q79/q253/q171's all-ties zero-variance fixes; the
+minimal-scale sweep fixes q104/q126/q177/q187/q261/q264; the
+constant-ts fixes q87/q163 — q171/q163 already sit in part 2), then
+the 10 queries modified in r6
 whose newest driver rows (r3/r5) predate their current code
 (q85/q225/q228/q229/q230/q234/q237/q259/q262/q268 — decimal-tie /
 try_divide / offset-derivation / shared-rank-bin fixes; q229/q230's
@@ -18,9 +19,9 @@ r6 change was a fixture-invariant TEST, their query code is unchanged
 since r5), then the 15 r6-modified queries never driver-checked (q219
 float32 fix; the degenerate-text fixes
 q135/q163/q127/q132/q164/q171/q178/q184; the try_divide set
-q166/q167/q191/q152/q165; q215), then 17 of the never-driver-checked
-backlog oldest-first (q128..q149) — exactly 50 entries. After the
-window prefix: the remaining 53 never-checked (q150..q216), then the
+q166/q167/q191/q152/q165; q215), then 16 of the never-driver-checked
+backlog oldest-first (q128..q147) — exactly 50 entries. After the
+window prefix: the remaining 54 never-checked (q149..q216), then the
 driver-green tail oldest-evidence-first
 (r3, r4, r5, r7). All 263 queries are locally parity-green at
 sf0.001/0.01/0.1 under the hostile replica
@@ -65,6 +66,7 @@ _PRIORITY = [
     "q187_rate_change_alert",
     "q261_fairness_audit",
     "q264_causal_estimators",
+    "q87_time_weighted_avg",
     # --- part 1: the 10 r6-modified queries whose newest driver rows
     # (r3/r5) predate their current code
     "q85_doc_chunking",
@@ -95,7 +97,7 @@ _PRIORITY = [
     "q152_rfm_segmentation",
     "q165_revenue_concentration",
     "q215_template_prefix",
-    # --- part 3: 17 never-driver-checked, oldest-first
+    # --- part 3: 16 never-driver-checked, oldest-first
     "q128_unigram_crossentropy",
     "q129_containment",
     "q131_cms_heavy_hitters",
@@ -112,9 +114,9 @@ _PRIORITY = [
     "q145_mad_outliers",
     "q146_ewma",
     "q147_fuzzy_string_join",
-    "q149_pagerank",
     # ^^^ exactly 50 entries above this line — the driver window.
     # --- remaining never-driver-checked backlog (drains r9+)
+    "q149_pagerank",
     "q150_seasonal_anomaly",
     "q151_markov_transitions",
     "q153_stratified_kfold",
@@ -228,7 +230,6 @@ _PRIORITY = [
     "q77_range_frame",
     "q80_ignore_nulls",
     "q83_map_functions",
-    "q87_time_weighted_avg",
     "q88_gapfill_locf",
     "q91_running_distinct",
     "q102_chunk_fingerprints",

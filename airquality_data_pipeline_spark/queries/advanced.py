@@ -154,9 +154,12 @@ def q87_time_weighted_avg(spark, sf_dir):
     return d.groupBy("user_id").agg(
         F.count("dur").alias("n_intervals"),
         F.sum("dur").alias("total_ms"),
-        (
-            F.sum(dec("value") * F.col("dur")).cast("double")
-            / F.sum("dur")
+        # try_divide: all-zero durations (every event at the SAME
+        # timestamp — constant_ts robustness axis) make the weight sum
+        # 0; DuckDB's x/0 is NULL
+        F.try_divide(
+            F.sum(dec("value") * F.col("dur")).cast("double"),
+            F.sum("dur").cast("double"),
         ).alias("twa"),
     )
 

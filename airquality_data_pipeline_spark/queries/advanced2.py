@@ -1741,8 +1741,12 @@ def q163_grouped_linear_trend(spark, sf_dir):
             / F.lit(1e6)
         ).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # try_divide: a zero x-variance (every event at the SAME timestamp
+    # — constant_ts robustness axis) makes the normal-equation
+    # denominator 0; slope and intercept are NULL on both engines
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     return s.select(
         "event_type",

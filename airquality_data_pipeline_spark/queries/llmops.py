@@ -669,10 +669,13 @@ def q134_hll_shard_union(spark, sf_dir):
     )
     SELECT t.doc_id,
            CAST(n.n AS BIGINT) AS n_chars_counted,
-           round(-(CAST(CAST(sum(t.term) AS VARCHAR) AS DOUBLE)
-                   / 10000000000), 6) + 0.0 AS entropy,
-           round(-(CAST(CAST(sum(t.term) AS VARCHAR) AS DOUBLE)
-                   / 10000000000), 6) + 0.0 < 3.0 AS low_entropy
+           -- floor grid for the FINAL 1e-6 quantization too: the
+           -- scaled-int sum / 1e10 quotient is continuous and round()
+           -- flipped one quantum at a .5 boundary (scale-100 sweep)
+           floor(-(CAST(CAST(sum(t.term) AS VARCHAR) AS DOUBLE))
+                 / 10000.0 + 0.5) / 1000000.0 AS entropy,
+           floor(-(CAST(CAST(sum(t.term) AS VARCHAR) AS DOUBLE))
+                 / 10000.0 + 0.5) / 1000000.0 < 3.0 AS low_entropy
     FROM terms t JOIN n ON t.doc_id = n.doc_id
     GROUP BY t.doc_id, n.n
     """,
@@ -700,11 +703,13 @@ def q135_char_entropy(spark, sf_dir):
         "n",
         decq(p * F.log2(p), 10).alias("term"),
     )
-    # + 0.0 folds the -0.0 a zero-entropy doc's negated sum produces
-    ent = (
-        F.round(-(F.sum("term").cast("double") / F.lit(1e10)), 6)
-        + F.lit(0.0)
-    )
+    # shared floor grid for the FINAL 1e-6 quantization (scale-100
+    # sweep catch: round() on the continuous sum/1e10 quotient flipped
+    # one quantum at a .5 boundary — the decq tie class); a
+    # zero-entropy doc yields +0.0 (floor(0.5)/1e6), no -0.0 hazard
+    ent = F.floor(
+        -(F.sum("term").cast("double")) / F.lit(1e4) + F.lit(0.5)
+    ).cast("double") / F.lit(1e6)
     return terms.groupBy("doc_id", "n").agg(
         ent.alias("entropy"),
         (ent < 3.0).alias("low_entropy"),

@@ -56,8 +56,12 @@ def generate(
       - "single_lang": the whole corpus is one language — language
         mixtures/temperature sampling (q100/q144/q214) degenerate to a
         single group; per-language shares must come out exactly 1.
+      - "constant_ts": every event carries the SAME timestamp (and
+        every order/lineitem the same date) — zero inter-event gaps,
+        single-bucket time windows, and every ORDER BY ts tie-breaks
+        purely on ids; sessionization collapses to one session.
     """
-    if axis not in (None, "all_ties", "single_lang"):
+    if axis not in (None, "all_ties", "single_lang", "constant_ts"):
         raise ValueError(f"unknown axis {axis!r}")
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
@@ -124,6 +128,8 @@ def generate(
     prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
     base = np.datetime64("1995-01-01", "us")
     odate = base + (rng.integers(0, 2400, n_ord) * np.int64(86400_000_000)).astype("timedelta64[us]")
+    if axis == "constant_ts":
+        odate = np.full(n_ord, base + np.int64(500) * np.timedelta64(86400_000_000, "us"))
     # skew: first customer takes ~10% of orders
     ocust = rng.integers(1, n_cust + 1, n_ord)
     ocust[: n_ord // 10] = 1
@@ -141,6 +147,8 @@ def generate(
     }))
 
     lidate = base + (rng.integers(0, 2500, n_li) * np.int64(86400_000_000)).astype("timedelta64[us]")
+    if axis == "constant_ts":
+        lidate = np.full(n_li, base + np.int64(530) * np.timedelta64(86400_000_000, "us"))
     write("lineitem", pa.table({
         "l_orderkey": pa.array(rng.integers(1, n_ord + 1, n_li), pa.int64()),
         "l_partkey": pa.array(rng.integers(1, n_part + 1, n_li), pa.int64()),
@@ -170,6 +178,8 @@ def generate(
     ev_types = np.array(["view", "click", "purchase", "signup", "error"])
     ebase = np.datetime64("2024-01-01T00:00:00", "us")
     ets = ebase + rng.integers(0, 30 * 86400 * 10**6, n_ev).astype("timedelta64[us]")
+    if axis == "constant_ts":
+        ets = np.full(n_ev, ebase + np.timedelta64(12 * 86400 * 10**6, "us"))
     users = rng.integers(0, 40, n_ev)
     users[: int(n_ev * 0.3)] = 7  # hot key
     write("events", pa.table({

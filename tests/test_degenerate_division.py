@@ -156,3 +156,53 @@ def test_degeneracy_actually_hit(spark, degenerate_dir):
         ).collect()
     }
     assert zones["value_clustered"] == 1, zones
+
+
+@pytest.fixture(scope="module")
+def constant_ts_dir(tmp_path_factory):
+    """Every event at the SAME instant (the constant_ts robustness
+    axis): inter-event durations and the trend regressor's variance are
+    identically zero."""
+    out = tmp_path_factory.mktemp("constant_ts")
+    n = 12
+    ts = pa.array(
+        [np.datetime64("2024-01-05T12:00:00", "us")] * n,
+        pa.timestamp("us"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(1, n + 1), pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([i % 3 + 1 for i in range(n)], pa.int64()),
+                "event_type": pa.array(
+                    ["view", "click", "purchase", "signup"] * (n // 4)
+                ),
+                "value": pa.array([float(10 + i) for i in range(n)]),
+                "props": pa.array([json.dumps({"k": 1})] * n),
+            }
+        ),
+        str(out / "events.parquet"),
+    )
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name", ["q87_time_weighted_avg", "q163_grouped_linear_trend"]
+)
+def test_constant_ts_degeneracy_parity(name, spark, constant_ts_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{constant_ts_dir}/events.parquet'"
+    )
+    df = QUERIES[name](spark, constant_ts_dir)
+    rows = df.collect()  # raised DIVIDE_BY_ZERO before the r8 fix
+    assert rows, f"{name} returned no rows on the constant-ts fixture"
+    problems = compare(df, con, ORACLE[name])
+    assert not problems, problems
+    col = "twa" if name == "q87_time_weighted_avg" else "slope"
+    assert any(row[col] is None for row in rows)
+    con.close()
