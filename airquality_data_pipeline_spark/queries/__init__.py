@@ -5,28 +5,23 @@ shared registry. Importing this package populates it.
 
 Registration order is deliberate: the external driver checks a ~50-entry
 prefix of the catalog each round, so _PRIORITY below puts the queries
-that most need a fresh CORRECTNESS row first. Round-8 order (catalog
-growth frozen; the round-7 window duplicated round 6's, so the window
-rotates to the evidence debt): first the 8 queries modified THIS
-round (q79/q253/q171's all-ties zero-variance fixes; the
-minimal-scale sweep fixes q104/q126/q177/q187/q261/q264; the
-constant-ts fixes q87/q163 — q171/q163 already sit in part 2), then
-the 10 queries modified in r6
-whose newest driver rows (r3/r5) predate their current code
-(q85/q225/q228/q229/q230/q234/q237/q259/q262/q268 — decimal-tie /
-try_divide / offset-derivation / shared-rank-bin fixes; q229/q230's
-r6 change was a fixture-invariant TEST, their query code is unchanged
-since r5), then the 15 r6-modified queries never driver-checked (q219
-float32 fix; the degenerate-text fixes
-q135/q163/q127/q132/q164/q171/q178/q184; the try_divide set
-q166/q167/q191/q152/q165; q215), then 16 of the never-driver-checked
-backlog oldest-first (q128..q147) — exactly 50 entries. After the
-window prefix: the remaining 54 never-checked (q149..q216), then the
-driver-green tail oldest-evidence-first
-(r3, r4, r5, r7). All 263 queries are locally parity-green at
+that most need a fresh CORRECTNESS row first. Round-9 order (catalog
+growth frozen): the 52 never-driver-checked queries lead — exactly the
+catalog minus the union of CORRECTNESS_r01–r08 keys, derived
+mechanically from the ledger (see git history for the generator), in
+numeric order q149..q216. The driver window is the first ~50, so
+q213/q216 spill to round 10 and the backlog drops 52 → 2. After the
+never-checked block: the driver-green tail ordered oldest-evidence
+first — r3 (29 queries, the q01–q05-era rows, 6 rounds stale; these
+lead the r10 refresh), then r4 (45), r5 (38), r7 (49), r8 (50);
+52+29+45+38+49+50 = 263. All 263 queries are locally parity-green at
 sf0.001/0.01/0.1 under the hostile replica
 (tests/test_oracle_parity.py); the window exists purely to convert
 local evidence into driver CORRECTNESS rows.
+
+Round-10 rotation plan (recorded per r8 VERDICT item 6): q213/q216
+(backlog remainder) first, then the 29 r3-evidence queries, then r4's
+45 oldest — refreshing the most stale driver evidence each round.
 """
 
 from __future__ import annotations
@@ -53,69 +48,10 @@ from airquality_data_pipeline_spark.queries import llmops3  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
-    # --- round-8 window, part 0: modified THIS round — their old
-    # driver rows predate the code (q79/q253: all-ties axis
-    # zero-variance fixes; q104: shared floor grid for continuous
-    # ratio roundings; q126/q177/q187/q261/q264: minimal-scale sweep
-    # try_divide + decimal-headroom fixes)
-    "q79_stat_aggs",
-    "q253_zone_map_skipping",
-    "q104_kmeans_refine",
-    "q126_token_drift",
-    "q177_interevent_fit",
-    "q187_rate_change_alert",
-    "q261_fairness_audit",
-    "q264_causal_estimators",
-    "q87_time_weighted_avg",
-    # --- part 1: the 10 r6-modified queries whose newest driver rows
-    # (r3/r5) predate their current code
-    "q85_doc_chunking",
-    "q225_seasonal_decompose",
-    "q228_runs_test",
-    "q229_dedup_pr_harness",
-    "q230_band_threshold_sweep",
-    "q234_code_screen",
-    "q237_uplift_deciles",
-    "q259_psi_drift",
-    "q262_woe_iv",
-    "q268_slo_burn_rate",
-    # --- part 2: the 15 r6-modified queries never driver-checked
-    # (float32 fix, degenerate-text/decimal-tie fixes, try_divide
-    # hardening, offset derivation)
-    "q219_fisher_dims",
-    "q135_char_entropy",
-    "q163_grouped_linear_trend",
-    "q127_weighted_sample",
-    "q132_incremental_dedup",
-    "q164_chi_square",
-    "q171_anova_f",
-    "q178_embedding_dim_stats",
-    "q184_retention_halflife",
-    "q166_series_correlation",
-    "q167_ab_test",
-    "q191_acf",
-    "q152_rfm_segmentation",
-    "q165_revenue_concentration",
-    "q215_template_prefix",
-    # --- part 3: 16 never-driver-checked, oldest-first
-    "q128_unigram_crossentropy",
-    "q129_containment",
-    "q131_cms_heavy_hitters",
-    "q134_hll_shard_union",
-    "q136_bigram_crossentropy",
-    "q137_split_ngram_leakage",
-    "q138_containment_capped",
-    "q139_funnel",
-    "q140_cohort_retention",
-    "q141_zorder_layout",
-    "q142_basket_lift",
-    "q143_repetition_filter",
-    "q144_mixture_reweight",
-    "q145_mad_outliers",
-    "q146_ewma",
-    "q147_fuzzy_string_join",
-    # ^^^ exactly 50 entries above this line — the driver window.
-    # --- remaining never-driver-checked backlog (drains r9+)
+    # --- round-9 window: the 52 never-driver-checked queries
+    # (catalog minus the union of CORRECTNESS_r01-r08 keys),
+    # numeric order. The driver checks the first ~50; q213/q216
+    # spill to round 10. This drains the evidence backlog to 2.
     "q149_pagerank",
     "q150_seasonal_anomaly",
     "q151_markov_transitions",
@@ -168,7 +104,8 @@ _PRIORITY = [
     "q212_survivorship",
     "q213_backtest_smape",
     "q216_tokenizer_fertility",
-    # --- driver-green tail, oldest evidence first (r3, r4, r5, r7)
+    # ^^^ 52 never-checked entries end here (window = first 50).
+    # --- driver-green tail: latest evidence r3 (29 queries)
     "q02_filter_project",
     "q03_shipping_priority",
     "q04_semi_join_exists",
@@ -198,6 +135,7 @@ _PRIORITY = [
     "q114_unicode_normalize",
     "q115_ann_recall",
     "q116_product_quantization",
+    # --- driver-green tail: latest evidence r4 (45 queries)
     "q01_pricing_summary",
     "q05_local_supplier_volume",
     "q09_broadcast_dim_join",
@@ -243,6 +181,7 @@ _PRIORITY = [
     "q123_source_calibration",
     "q124_leakage_free_split",
     "q125_token_budget_selection",
+    # --- driver-green tail: latest evidence r5 (38 queries)
     "q218_matryoshka_recall",
     "q220_cuped",
     "q221_diff_in_diff",
@@ -281,6 +220,7 @@ _PRIORITY = [
     "q265_blocklist_screen",
     "q266_recursive_hierarchy",
     "q267_variant_rollup",
+    # --- driver-green tail: latest evidence r7 (49 queries)
     "q11_window_running",
     "q12_rollup",
     "q13_cube",
@@ -330,6 +270,57 @@ _PRIORITY = [
     "q196_decile_lift",
     "q214_epoch_capped_mixture",
     "q217_curriculum_interleave",
+    # --- driver-green tail: latest evidence r8 (50 queries)
+    "q79_stat_aggs",
+    "q85_doc_chunking",
+    "q87_time_weighted_avg",
+    "q104_kmeans_refine",
+    "q126_token_drift",
+    "q127_weighted_sample",
+    "q128_unigram_crossentropy",
+    "q129_containment",
+    "q131_cms_heavy_hitters",
+    "q132_incremental_dedup",
+    "q134_hll_shard_union",
+    "q135_char_entropy",
+    "q136_bigram_crossentropy",
+    "q137_split_ngram_leakage",
+    "q138_containment_capped",
+    "q139_funnel",
+    "q140_cohort_retention",
+    "q141_zorder_layout",
+    "q142_basket_lift",
+    "q143_repetition_filter",
+    "q144_mixture_reweight",
+    "q145_mad_outliers",
+    "q146_ewma",
+    "q147_fuzzy_string_join",
+    "q152_rfm_segmentation",
+    "q163_grouped_linear_trend",
+    "q164_chi_square",
+    "q165_revenue_concentration",
+    "q166_series_correlation",
+    "q167_ab_test",
+    "q171_anova_f",
+    "q177_interevent_fit",
+    "q178_embedding_dim_stats",
+    "q184_retention_halflife",
+    "q187_rate_change_alert",
+    "q191_acf",
+    "q215_template_prefix",
+    "q219_fisher_dims",
+    "q225_seasonal_decompose",
+    "q228_runs_test",
+    "q229_dedup_pr_harness",
+    "q230_band_threshold_sweep",
+    "q234_code_screen",
+    "q237_uplift_deciles",
+    "q253_zone_map_skipping",
+    "q259_psi_drift",
+    "q261_fairness_audit",
+    "q262_woe_iv",
+    "q264_causal_estimators",
+    "q268_slo_burn_rate",
 ]
 
 
