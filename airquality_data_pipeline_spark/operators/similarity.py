@@ -394,8 +394,13 @@ def ivf_assign(
     round(try_divide, 6) grid). Ties break to the lowest cent_id
     (sort_array orders the struct array by id; array_position returns
     the first occurrence), matching ORDER BY c_sim DESC, cent_id ASC.
-    An empty centroid set yields NULL bucket/cent_sim for every row
-    (previously a build-time ValueError)."""
+    An empty centroid set yields ZERO rows — the same shape as the
+    oracle's `FROM n, cents` cross join against an empty cents CTE
+    (r8 ADVICE: the earlier NULL-bucket-for-every-row behavior would
+    leak a NULL-bucket group into consumers like kmeans_step's groupBy
+    that the oracle never produces); the `size(_cents) > 0` guard
+    encodes exactly that without touching nonempty-set semantics,
+    pinned by test_ivf_assign_empty_centroids_yields_zero_rows."""
     if centroids is None:
         if centroid_pred is None:
             raise ValueError("ivf_assign: pass centroid_pred or centroids")
@@ -415,12 +420,17 @@ def ivf_assign(
     )
     # bind the k-fold sims array once (CollapseProject keeps non-cheap
     # expressions unduplicated); the argmax reads it three times
-    scored = n.crossJoin(F.broadcast(cents_row)).select(
-        "id",
-        "v",
-        "nrm",
-        F.transform(F.col("_cents"), lambda c: c["id"]).alias("_cids"),
-        sims.alias("sims"),
+    scored = (
+        n.crossJoin(F.broadcast(cents_row))
+        # empty centroid set -> zero rows, like the oracle's cross join
+        .where(F.size(F.col("_cents")) > 0)
+        .select(
+            "id",
+            "v",
+            "nrm",
+            F.transform(F.col("_cents"), lambda c: c["id"]).alias("_cids"),
+            sims.alias("sims"),
+        )
     )
     return scored.select(
         "id",

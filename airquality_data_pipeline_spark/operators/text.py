@@ -7,6 +7,8 @@ array ops) — vectorized, codegen-friendly, no Python UDFs.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -420,31 +422,111 @@ def bloom_contamination(
     k: int = BLOOM_K,
     m: int = BLOOM_M,
 ) -> DataFrame:
-    """Bloom-filter decontamination gate — the broadcast-only fast path
-    for `ngram_contamination` at corpus scale: the benchmark's distinct
-    n-gram set folds into a FIXED-SIZE bitmap (m bits, k md5-derived
-    positions per n-gram) that ships to every executor as a broadcast
-    variable; the training side is one scan with a vectorized-numpy
-    membership test (Arrow-batched pandas UDF over JVM-computed
-    positions) and a per-doc count — NO shuffle touches the train
-    shingles before the per-doc aggregate, and the broadcast is
-    O(m) bytes however large the benchmark grows.
+    """Bloom-style decontamination gate — the broadcast-only fast path
+    for `ngram_contamination` at corpus scale, expressed ENTIRELY
+    in-plan (zero driver-side jobs at build, zero Python UDFs): the
+    benchmark's distinct k bit positions per n-gram (md5-derived,
+    `_bloom_pos`) form a small distinct frame that broadcast-hash-joins
+    against the train side's k per-shingle positions. `bitmap[p] == 1`
+    is exactly `p IN (distinct positions)` — the hash relation IS the
+    bloom membership test (same false-positive behavior: collisions
+    happen in position space, mod m), so results are bit-identical to
+    the bitmap form and to the SQL oracle's `IN (SELECT pos ...)`.
+
+    Scale shape: the k probes are k broadcast LEFT joins over the SAME
+    build plan (one BroadcastExchange, k-1 ReusedExchange — verified in
+    the executed plan), so NO shuffle touches the train shingles before
+    the per-doc aggregate. Broadcast size is min(k * |bench n-grams|,
+    m) distinct longs — benchmark-bounded, never train-bounded. For
+    benchmarks large enough that a hash relation of that many longs
+    outgrows executor memory, `bloom_contamination_bitmap` keeps the
+    fixed-size O(m)-bytes bitmap variant (at the cost of an eager
+    plan-build collect).
 
     Guarantee: no false negatives (every truly contaminated doc is
     flagged); false positives at ~(1-e^{{-kn/m}})^k. The production
     pattern is bloom-gate first, exact `ngram_contamination` re-check
-    on the (tiny) flagged subset. Both the no-false-negative
-    containment vs the exact operator and full cross-engine value
-    parity are pinned (positions are md5-derived, so a SQL oracle
-    reproduces the bitmap exactly).
+    on the (tiny) flagged subset. No-false-negative containment vs the
+    exact operator, bitmap-vs-join equality, and full cross-engine
+    value parity are pinned in tests.
+    """
+    from airquality_data_pipeline_spark.operators.dedup import word_shingles
 
-    The bitmap is built by collecting the benchmark's DISTINCT bit
-    positions to the driver — bounded by k * |bench n-grams| longs
-    (benchmarks are fixed-size; this is the same driver-sized-dimension
-    pattern as the foreachBatch upserts), then broadcast once. Note the
-    collect runs a Spark job at PLAN-BUILD time; the broadcast's
-    lifetime is tied to the returned DataFrame's UDF closure and is
-    reclaimed by the ContextCleaner once the frame is dropped.
+    bench_sh = word_shingles(
+        benchmark, text_col=text_col, id_col=id_col, n=n
+    )
+    bpos = (
+        bench_sh.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("shingle"), j, m) for j in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+    train_sh = word_shingles(train, text_col=text_col, id_col=id_col, n=n)
+    t = train_sh.select(
+        "id",
+        *[_bloom_pos(F.col("shingle"), j, m).alias(f"_p{j}") for j in range(k)],
+    )
+    # k broadcast left joins against the SAME distinct-position build
+    # plan (aliases canonicalize away -> one exchange, reused k-1
+    # times); `pos` is non-null exactly when the probe hits, renamed
+    # per probe so later joins stay unambiguous. bpos is distinct, so
+    # a left join can never duplicate train rows.
+    for j in range(k):
+        b = bpos.alias(f"_b{j}")
+        t = t.join(
+            F.broadcast(b), F.col(f"_p{j}") == b["pos"], "left"
+        ).withColumnRenamed("pos", f"_hit{j}")
+    maybe = reduce(
+        lambda a, c: a & c,
+        [F.col(f"_hit{j}").isNotNull() for j in range(k)],
+    )
+    per_doc = t.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.when(maybe, 1).otherwise(0)).cast("long").alias("n_flagged"),
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            (F.coalesce("n_flagged", F.lit(0)) > 0).alias("maybe_contaminated"),
+        )
+    )
+
+
+def bloom_contamination_bitmap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Fixed-size-bitmap variant of `bloom_contamination` for the
+    huge-benchmark regime: the benchmark's distinct bit positions fold
+    into an m-bit numpy bitmap that ships to every executor as an O(m)
+    = 512 KiB broadcast variable HOWEVER large the benchmark grows; the
+    train side is one scan with a vectorized-numpy membership test
+    (Arrow-batched pandas UDF over JVM-computed positions). Results are
+    bit-identical to `bloom_contamination` (pinned in tests): the
+    bitmap sets exactly the bits at the distinct positions, so
+    `bitmap[p] == 1` <=> `p IN positions`.
+
+    Trade-off vs the default: the bitmap is built by collecting the
+    benchmark's DISTINCT bit positions to the driver — bounded by
+    min(k * |bench n-grams|, m) longs (the same driver-sized-dimension
+    pattern as the foreachBatch upserts) — which runs a Spark job at
+    PLAN-BUILD time. Prefer the default in-plan form unless the
+    position hash relation itself (~30 bytes/entry vs 1 bit here)
+    threatens executor memory. The broadcast's lifetime is tied to the
+    returned DataFrame's UDF closure and is reclaimed by the
+    ContextCleaner once the frame is dropped.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -33,16 +33,29 @@ from pyspark.sql import functions as F
 # spark.read.parquet() runs a 1-task footer-read job AT PLAN BUILD,
 # which (a) makes QUERIES[name](spark, sf_dir) eager (r7 verdict:
 # plan construction must run zero Spark jobs) and (b) adds a fixed
-# per-query job to the bench loop. Fixtures are immutable within a
-# process (the driver regenerates them only between rounds), so the
-# first read of each (sf_dir, table) infers and caches; later reads
-# pass the schema explicitly and run no job.
+# per-query job to the bench loop. The key includes the file's
+# (mtime_ns, size) so an in-place fixture regeneration — e.g. the
+# events.ts TIMESTAMP(NANOS) <-> timestamp[us] flip that table()
+# branches on — invalidates the entry instead of silently serving a
+# stale schema (r8 ADVICE); a local os.stat is not a Spark job, so
+# plan build stays job-free.
 _SCHEMA_CACHE: dict = {}
+
+
+def _fingerprint(path: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        # missing/unstatable path: let spark.read raise the real error
+        return (0, 0)
 
 
 def _read_parquet(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    key = (sf_dir, name)
+    key = (sf_dir, name, _fingerprint(path))
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

@@ -1037,16 +1037,19 @@ def q111_length_histogram(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # q113: Bloom-filter decontamination gate — the 100 TB fast path for
-# q99: the benchmark's 8-gram set folds into a FIXED-SIZE bitmap
-# (512 KiB at any benchmark size) broadcast to every executor; the
-# train side is one scan + vectorized-numpy membership (Arrow-batched
-# pandas UDF over JVM-computed md5 positions) + per-doc count — zero
-# shuffle before the aggregate. False positives possible by design
-# (docs flagged that share no real 8-gram; exact q99 re-checks the
-# flagged subset at scale), false negatives impossible — pinned in
-# tests. The positions are md5-derived, so the oracle reproduces the
-# bitmap bit-for-bit and this probabilistic operator still gets a full
-# value-hash correctness row.
+# q99: the benchmark's distinct md5-derived bit positions broadcast-
+# hash-join against the train side's k per-shingle positions (one
+# BroadcastExchange, reused k-1 times; `bitmap[p]==1` IS `p IN
+# positions`, so false-positive behavior is bloom-identical) + per-doc
+# count — zero shuffle before the aggregate, zero plan-build jobs,
+# zero Python UDFs. False positives possible by design (docs flagged
+# that share no real 8-gram; exact q99 re-checks the flagged subset at
+# scale), false negatives impossible — pinned in tests, along with
+# bit-equality vs the O(m)-bytes fixed-size bitmap variant
+# (operators/text.bloom_contamination_bitmap, the huge-benchmark
+# path). The positions are md5-derived, so the oracle reproduces the
+# membership set bit-for-bit and this probabilistic operator still
+# gets a full value-hash correctness row.
 # --------------------------------------------------------------------------
 from airquality_data_pipeline_spark.operators.text import bloom_contamination  # noqa: E402
 

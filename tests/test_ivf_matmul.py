@@ -94,6 +94,25 @@ def test_matmul_empty_centroids_raise(emb):
         ivf_assign_matmul(emb, F.col("id") < 0)
 
 
+def test_ivf_assign_empty_centroids_yields_zero_rows(emb):
+    # r8 ADVICE: the DuckDB oracles' `FROM n, cents` cross join yields
+    # ZERO rows when the cents CTE is empty — the fold-form assigner
+    # must match (a NULL-bucket row set would surface a phantom group
+    # in consumers like kmeans_step's groupBy). Parity check of the
+    # degenerate shape, mirroring the oracle in duckdb directly.
+    import duckdb
+
+    assert ivf_assign(emb, F.col("id") < 0).count() == 0
+    n = duckdb.connect().execute(
+        """
+        WITH n AS (SELECT * FROM (VALUES (1), (2)) t(id)),
+             cents AS (SELECT * FROM (VALUES (1)) c(id) WHERE id < 0)
+        SELECT count(*) FROM n, cents
+        """
+    ).fetchone()[0]
+    assert n == 0
+
+
 def test_matmul_output_columns_match_fold(emb):
     pred = F.col("id") < 4
     assert (

@@ -630,6 +630,34 @@ def test_bloom_contamination_no_false_negatives(spark, sf_dir):
     assert exact <= bloom  # containment: zero false negatives
 
 
+def test_bloom_join_and_bitmap_variants_identical(spark, sf_dir):
+    # the in-plan broadcast-join form (default, zero build jobs) and
+    # the fixed-size-bitmap pandas-UDF form (huge-benchmark path) are
+    # the SAME membership test (bitmap[p]==1 <=> p IN positions) and
+    # must agree row-for-row, including n_flagged counts
+    from airquality_data_pipeline_spark.operators.text import (
+        bloom_contamination,
+        bloom_contamination_bitmap,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = docs.withColumn("_bucket", bucket)
+    train = tagged.where(F.col("_bucket") < 95)
+    bench = tagged.where(F.col("_bucket") >= 95)
+    kw = dict(text_col="text", id_col="doc_id", n=8)
+    joined = {tuple(r) for r in bloom_contamination(train, bench, **kw).collect()}
+    bitmap = {
+        tuple(r) for r in bloom_contamination_bitmap(train, bench, **kw).collect()
+    }
+    assert joined == bitmap
+    assert any(r[3] for r in joined), "fixture must flag some docs"
+
+
 def test_chunk_dedup_removes_replica_chunks(spark):
     # a doc that is an exact copy of an earlier doc loses ALL its chunks;
     # the original keeps everything
