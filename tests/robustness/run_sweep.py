@@ -74,29 +74,34 @@ def main(seed: int = 7, scale: float = 1.0, axis: str | None = None) -> int:
         )
 
     qs, osql = mod.queries(), mod.oracle_sql()
-    # Above ~50x the harness itself becomes the bottleneck on the
-    # hostile fixture's DEGENERATE shapes, not the engine: the 10
-    # tight embedding clusters make true near-dup mass quadratic
-    # (q45's result alone is ~1e8 pairs — collecting it for comparison
-    # OOMs any driver), and q229's DuckDB referee spills beyond local
-    # disk re-verifying that mass. Skip them EXPLICITLY (printed, not
-    # silent) at large scale; they stay fully swept at every scale
-    # below the gate.
-    skip_large = {"q45_embedding_neardup", "q229_dedup_pr_harness"}
+    # Above ~50x the hostile fixture's DEGENERATE shapes (10 tight
+    # embedding clusters) make true near-dup mass quadratic — q45's
+    # result alone is ~1e8 pairs, and the strict comparator's
+    # driver-side Counter + pandas copies OOM on it. Those queries
+    # switch to oracle_utils.compare_bounded (streamed count +
+    # order-insensitive md5-sum, O(1) driver memory) instead of being
+    # skipped, so every scale reports all 263 queries.
+    bounded_large = {"q45_embedding_neardup", "q229_dedup_pr_harness"}
+    from tests.oracle_utils import compare_bounded
+
     fails, empties = 0, []
     t0 = time.time()
     for name in sorted(qs):
-        if scale >= 50 and name in skip_large:
-            print(f"SKIPPED {name}: quadratic-output harness query, "
-                  f"oracle-envelope exceeded at scale {scale:g}")
-            continue
+        cmp_fn = (
+            compare_bounded
+            if scale >= 50 and name in bounded_large
+            else compare
+        )
         try:
             df = qs[name](spark, sfdir)
             if name in osql:
-                probs = compare(df, con, osql[name])
+                probs = cmp_fn(df, con, osql[name])
                 fails += bool(probs)
                 if probs:
                     print(f"FAIL {name}", *probs, sep="\n  ")
+                if cmp_fn is compare_bounded:
+                    print(f"BOUNDED {name}: count+hash comparison "
+                          f"({'ok' if not probs else 'MISMATCH'})")
             elif df.count() == 0:
                 empties.append(name)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
