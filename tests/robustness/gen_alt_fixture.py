@@ -60,8 +60,17 @@ def generate(
         every order/lineitem the same date) — zero inter-event gaps,
         single-bucket time windows, and every ORDER BY ts tie-breaks
         purely on ids; sessionization collapses to one session.
+      - "hot_key": ONE key holds ~90% of fact rows on every join/group
+        axis (customer 1 -> 90% of orders, order 1 / part 1 /
+        supplier 1 -> 90% of lineitems, user 7 -> 90% of events,
+        src0 -> 90% of documents) — the pathological-skew shape the
+        AQE skew-join path (q55) and salted aggregates exist for;
+        per-group statistics must stay exact when one group dwarfs
+        the rest and the others thin out to a handful of rows.
     """
-    if axis not in (None, "all_ties", "single_lang", "constant_ts"):
+    if axis not in (
+        None, "all_ties", "single_lang", "constant_ts", "hot_key"
+    ):
         raise ValueError(f"unknown axis {axis!r}")
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
@@ -130,9 +139,9 @@ def generate(
     odate = base + (rng.integers(0, 2400, n_ord) * np.int64(86400_000_000)).astype("timedelta64[us]")
     if axis == "constant_ts":
         odate = np.full(n_ord, base + np.int64(500) * np.timedelta64(86400_000_000, "us"))
-    # skew: first customer takes ~10% of orders
+    # skew: first customer takes ~10% of orders (hot_key axis: ~90%)
     ocust = rng.integers(1, n_cust + 1, n_ord)
-    ocust[: n_ord // 10] = 1
+    ocust[: (9 * n_ord // 10 if axis == "hot_key" else n_ord // 10)] = 1
     write("orders", pa.table({
         "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
         "o_custkey": pa.array(ocust, pa.int64()),
@@ -149,10 +158,19 @@ def generate(
     lidate = base + (rng.integers(0, 2500, n_li) * np.int64(86400_000_000)).astype("timedelta64[us]")
     if axis == "constant_ts":
         lidate = np.full(n_li, base + np.int64(530) * np.timedelta64(86400_000_000, "us"))
+    # hot_key axis: order 1 / part 1 / supplier 1 each soak up ~90% of
+    # lineitems (contiguous prefix — the same rows are hot on every
+    # axis, the worst case for a multi-join plan)
+    lord = rng.integers(1, n_ord + 1, n_li)
+    lpart = rng.integers(1, n_part + 1, n_li)
+    lsupp = rng.integers(1, n_supp + 1, n_li)
+    if axis == "hot_key":
+        hot = 9 * n_li // 10
+        lord[:hot], lpart[:hot], lsupp[:hot] = 1, 1, 1
     write("lineitem", pa.table({
-        "l_orderkey": pa.array(rng.integers(1, n_ord + 1, n_li), pa.int64()),
-        "l_partkey": pa.array(rng.integers(1, n_part + 1, n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(1, n_supp + 1, n_li), pa.int64()),
+        "l_orderkey": pa.array(lord, pa.int64()),
+        "l_partkey": pa.array(lpart, pa.int64()),
+        "l_suppkey": pa.array(lsupp, pa.int64()),
         "l_linenumber": pa.array(rng.integers(1, 8, n_li).astype("int32")),
         # ties: integer quantities over a NARROW domain (1..10);
         # all_ties axis: the whole column is ONE value
@@ -181,7 +199,7 @@ def generate(
     if axis == "constant_ts":
         ets = np.full(n_ev, ebase + np.timedelta64(12 * 86400 * 10**6, "us"))
     users = rng.integers(0, 40, n_ev)
-    users[: int(n_ev * 0.3)] = 7  # hot key
+    users[: int(n_ev * (0.9 if axis == "hot_key" else 0.3))] = 7  # hot key
     write("events", pa.table({
         "event_id": pa.array(range(1, n_ev + 1), pa.int64()),
         "ts": pa.array(np.sort(ets)),
@@ -229,11 +247,14 @@ def generate(
         texts[44] = "tab\tseparated  double  spaced\nnewline line"
         texts[45] = "café naïve résumé Zürich façade coöperate"
         texts[46] = "数据 处理 引擎 测试 🚀 emoji 混合 text"
+    src_ids = rng.integers(0, 12, n_doc)
+    if axis == "hot_key":
+        src_ids[: 9 * n_doc // 10] = 0
     write("documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
         "text": pa.array(texts),
         "lang": pa.array(lang_col),
-        "source": pa.array([f"src{int(s)}" for s in rng.integers(0, 12, n_doc)]),
+        "source": pa.array([f"src{int(s)}" for s in src_ids]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
