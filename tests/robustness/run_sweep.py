@@ -32,7 +32,12 @@ TABLES = [
 ]
 
 
-def main(seed: int = 7, scale: float = 1.0, axis: str | None = None) -> int:
+def main(
+    seed: int = 7,
+    scale: float = 1.0,
+    axis: str | None = None,
+    only: list[str] | None = None,
+) -> int:
     sys.path.insert(0, REPO)
     from tests.robustness.gen_alt_fixture import generate
 
@@ -68,6 +73,15 @@ def main(seed: int = 7, scale: float = 1.0, axis: str | None = None) -> int:
     con = duckdb.connect()
     # keep oracle spill out of the repo cwd (DuckDB defaults to ./.tmp)
     con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duckdb_spill'")
+    # cap the referee so resource exhaustion is a CATCHABLE DuckDB
+    # exception (spill -> IOException at the disk limit, or
+    # OutOfMemoryException), never a kernel OOM kill of the whole
+    # sweep: unlimited, q45's quadratic ground truth at scale 100 grew
+    # the process to 125 GB anon RSS and the OOM killer took the
+    # sweep down mid-catalog. preserve_insertion_order=false lets big
+    # materializations stream instead of buffering ordered.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'"
@@ -87,6 +101,8 @@ def main(seed: int = 7, scale: float = 1.0, axis: str | None = None) -> int:
     fails, empties = 0, []
     t0 = time.time()
     for name in sorted(qs):
+        if only and name not in only:
+            continue
         cmp_fn = (
             compare_bounded
             if scale >= 50 and name in bounded_large
@@ -95,7 +111,32 @@ def main(seed: int = 7, scale: float = 1.0, axis: str | None = None) -> int:
         try:
             df = qs[name](spark, sfdir)
             if name in osql:
-                probs = cmp_fn(df, con, osql[name])
+                try:
+                    probs = cmp_fn(df, con, osql[name])
+                except Exception as oexc:  # noqa: BLE001
+                    # Oracle-envelope: the DuckDB REFEREE exhausting
+                    # machine resources (q229's exact-Jaccard ground
+                    # truth spills ~80+ GB on the degenerate 100x
+                    # fixture) is a limit of the single-node oracle,
+                    # not an engine defect — but only if the ENGINE
+                    # side actually completes. Prove that with a
+                    # count, report loudly, and don't count a fail;
+                    # any other referee exception stays a failure.
+                    msg = str(oexc)
+                    resource = isinstance(oexc, MemoryError) or any(
+                        s in msg
+                        for s in ("No space left", "OutOfMemory",
+                                  "out of memory", "Could not allocate")
+                    )
+                    if not resource:
+                        raise
+                    n_engine = df.count()
+                    print(
+                        f"ENVELOPE {name}: engine completed "
+                        f"({n_engine} rows); DuckDB referee exceeded "
+                        f"machine resources: {msg[:200]}"
+                    )
+                    continue
                 fails += bool(probs)
                 if probs:
                     print(f"FAIL {name}", *probs, sep="\n  ")
@@ -118,7 +159,15 @@ def main(seed: int = 7, scale: float = 1.0, axis: str | None = None) -> int:
 
 
 if __name__ == "__main__":
+    # usage: run_sweep.py [seed] [scale] [axis] [only]
+    #   axis: "-" or a gen_alt_fixture axis name
+    #   only: comma-separated query names — resume a partial sweep
+    #         (e.g. after an oracle-envelope abort) without redoing
+    #         the whole catalog
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     axis = sys.argv[3] if len(sys.argv) > 3 else None
-    raise SystemExit(main(seed, scale, axis))
+    if axis in ("-", "none", "None"):
+        axis = None
+    only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    raise SystemExit(main(seed, scale, axis, only))
