@@ -6,22 +6,26 @@ shared registry. Importing this package populates it.
 Registration order is deliberate: the external driver checks a ~50-entry
 prefix of the catalog each round, so _PRIORITY below puts the queries
 that most need a fresh CORRECTNESS row first. Round-9 order (catalog
-growth frozen): the 52 never-driver-checked queries lead — exactly the
-catalog minus the union of CORRECTNESS_r01–r08 keys, derived
-mechanically from the ledger (see git history for the generator), in
-numeric order q149..q216. The driver window is the first ~50, so
-q213/q216 spill to round 10 and the backlog drops 52 → 2. After the
-never-checked block: the driver-green tail ordered oldest-evidence
-first — r3 (29 queries, the q01–q05-era rows, 6 rounds stale; these
-lead the r10 refresh), then r4 (45), r5 (38), r7 (49), r8 (50);
-52+29+45+38+49+50 = 263. All 263 queries are locally parity-green at
-sf0.001/0.01/0.1 under the hostile replica
+growth frozen): q220 leads (rewritten this round after the hot_key
+sweep caught its DECIMAL(24,6) product casts diverging at high
+magnitude — its r7 driver row predates the current code), then the 52
+never-driver-checked queries — exactly the catalog minus the union of
+CORRECTNESS_r01–r08 keys, derived mechanically from the ledger (see
+git history for the generator), in numeric order q149..q216. The
+driver window is the first ~50, so q212/q213/q216 spill to round 10
+and the backlog drops 52 → 3. After the never-checked block: the
+driver-green tail ordered oldest-evidence first — r3 (29 queries, the
+q01–q05-era rows, 6 rounds stale; these lead the r10 refresh), then
+r4 (45), r5 (37 + q220 at the head), r7 (49), r8 (50);
+1+52+29+45+37+49+50 = 263. All 263 queries are locally parity-green
+at sf0.001/0.01/0.1 under the hostile replica
 (tests/test_oracle_parity.py); the window exists purely to convert
 local evidence into driver CORRECTNESS rows.
 
-Round-10 rotation plan (recorded per r8 VERDICT item 6): q213/q216
-(backlog remainder) first, then the 29 r3-evidence queries, then r4's
-45 oldest — refreshing the most stale driver evidence each round.
+Round-10 rotation plan (recorded per r8 VERDICT item 6):
+q212/q213/q216 (backlog remainder) first, then the 29 r3-evidence
+queries, then r4's 45 oldest — refreshing the most stale driver
+evidence each round.
 """
 
 from __future__ import annotations
@@ -48,10 +52,16 @@ from airquality_data_pipeline_spark.queries import llmops3  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
-    # --- round-9 window: the 52 never-driver-checked queries
-    # (catalog minus the union of CORRECTNESS_r01-r08 keys),
-    # numeric order. The driver checks the first ~50; q213/q216
-    # spill to round 10. This drains the evidence backlog to 2.
+    # --- round-9 window, part 0: q220 was REWRITTEN this round
+    # (hot_key-sweep catch: DECIMAL(24,6) product casts diverge at
+    # high magnitude; now exact integer micro-unit statistics), so its
+    # r7 driver row predates its code — modified queries lead the
+    # window, same policy as r8.
+    "q220_cuped",
+    # --- part 1: the 52 never-driver-checked queries (catalog minus
+    # the union of CORRECTNESS_r01-r08 keys), numeric order. The
+    # driver checks the first ~50, so with q220 ahead q212/q213/q216
+    # spill to round 10 and the backlog drains to 3.
     "q149_pagerank",
     "q150_seasonal_anomaly",
     "q151_markov_transitions",
@@ -104,7 +114,8 @@ _PRIORITY = [
     "q212_survivorship",
     "q213_backtest_smape",
     "q216_tokenizer_fertility",
-    # ^^^ 52 never-checked entries end here (window = first 50).
+    # ^^^ the 52 never-checked entries end here (with q220 ahead,
+    # the ~50-entry driver window covers q220 + the first 49).
     # --- driver-green tail: latest evidence r3 (29 queries)
     "q02_filter_project",
     "q03_shipping_priority",
@@ -181,9 +192,9 @@ _PRIORITY = [
     "q123_source_calibration",
     "q124_leakage_free_split",
     "q125_token_budget_selection",
-    # --- driver-green tail: latest evidence r5 (38 queries)
+    # --- driver-green tail: latest evidence r5 (37 queries;
+    # q220 moved to the window head after its r9 rewrite)
     "q218_matryoshka_recall",
-    "q220_cuped",
     "q221_diff_in_diff",
     "q222_poisson_bootstrap",
     "q223_cohort_ltv",

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    roundq,
+    sql_roundq,
     table,
     utc,
 )
@@ -878,36 +880,47 @@ def q213_backtest_smape(spark, sf_dir):
 # theta = cov(x,y)/var(x) computed once globally, then per-variant
 # outcome variance before/after the adjustment
 # y' = y - theta*(x - mean_x). Everything reduces to one per-user
-# aggregate (two conditional sums) and decimal-exact sufficient
-# statistics; the adjusted variance uses the closed form
-# var(y') = var(y) - 2*theta*cov(x,y) + theta^2*var(x) so no second
-# pass over users is needed. Deterministic variant = user_id % 2.
+# aggregate (two conditional sums); the adjusted variance uses the
+# closed form var(y') = var(y) - 2*theta*cov(x,y) + theta^2*var(x) so
+# no second pass over users is needed. Deterministic variant =
+# user_id % 2.
+#
+# Exactness (hot_key x10 sweep catch): the sufficient statistics are
+# INTEGER micro-units end-to-end — per-user sums scale to 1e-6 BIGINT
+# exactly (decimal sums are exact, *1e6 is exact), products/sums stay
+# in DECIMAL(38,0)/HUGEINT integer arithmetic, and only the finished
+# statistics convert to double (integer->double conversion is
+# correctly rounded in both engines; the DuckDB decimal sum hops
+# through VARCHAR per the >17-digit rule). The previous shape cast
+# x*x (a double ~1e12) to DECIMAL(24,6), where x*x*1e6 >> 2^53 makes
+# Spark's exact-BigDecimal and DuckDB's scaled-float conversions
+# diverge — syy drifted ~100 ULPs and var_y flipped 1e-6 quanta.
+# Final outputs quantize on the shared floor grid (roundq); variance
+# denominators use try_divide to match DuckDB's NULL on /0.
 # --------------------------------------------------------------------------
 @register(
     "q220_cuped",
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
       SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
-             CAST(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
                       THEN CAST(value AS DECIMAL(18,6))
-                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR)
-                  AS DOUBLE) AS x,
-             CAST(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000
+                  AS BIGINT) AS xm,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
                       THEN CAST(value AS DECIMAL(18,6))
-                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR)
-                  AS DOUBLE) AS y
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000
+                  AS BIGINT) AS ym
       FROM events GROUP BY user_id
     ),
     gstats AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR)
-                  AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR)
-                  AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(x * x AS DECIMAL(24,6))) AS VARCHAR)
-                  AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(x * y AS DECIMAL(24,6))) AS VARCHAR)
-                  AS DOUBLE) AS sxy
+             CAST(CAST(SUM(xm) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(CAST(SUM(ym) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(CAST(SUM(CAST(xm AS HUGEINT) * xm) AS VARCHAR)
+                  AS DOUBLE) / 1000000000000.0 AS sxx,
+             CAST(CAST(SUM(CAST(xm AS HUGEINT) * ym) AS VARCHAR)
+                  AS DOUBLE) / 1000000000000.0 AS sxy
       FROM per_user
     ),
     theta AS (
@@ -917,28 +930,31 @@ def q213_backtest_smape(spark, sf_dir):
     ),
     cell AS (
       SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
-             CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR)
-                  AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR)
-                  AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(x * x AS DECIMAL(24,6))) AS VARCHAR)
-                  AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(y * y AS DECIMAL(24,6))) AS VARCHAR)
-                  AS DOUBLE) AS syy,
-             CAST(CAST(SUM(CAST(x * y AS DECIMAL(24,6))) AS VARCHAR)
-                  AS DOUBLE) AS sxy
+             CAST(CAST(SUM(xm) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(CAST(SUM(ym) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(CAST(SUM(CAST(xm AS HUGEINT) * xm) AS VARCHAR)
+                  AS DOUBLE) / 1000000000000.0 AS sxx,
+             CAST(CAST(SUM(CAST(ym AS HUGEINT) * ym) AS VARCHAR)
+                  AS DOUBLE) / 1000000000000.0 AS syy,
+             CAST(CAST(SUM(CAST(xm AS HUGEINT) * ym) AS VARCHAR)
+                  AS DOUBLE) / 1000000000000.0 AS sxy
       FROM per_user GROUP BY variant
     )
     SELECT c.variant, c.n_users,
-           round(c.sy / c.n_users, 6) AS mean_y,
-           round(c.sy / c.n_users - t.th * (c.sx / c.n_users - t.mx), 6)
+           -- shared guarded floor grid (sql_roundq): round() diverges
+           -- from Spark's exact-BigDecimal rounding once x*1e6
+           -- approaches 2^53 (var_y ~1.1e10 on the hot_key fixture)
+           {sql_roundq('c.sy / c.n_users')} AS mean_y,
+           {sql_roundq('c.sy / c.n_users'
+                       ' - t.th * (c.sx / c.n_users - t.mx)')}
              AS mean_y_adj,
-           round((c.syy - c.sy * c.sy / c.n_users) / (c.n_users - 1), 6)
-             AS var_y,
-           round(((c.syy - c.sy * c.sy / c.n_users)
-                  - 2 * t.th * (c.sxy - c.sx * c.sy / c.n_users)
-                  + t.th * t.th * (c.sxx - c.sx * c.sx / c.n_users))
-                 / (c.n_users - 1), 6) AS var_y_adj
+           {sql_roundq('(c.syy - c.sy * c.sy / c.n_users)'
+                       ' / (c.n_users - 1)')} AS var_y,
+           {sql_roundq('((c.syy - c.sy * c.sy / c.n_users)'
+                       ' - 2 * t.th * (c.sxy - c.sx * c.sy / c.n_users)'
+                       ' + t.th * t.th *'
+                       ' (c.sxx - c.sx * c.sx / c.n_users))'
+                       ' / (c.n_users - 1)')} AS var_y_adj
     FROM cell c, theta t
     """,
 )
@@ -947,63 +963,98 @@ def q220_cuped(spark, sf_dir):
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
     cutoff = F.lit("2024-01-16").cast("timestamp")
     zero = F.lit(0).cast("decimal(18,6)")
+    # per-user sums as exact 1e-6 BIGINT micro-units (decimal sum is
+    # exact; *1e6 stays decimal-exact; the cast truncates nothing)
     per_user = ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts") < cutoff, dec("value", 6)).otherwise(zero))
-        .cast("double")
-        .alias("x"),
-        F.sum(
-            F.when(F.col("ts") >= cutoff, dec("value", 6)).otherwise(zero)
+        (
+            F.sum(
+                F.when(F.col("ts") < cutoff, dec("value", 6)).otherwise(zero)
+            )
+            * 1000000
         )
-        .cast("double")
-        .alias("y"),
+        .cast("bigint")
+        .alias("xm"),
+        (
+            F.sum(
+                F.when(F.col("ts") >= cutoff, dec("value", 6)).otherwise(zero)
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("ym"),
     ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
 
-    def d24(c):
-        return c.cast("decimal(24,6)")
+    def d38(c):
+        # BIGINT -> DECIMAL(19,0): products run in exact integer
+        # decimal arithmetic (micro^2 units, values << 10^38)
+        return c.cast("decimal(19,0)")
+
+    def to_d(c, unit):
+        return (c.cast("double") / F.lit(unit))
 
     glob = per_user.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec("x", 6)).cast("double").alias("sx"),
-        F.sum(dec("y", 6)).cast("double").alias("sy"),
-        F.sum(d24(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(d24(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum("xm").alias("sxm"),
+        F.sum("ym").alias("sym"),
+        F.sum(d38(F.col("xm")) * d38(F.col("xm"))).alias("sxxm"),
+        F.sum(d38(F.col("xm")) * d38(F.col("ym"))).alias("sxym"),
+    ).select(
+        "n",
+        to_d(F.col("sxm"), 1e6).alias("sx"),
+        to_d(F.col("sym"), 1e6).alias("sy"),
+        to_d(F.col("sxxm"), 1e12).alias("sxx"),
+        to_d(F.col("sxym"), 1e12).alias("sxy"),
     )
     theta = glob.select(
         (F.col("sx") / F.col("n")).alias("mx"),
-        (
-            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        F.try_divide(
+            F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
+            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
         ).alias("th"),
     )
     cell = per_user.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(dec("x", 6)).cast("double").alias("sx"),
-        F.sum(dec("y", 6)).cast("double").alias("sy"),
-        F.sum(d24(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(d24(F.col("y") * F.col("y"))).cast("double").alias("syy"),
-        F.sum(d24(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum("xm").alias("sxm"),
+        F.sum("ym").alias("sym"),
+        F.sum(d38(F.col("xm")) * d38(F.col("xm"))).alias("sxxm"),
+        F.sum(d38(F.col("ym")) * d38(F.col("ym"))).alias("syym"),
+        F.sum(d38(F.col("xm")) * d38(F.col("ym"))).alias("sxym"),
+    ).select(
+        "variant",
+        "n_users",
+        to_d(F.col("sxm"), 1e6).alias("sx"),
+        to_d(F.col("sym"), 1e6).alias("sy"),
+        to_d(F.col("sxxm"), 1e12).alias("sxx"),
+        to_d(F.col("syym"), 1e12).alias("syy"),
+        to_d(F.col("sxym"), 1e12).alias("sxy"),
     )
     j = cell.crossJoin(F.broadcast(theta))
     nu = F.col("n_users")
-    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / nu) / (nu - 1)
+    var_y = F.try_divide(
+        F.col("syy") - F.col("sy") * F.col("sy") / nu, nu - 1
+    )
     cov = F.col("sxy") - F.col("sx") * F.col("sy") / nu
     var_x = F.col("sxx") - F.col("sx") * F.col("sx") / nu
-    var_adj = (
+    var_adj = F.try_divide(
         (F.col("syy") - F.col("sy") * F.col("sy") / nu)
         - 2 * F.col("th") * cov
-        + F.col("th") * F.col("th") * var_x
-    ) / (nu - 1)
+        + F.col("th") * F.col("th") * var_x,
+        nu - 1,
+    )
+    # shared floor grid for the final 1e-6 quantization (hot_key x10
+    # sweep catch: var_y ~1.1e10 made x*1e6 exceed 2^53, where Spark's
+    # exact-BigDecimal round and DuckDB's float round diverge in the
+    # trailing digits; mean_y drifted on the .5-boundary tie class)
     return j.select(
         "variant",
         "n_users",
-        F.round(F.col("sy") / nu, 6).alias("mean_y"),
-        F.round(
+        roundq(F.col("sy") / nu).alias("mean_y"),
+        roundq(
             F.col("sy") / nu
-            - F.col("th") * (F.col("sx") / nu - F.col("mx")),
-            6,
+            - F.col("th") * (F.col("sx") / nu - F.col("mx"))
         ).alias("mean_y_adj"),
-        F.round(var_y, 6).alias("var_y"),
-        F.round(var_adj, 6).alias("var_y_adj"),
+        roundq(var_y).alias("var_y"),
+        roundq(var_adj).alias("var_y_adj"),
     )
 
 

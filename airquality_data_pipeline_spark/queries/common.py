@@ -124,6 +124,48 @@ def sql_decq(expr: str, scale: int = 6) -> str:
     return f"CAST(floor(({expr}) * {10**scale}.0 + 0.5) AS HUGEINT)"
 
 
+def roundq(col: Column, scale: int = 6) -> Column:
+    """FINAL-value quantization of a continuous double on the shared
+    floor grid: floor(x*10^k + 0.5) / 10^k — the output-column twin of
+    decq() (which feeds sums). Use instead of F.round whenever the
+    value (a) can carry magnitude where x*10^k approaches/exceeds 2^53
+    — Spark's round converts through exact BigDecimal while DuckDB
+    rounds in float, so their trailing digits diverge (hot_key x10
+    sweep: q220's var_y at ~1.1e10 differed in the 16th digit) — or
+    (b) sits near a .5 boundary of the 10^-k grid (the decq tie
+    class). Same IEEE ops on both engines by construction; also kills
+    the -0.0 hazard (floor of a tiny negative + 0.5 is +0). The
+    double->long->double hop through F.floor is exact: any double with
+    |x| >= 2^53 is already an integer, and integers below 2^63 round-
+    trip through BIGINT bit-identically.
+
+    The |x| < 10^12 guard: Spark's floor(double) returns BIGINT, which
+    CLAMPS at Long.MAX once x*10^k exceeds 2^63 (observed: a 6.5e15
+    variance came back as Long.MAX/10^6). Past the guard x's ULP is
+    already >= 2^-12 > the 10^-k quantum, quantization is pure
+    pass-through on both engines, and the CASE keeps the expression
+    inside long-safe territory. NULL passes through (when() falls to
+    otherwise).
+
+    SQL twin: sql_roundq()."""
+    k = F.lit(float(10**scale))
+    return F.when(
+        F.abs(col) < F.lit(1e12),
+        F.floor(col * k + F.lit(0.5)).cast("double") / k,
+    ).otherwise(col)
+
+
+def sql_roundq(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of roundq(): floor stays in double there, which is
+    the same value the Spark BIGINT hop produces (see roundq); the
+    same |x| < 10^12 guard keeps the two engines piecewise-identical."""
+    return (
+        f"CASE WHEN abs({expr}) < 1000000000000.0 "
+        f"THEN floor(({expr}) * {10**scale}.0 + 0.5) / {10**scale}.0 "
+        f"ELSE ({expr}) END"
+    )
+
+
 def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
     """Order-independent double SUM (exact decimal accumulation)."""
     return F.sum(dec(col, scale)).cast("double").alias(alias)

@@ -206,3 +206,43 @@ def test_constant_ts_degeneracy_parity(name, spark, constant_ts_dir):
     col = "twa" if name == "q87_time_weighted_avg" else "slope"
     assert any(row[col] is None for row in rows)
     con.close()
+
+
+def test_q220_high_magnitude_product_parity(spark, tmp_path):
+    # hot_key-x10 sweep catch (r9): q220's sufficient statistics used
+    # CAST(x*x AS DECIMAL(24,6)) — for x ~ 1e6, x*x*1e6 >> 2^53, where
+    # Spark's exact-BigDecimal cast and DuckDB's scaled-float cast
+    # diverge by ~100 ULPs (syy drifted, var_y flipped 1e-6 quanta).
+    # The rewrite keeps everything in exact integer micro-units; this
+    # fixture concentrates extreme per-user magnitude (one user, huge
+    # values) so any reintroduced double->decimal hop diverges again.
+    import duckdb
+
+    n = 400
+    ts = np.array(
+        ["2024-01-10T00:00:00"] * (n // 2) + ["2024-01-20T00:00:00"] * (n // 2),
+        dtype="datetime64[us]",
+    )
+    users = np.array(([7] * (n - 20)) + list(range(10)) * 2, dtype="int64")
+    value = np.full(n, 999999.999999)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array(users),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(value),
+            "props": pa.array(["{}"] * n),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    probs = compare(
+        QUERIES["q220_cuped"](spark, str(tmp_path)),
+        con,
+        ORACLE["q220_cuped"],
+    )
+    assert probs == []
