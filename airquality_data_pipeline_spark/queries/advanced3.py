@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    roundq,
+    sql_roundq,
     table,
     utc,
 )
@@ -1064,15 +1066,22 @@ def q257_ushaped_attribution(spark, sf_dir):
 # action frequencies, target policy = a softmax (T=10) over each
 # action's average logged reward. Per-event importance weights
 # w = p_target/p_behavior come from a 5-row broadcast policy table;
-# w and w*r round to 6dp then decimal-sum, so both estimators are
-# fold-order independent. The per-action rollup carries the shared
+# w and w*r quantize to 6dp on the shared guarded floor grid
+# (roundq — the hot_key x30 sweep caught plain round() flipping
+# v_dr one quantum at a .5 boundary) then decimal-sum, so both
+# estimators are fold-order independent. The per-action rollup carries the shared
 # global estimates (constant per row). One fact scan + one bounded
 # policy table — the standard shape for evaluating a new routing/
 # serving policy against logs without deploying it.
 # --------------------------------------------------------------------------
 @register(
     "q258_offpolicy_eval",
-    oracle="""
+    # every round() of a CONTINUOUS quantity (quotients, exp, products
+    # with avg_r) sits on the shared guarded floor grid (sql_roundq):
+    # the hot_key x30 sweep caught v_dr flipping one 1e-6 quantum at a
+    # .5 boundary — the decq/roundq tie class. v_dm stays plain round:
+    # it sums already-6dp decimals, so it is grid-exact by construction.
+    oracle=f"""
     WITH ev AS (SELECT event_type AS action, value AS r FROM events),
     stats AS (
       SELECT action, count(*) AS n_a,
@@ -1084,25 +1093,25 @@ def q257_ushaped_attribution(spark, sf_dir):
     soft AS (
       SELECT action, n_a, avg_r,
              CAST(n_a AS DOUBLE) / n AS p_b,
-             round(exp(avg_r / 10), 6) AS e
+             {sql_roundq('exp(avg_r / 10)')} AS e
       FROM stats, tot
     ),
     z AS (SELECT CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE) AS z
           FROM soft),
     policy AS (
       SELECT action, n_a, avg_r, p_b,
-             round(e / z.z, 6) AS p_t,
-             round(round(e / z.z, 6) / p_b, 6) AS w
+             {sql_roundq('e / z.z')} AS p_t,
+             {sql_roundq(sql_roundq('e / z.z') + ' / p_b')} AS w
       FROM soft, z
     ),
     weighted AS (
       SELECT p.action, p.w,
-             round(p.w * ev.r, 6) AS wr,
-             round(p.w * (ev.r - p.avg_r), 6) AS wres
+             {sql_roundq('p.w * ev.r')} AS wr,
+             {sql_roundq('p.w * (ev.r - p.avg_r)')} AS wres
       FROM ev JOIN policy p ON ev.action = p.action
     ),
     dm AS (
-      SELECT CAST(SUM(CAST(round(p_t * avg_r, 6) AS DECIMAL(18,6)))
+      SELECT CAST(SUM(CAST({sql_roundq('p_t * avg_r')} AS DECIMAL(18,6)))
                   AS DOUBLE) AS v_dm
       FROM policy
     ),
@@ -1117,13 +1126,13 @@ def q257_ushaped_attribution(spark, sf_dir):
       FROM weighted
     )
     SELECT p.action, CAST(p.n_a AS BIGINT) AS n_a,
-           round(p.avg_r, 6) AS avg_reward,
-           round(p.p_b, 6) AS p_behavior,
+           {sql_roundq('p.avg_r')} AS avg_reward,
+           {sql_roundq('p.p_b')} AS p_behavior,
            p.p_t AS p_target, p.w AS importance_weight,
-           round(g.sum_wr / g.n_events, 6) AS v_ips,
-           round(g.sum_wr / g.sum_w, 6) AS v_snips,
+           {sql_roundq('g.sum_wr / g.n_events')} AS v_ips,
+           {sql_roundq('g.sum_wr / g.sum_w')} AS v_snips,
            round(d.v_dm, 6) AS v_dm,
-           round(d.v_dm + g.sum_wres / g.n_events, 6) AS v_dr
+           {sql_roundq('d.v_dm + g.sum_wres / g.n_events')} AS v_dr
     FROM policy p, gstats g, dm d
     """,
 )
@@ -1144,7 +1153,7 @@ def q258_offpolicy_eval(spark, sf_dir):
         "n_a",
         "avg_r",
         (F.col("n_a").cast("double") / F.col("n")).alias("p_b"),
-        F.round(F.exp(F.col("avg_r") / 10), 6).alias("e"),
+        roundq(F.exp(F.col("avg_r") / 10)).alias("e"),
     )
     z = soft.agg(F.sum(dec("e", 6)).cast("double").alias("z"))
     policy = soft.crossJoin(F.broadcast(z)).select(
@@ -1152,21 +1161,21 @@ def q258_offpolicy_eval(spark, sf_dir):
         "n_a",
         "avg_r",
         "p_b",
-        F.round(F.col("e") / F.col("z"), 6).alias("p_t"),
-        F.round(
-            F.round(F.col("e") / F.col("z"), 6) / F.col("p_b"), 6
+        roundq(F.col("e") / F.col("z")).alias("p_t"),
+        roundq(
+            roundq(F.col("e") / F.col("z")) / F.col("p_b")
         ).alias("w"),
     )
     weighted = ev.join(F.broadcast(policy), "action").select(
         "action",
         "w",
-        F.round(F.col("w") * F.col("r"), 6).alias("wr"),
-        F.round(F.col("w") * (F.col("r") - F.col("avg_r")), 6).alias(
+        roundq(F.col("w") * F.col("r")).alias("wr"),
+        roundq(F.col("w") * (F.col("r") - F.col("avg_r"))).alias(
             "wres"
         ),
     )
     dm = policy.agg(
-        F.sum(dec(F.round(F.col("p_t") * F.col("avg_r"), 6), 6))
+        F.sum(dec(roundq(F.col("p_t") * F.col("avg_r")), 6))
         .cast("double")
         .alias("v_dm")
     )
@@ -1182,15 +1191,15 @@ def q258_offpolicy_eval(spark, sf_dir):
         .select(
         "action",
         F.col("n_a").cast("long").alias("n_a"),
-        F.round("avg_r", 6).alias("avg_reward"),
-        F.round("p_b", 6).alias("p_behavior"),
+        roundq(F.col("avg_r")).alias("avg_reward"),
+        roundq(F.col("p_b")).alias("p_behavior"),
         F.col("p_t").alias("p_target"),
         F.col("w").alias("importance_weight"),
-        F.round(F.col("sum_wr") / F.col("n_events"), 6).alias("v_ips"),
-        F.round(F.col("sum_wr") / F.col("sum_w"), 6).alias("v_snips"),
+        roundq(F.col("sum_wr") / F.col("n_events")).alias("v_ips"),
+        roundq(F.col("sum_wr") / F.col("sum_w")).alias("v_snips"),
         F.round("v_dm", 6).alias("v_dm"),
-        F.round(
-            F.col("v_dm") + F.col("sum_wres") / F.col("n_events"), 6
+        roundq(
+            F.col("v_dm") + F.col("sum_wres") / F.col("n_events")
         ).alias("v_dr"),
     )
     )
