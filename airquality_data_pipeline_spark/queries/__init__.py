@@ -6,26 +6,28 @@ shared registry. Importing this package populates it.
 Registration order is deliberate: the external driver checks a ~50-entry
 prefix of the catalog each round, so _PRIORITY below puts the queries
 that most need a fresh CORRECTNESS row first. Round-9 order (catalog
-growth frozen): q220 leads (rewritten this round after the hot_key
-sweep caught its DECIMAL(24,6) product casts diverging at high
-magnitude — its r7 driver row predates the current code), then the 52
+growth frozen): q220 and q258 lead — both REWRITTEN this round after
+hot_key-axis sweeps caught cross-engine drift (q220: DECIMAL(24,6)
+product casts at high magnitude, now exact integer micro-units;
+q258: continuous round() .5-boundary ties, now the guarded floor
+grid), so their r5 driver rows predate the current code. Then the 52
 never-driver-checked queries — exactly the catalog minus the union of
 CORRECTNESS_r01–r08 keys, derived mechanically from the ledger (see
 git history for the generator), in numeric order q149..q216. The
-driver window is the first ~50, so q212/q213/q216 spill to round 10
-and the backlog drops 52 → 3. After the never-checked block: the
-driver-green tail ordered oldest-evidence first — r3 (29 queries, the
-q01–q05-era rows, 6 rounds stale; these lead the r10 refresh), then
-r4 (45), r5 (37 + q220 at the head), r7 (49), r8 (50);
-1+52+29+45+37+49+50 = 263. All 263 queries are locally parity-green
+driver window is the first ~50, so q211/q212/q213/q216 spill to
+round 10 and the backlog drops 52 → 4. After the never-checked block:
+the driver-green tail ordered oldest-evidence first — r3 (29 queries,
+the q01–q05-era rows, 6 rounds stale; these lead the r10 refresh),
+then r4 (45), r5 (36 + the 2 at the head), r7 (49), r8 (50);
+2+52+29+45+36+49+50 = 263. All 263 queries are locally parity-green
 at sf0.001/0.01/0.1 under the hostile replica
 (tests/test_oracle_parity.py); the window exists purely to convert
 local evidence into driver CORRECTNESS rows.
 
 Round-10 rotation plan (recorded per r8 VERDICT item 6):
-q212/q213/q216 (backlog remainder) first, then the 29 r3-evidence
-queries, then r4's 45 oldest — refreshing the most stale driver
-evidence each round.
+q211/q212/q213/q216 (backlog remainder) first, then the 29
+r3-evidence queries, then r4's 45 oldest — refreshing the most stale
+driver evidence each round.
 """
 
 from __future__ import annotations
@@ -52,16 +54,20 @@ from airquality_data_pipeline_spark.queries import llmops3  # noqa: E402,F401
 
 # Names the driver must check first this round (see module docstring).
 _PRIORITY = [
-    # --- round-9 window, part 0: q220 was REWRITTEN this round
-    # (hot_key-sweep catch: DECIMAL(24,6) product casts diverge at
-    # high magnitude; now exact integer micro-unit statistics), so its
-    # r7 driver row predates its code — modified queries lead the
-    # window, same policy as r8.
+    # --- round-9 window, part 0: queries REWRITTEN this round lead
+    # (modified-first, same policy as r8 — their latest driver rows,
+    # both r5, predate the current code). q220: hot_key-x10 catch,
+    # DECIMAL(24,6) product casts diverge at high magnitude, now exact
+    # integer micro-unit statistics. q258: hot_key-x30 catch, round()
+    # of continuous quotients ties at .5 boundaries, now on the
+    # guarded floor grid (roundq).
     "q220_cuped",
+    "q258_offpolicy_eval",
     # --- part 1: the 52 never-driver-checked queries (catalog minus
     # the union of CORRECTNESS_r01-r08 keys), numeric order. The
-    # driver checks the first ~50, so with q220 ahead q212/q213/q216
-    # spill to round 10 and the backlog drains to 3.
+    # driver checks the first ~50, so with q220/q258 ahead
+    # q211/q212/q213/q216 spill to round 10 and the backlog drains
+    # to 4 (docstring has the full arithmetic).
     "q149_pagerank",
     "q150_seasonal_anomaly",
     "q151_markov_transitions",
@@ -192,8 +198,8 @@ _PRIORITY = [
     "q123_source_calibration",
     "q124_leakage_free_split",
     "q125_token_budget_selection",
-    # --- driver-green tail: latest evidence r5 (37 queries;
-    # q220 moved to the window head after its r9 rewrite)
+    # --- driver-green tail: latest evidence r5 (36 queries;
+    # q220/q258 moved to the window head after their r9 rewrites)
     "q218_matryoshka_recall",
     "q221_diff_in_diff",
     "q222_poisson_bootstrap",
@@ -225,7 +231,6 @@ _PRIORITY = [
     "q255_rrf_fusion",
     "q256_temperature_sampling",
     "q257_ushaped_attribution",
-    "q258_offpolicy_eval",
     "q260_conformal_calibration",
     "q263_oof_target_encoding",
     "q265_blocklist_screen",
