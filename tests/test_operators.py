@@ -705,3 +705,25 @@ def test_product_quantize_seeds_reconstruct_exactly(spark, sf_dir):
         # legitimately reconstruct at 0
         assert r.recon_err >= 0.0
     assert any(r.recon_err > 0.0 for r in other)
+
+
+def test_priority_list_is_generated():
+    # _priority.py is generated by tools/gen_priority.py from the
+    # committed CORRECTNESS ledger; a hand edit (or a ledger update
+    # without regeneration) fails here. MODIFIED is this round's
+    # modified-after-last-green head, recorded in the generated file.
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.gen_priority import compute_priority, load_ledger
+
+    from airquality_data_pipeline_spark.queries import QUERIES
+    from airquality_data_pipeline_spark.queries._priority import (
+        MODIFIED,
+        PRIORITY,
+    )
+
+    expected = compute_priority(list(QUERIES), load_ledger(), MODIFIED)
+    assert PRIORITY == expected
+    assert sorted(PRIORITY) == sorted(QUERIES), "priority must cover catalog"
