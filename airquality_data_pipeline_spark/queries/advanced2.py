@@ -538,9 +538,10 @@ def q149_pagerank(spark, sf_dir):
         .select("src", "dst")
         .distinct()
     )
-    # the operator localCheckpoints edges+degrees once: without lineage
-    # truncation the unrolled plan re-derives the distinct+self-join
-    # edge build per iteration (measured 11.7 s -> 3.4 s at sf0.1)
+    # the operator localCheckpoints the (src, dst, deg) frame once:
+    # without the lineage cut the unrolled plan re-derives this
+    # distinct+self-join edge build per iteration (measured
+    # 11.7 s -> 3.4 s at sf0.1 when the cut was introduced)
     r = pagerank_fixed_point(e, iterations=3, scale=_PR_SCALE)
     # rank_permille is the RAW division of the shared fixed-point
     # integer — bit-identical across engines. A round(.., 8) here once

@@ -160,12 +160,16 @@ def test_catalog_wide_no_global_window_over_fact_scan(spark, sf_dir):
 #   - merges/diffs of two fact-scale batches (q26/q27/q93/q162),
 #   - full-outer over two fact tables (q81),
 #   - graph edge-edge joins (q157 triangles, q206 k-hop frontier),
+#   - pagerank's per-iteration rank-onto-edges join (q149 — both
+#     sides node/edge-cardinality; the r9 forced broadcast was the
+#     round's `weak`, the de-broadcast SMJ is the fix),
 #   - retrieval postings joins over the fact-scale tf table
 #     (q254/q255).
 # At runtime AQE still converts any side that turns out small to a
 # broadcast. The set is identical at sf0.001 and sf0.01 (census r6).
 _SMJ_WHITELIST = {
     "q112_jaccard_estimate",
+    "q149_pagerank",
     "q115_ann_recall",
     "q120_dedup_pipeline",
     "q124_leakage_free_split",
@@ -309,3 +313,37 @@ def test_schema_cache_invalidated_on_fixture_regen(spark, tmp_path):
         "id AS a", "CAST(id AS STRING) AS b"
     ).toPandas().to_parquet(f"{d}/regen.parquet")
     assert table(spark, d, "regen").columns == ["a", "b"]
+
+
+def test_pagerank_iteration_join_not_forced_broadcast(spark):
+    # r9 verdict `weak`: pagerank_fixed_point forced F.broadcast on the
+    # node-scale rank/degree frames inside the power iteration — an
+    # executor OOM at 10^8+ nodes and an override of AQE's judgment.
+    # Guard the fixed layout: the ONLY broadcast hints left in the
+    # analyzed plan are the 1-row node-count aggregates (their child is
+    # the global count(1) AS n), so the iteration join is free for AQE
+    # to plan by size — broadcast while the rank vector fits, shuffle
+    # join at fact scale.
+    from airquality_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 2)],
+        "src long, dst long",
+    )
+    r = pagerank_fixed_point(e, iterations=2)
+    lines = r._jdf.queryExecution().analyzed().toString().splitlines()
+    hints = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert hints, "expected the scalar node-count broadcasts to remain"
+    for i in hints:
+        child = lines[i + 1]
+        assert "Aggregate" in child and " AS n#" in child, (
+            f"broadcast hint over a non-scalar frame:\n{child}\n"
+            "pagerank must not force-broadcast node-scale rank/degree"
+        )
+    physical = r._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in physical, (
+        "edge+degree frame must be localCheckpoint-materialized once "
+        "(lineage cut), not re-derived per unrolled iteration"
+    )
