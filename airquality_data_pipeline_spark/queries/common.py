@@ -47,6 +47,18 @@ def _fingerprint(path: str) -> tuple:
 
     try:
         st = os.stat(path)
+        if os.path.isdir(path):
+            # Spark-written directory layout: an in-place part-file
+            # rewrite may not touch the directory's own (mtime, size),
+            # so fingerprint the newest contained file instead
+            # (r9 ADVICE). Today's fixtures are single files; this is
+            # the forward-proofing branch.
+            newest = max(
+                (os.stat(os.path.join(path, f)) for f in os.listdir(path)),
+                key=lambda s: s.st_mtime_ns,
+                default=st,
+            )
+            return (newest.st_mtime_ns, newest.st_size)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
         # missing/unstatable path: let spark.read raise the real error
@@ -58,6 +70,12 @@ def _read_parquet(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (sf_dir, name, _fingerprint(path))
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
+        # evict superseded fingerprints for the same table so repeated
+        # fixture regens can't grow the cache unboundedly (r9 ADVICE)
+        for stale in [
+            k for k in _SCHEMA_CACHE if k[0] == sf_dir and k[1] == name
+        ]:
+            del _SCHEMA_CACHE[stale]
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[key] = df.schema
         return df
@@ -139,28 +157,45 @@ def roundq(col: Column, scale: int = 6) -> Column:
     |x| >= 2^53 is already an integer, and integers below 2^63 round-
     trip through BIGINT bit-identically.
 
-    The |x| < 10^12 guard: Spark's floor(double) returns BIGINT, which
+    The magnitude guard: Spark's floor(double) returns BIGINT, which
     CLAMPS at Long.MAX once x*10^k exceeds 2^63 (observed: a 6.5e15
     variance came back as Long.MAX/10^6). Past the guard x's ULP is
-    already >= 2^-12 > the 10^-k quantum, quantization is pure
+    already larger than the 10^-k quantum, quantization is pure
     pass-through on both engines, and the CASE keeps the expression
-    inside long-safe territory. NULL passes through (when() falls to
-    otherwise).
+    inside long-safe territory. The threshold is derived from scale —
+    min(10^12, 9e18/10^scale) — so a scale >= 9 caller can't re-enter
+    the clamp regime the guard exists to avoid (r9 ADVICE); at the
+    default scale 6 it is exactly the historical 10^12. NULL passes
+    through (when() falls to otherwise).
+
+    OUTPUT CONTRACT (also mirrored in PLANS.md): a roundq'd column is
+    quantized to `scale` decimals only while |x| < the guard
+    threshold; above it the RAW double passes through on both engines.
+    Consumers hashing or re-rounding these columns must not assume a
+    fixed decimal grid at high magnitude.
 
     SQL twin: sql_roundq()."""
     k = F.lit(float(10**scale))
     return F.when(
-        F.abs(col) < F.lit(1e12),
+        F.abs(col) < F.lit(_roundq_guard(scale)),
         F.floor(col * k + F.lit(0.5)).cast("double") / k,
     ).otherwise(col)
+
+
+def _roundq_guard(scale: int) -> float:
+    """Shared roundq/sql_roundq magnitude threshold: the historical
+    10^12 pass-through point, shrunk when scale would push x*10^k past
+    long-safe territory (2^63 ~ 9.22e18; 9e18 leaves the +0.5 slack)."""
+    return min(1.0e12, 9.0e18 / 10**scale)
 
 
 def sql_roundq(expr: str, scale: int = 6) -> str:
     """DuckDB twin of roundq(): floor stays in double there, which is
     the same value the Spark BIGINT hop produces (see roundq); the
-    same |x| < 10^12 guard keeps the two engines piecewise-identical."""
+    same scale-derived magnitude guard keeps the two engines
+    piecewise-identical."""
     return (
-        f"CASE WHEN abs({expr}) < 1000000000000.0 "
+        f"CASE WHEN abs({expr}) < {_roundq_guard(scale)!r} "
         f"THEN floor(({expr}) * {10**scale}.0 + 0.5) / {10**scale}.0 "
         f"ELSE ({expr}) END"
     )

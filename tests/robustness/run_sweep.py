@@ -99,6 +99,12 @@ def main(
     from tests.oracle_utils import compare_bounded
 
     fails, empties = 0, []
+    # ENVELOPE = value-parity NOT verified this sweep (referee or both
+    # engines exceeded the box). Tracked explicitly so rounds can't
+    # quietly accumulate permanently-unverified queries (r9 ADVICE):
+    # the list lands in the RESULT line and a JSON sidecar next to the
+    # fixture; record it in ROADMAP with every sweep.
+    envelopes: list[str] = []
     t0 = time.time()
     for name in sorted(qs):
         if only and name not in only:
@@ -157,12 +163,14 @@ def main(
                             f"fixture (duck: {msg[:120]} | spark: "
                             f"{emsg[:120]})"
                         )
+                        envelopes.append(name)
                         continue
                     print(
                         f"ENVELOPE {name}: engine completed "
                         f"({n_engine} rows); DuckDB referee exceeded "
                         f"machine resources: {msg[:200]}"
                     )
+                    envelopes.append(name)
                     continue
                 fails += bool(probs)
                 if probs:
@@ -178,6 +186,12 @@ def main(
     if empties:
         print("ROWS-ONLY EMPTIES:", empties)
     verdict = "ALL MATCH" if fails == 0 else f"{fails} FAILURES"
+    if envelopes:
+        verdict += f" + {len(envelopes)} ENVELOPE {sorted(envelopes)}"
+        import json
+
+        with open(os.path.join(sfdir, "envelopes.json"), "w") as fh:
+            json.dump({"tag": tag, "envelopes": sorted(envelopes)}, fh)
     print(
         f"RESULT seed={seed} scale={scale:g} axis={axis}: {verdict} "
         f"({time.time() - t0:.0f}s, {len(qs)} queries)"

@@ -313,6 +313,16 @@ def test_schema_cache_invalidated_on_fixture_regen(spark, tmp_path):
         "id AS a", "CAST(id AS STRING) AS b"
     ).toPandas().to_parquet(f"{d}/regen.parquet")
     assert table(spark, d, "regen").columns == ["a", "b"]
+    # r9 ADVICE: superseded fingerprints for the same (sf_dir, name)
+    # are evicted on miss — repeated regens must not grow the cache
+    from airquality_data_pipeline_spark.queries.common import (
+        _SCHEMA_CACHE,
+    )
+
+    entries = [
+        k for k in _SCHEMA_CACHE if k[0] == d and k[1] == "regen"
+    ]
+    assert len(entries) == 1, entries
 
 
 def test_pagerank_iteration_join_not_forced_broadcast(spark):
