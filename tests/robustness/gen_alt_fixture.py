@@ -67,11 +67,28 @@ def generate(
         AQE skew-join path (q55) and salted aggregates exist for;
         per-group statistics must stay exact when one group dwarfs
         the rest and the others thin out to a handful of rows.
+      - "negative_mass" (r9 verdict item 5): the bulk of the generic
+        metric columns goes NEGATIVE — events.value 70% negative,
+        c_acctbal 90% negative, s_acctbal all negative, o_totalprice
+        30% negative. Values < 0 stress every log/sqrt/ratio guard
+        (ANSI Spark throws or yields NaN where DuckDB may yield
+        NULL/NaN with different sign conventions) the same way
+        hot_key stressed magnitude.
+
+    Axes COMBINE with "+" (r9 verdict item 5: run the scaled x10/x30
+    variants on the other axes' worst combinations), e.g.
+    "hot_key+constant_ts": each named axis applies independently; the
+    writes are orthogonal by construction (each axis touches disjoint
+    columns, except all_ties+negative_mass where all_ties wins on the
+    tied columns since constants are applied last below).
     """
-    if axis not in (
-        None, "all_ties", "single_lang", "constant_ts", "hot_key"
-    ):
-        raise ValueError(f"unknown axis {axis!r}")
+    axes = set(axis.split("+")) if axis else set()
+    unknown = axes - {
+        "all_ties", "single_lang", "constant_ts", "hot_key",
+        "negative_mass",
+    }
+    if unknown:
+        raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
 
@@ -107,8 +124,11 @@ def generate(
         # (all_ties axis: ONE value)
         "c_acctbal": pa.array(
             np.full(n_cust, 1250.0)
-            if axis == "all_ties"
-            else np.round(rng.integers(-20, 200, n_cust) * 50.0, 2)
+            if "all_ties" in axes
+            # negative_mass: ~90% of balances < 0
+            else np.round(rng.integers(
+                *((-180, 20) if "negative_mass" in axes else (-20, 200)),
+                n_cust) * 50.0, 2)
         ),
         "c_mktsegment": pa.array(rng.choice(segs, n_cust)),
     }))
@@ -117,7 +137,10 @@ def generate(
         "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
         "s_name": pa.array([f"Supplier#{i:09d}" for i in range(1, n_supp + 1)]),
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype("int32")),
-        "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_supp), 2)),
+        "s_acctbal": pa.array(np.round(
+            rng.uniform(-9999, -1, n_supp)
+            if "negative_mass" in axes
+            else rng.uniform(-999, 9999, n_supp), 2)),
     }))
 
     brands = [f"Brand#{b}" for b in (10, 11, 12, 13, 14, 15, 21, 22, 23, 24, 25, 31, 32, 33, 34, 35)]
@@ -137,26 +160,29 @@ def generate(
     prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
     base = np.datetime64("1995-01-01", "us")
     odate = base + (rng.integers(0, 2400, n_ord) * np.int64(86400_000_000)).astype("timedelta64[us]")
-    if axis == "constant_ts":
+    if "constant_ts" in axes:
         odate = np.full(n_ord, base + np.int64(500) * np.timedelta64(86400_000_000, "us"))
     # skew: first customer takes ~10% of orders (hot_key axis: ~90%)
     ocust = rng.integers(1, n_cust + 1, n_ord)
-    ocust[: (9 * n_ord // 10 if axis == "hot_key" else n_ord // 10)] = 1
+    ocust[: (9 * n_ord // 10 if "hot_key" in axes else n_ord // 10)] = 1
     write("orders", pa.table({
         "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
         "o_custkey": pa.array(ocust, pa.int64()),
         "o_orderstatus": pa.array(statuses[rng.integers(0, 3, n_ord)]),
         "o_totalprice": pa.array(
             np.full(n_ord, 5000.5)
-            if axis == "all_ties"
-            else np.round(rng.integers(1, 400, n_ord) * 77.0 + 0.5, 2)
+            if "all_ties" in axes
+            # negative_mass: ~30% of order totals < 0
+            else np.round(rng.integers(
+                *((-120, 280) if "negative_mass" in axes else (1, 400)),
+                n_ord) * 77.0 + 0.5, 2)
         ),
         "o_orderdate": pa.array(odate),
         "o_orderpriority": pa.array(prios[rng.integers(0, 5, n_ord)]),
     }))
 
     lidate = base + (rng.integers(0, 2500, n_li) * np.int64(86400_000_000)).astype("timedelta64[us]")
-    if axis == "constant_ts":
+    if "constant_ts" in axes:
         lidate = np.full(n_li, base + np.int64(530) * np.timedelta64(86400_000_000, "us"))
     # hot_key axis: order 1 / part 1 / supplier 1 each soak up ~90% of
     # lineitems (contiguous prefix — the same rows are hot on every
@@ -164,7 +190,7 @@ def generate(
     lord = rng.integers(1, n_ord + 1, n_li)
     lpart = rng.integers(1, n_part + 1, n_li)
     lsupp = rng.integers(1, n_supp + 1, n_li)
-    if axis == "hot_key":
+    if "hot_key" in axes:
         hot = 9 * n_li // 10
         lord[:hot], lpart[:hot], lsupp[:hot] = 1, 1, 1
     write("lineitem", pa.table({
@@ -176,12 +202,12 @@ def generate(
         # all_ties axis: the whole column is ONE value
         "l_quantity": pa.array(
             np.full(n_li, 5.0)
-            if axis == "all_ties"
+            if "all_ties" in axes
             else rng.integers(1, 11, n_li).astype("float64")
         ),
         "l_extendedprice": pa.array(
             np.full(n_li, 1100.0)
-            if axis == "all_ties"
+            if "all_ties" in axes
             else np.round(rng.integers(10, 1000, n_li) * 11.0, 2)
         ),
         "l_discount": pa.array(rng.integers(0, 11, n_li) / 100.0),
@@ -196,10 +222,10 @@ def generate(
     ev_types = np.array(["view", "click", "purchase", "signup", "error"])
     ebase = np.datetime64("2024-01-01T00:00:00", "us")
     ets = ebase + rng.integers(0, 30 * 86400 * 10**6, n_ev).astype("timedelta64[us]")
-    if axis == "constant_ts":
+    if "constant_ts" in axes:
         ets = np.full(n_ev, ebase + np.timedelta64(12 * 86400 * 10**6, "us"))
     users = rng.integers(0, 40, n_ev)
-    users[: int(n_ev * (0.9 if axis == "hot_key" else 0.3))] = 7  # hot key
+    users[: int(n_ev * (0.9 if "hot_key" in axes else 0.3))] = 7  # hot key
     write("events", pa.table({
         "event_id": pa.array(range(1, n_ev + 1), pa.int64()),
         "ts": pa.array(np.sort(ets)),
@@ -207,8 +233,12 @@ def generate(
         "event_type": pa.array(ev_types[rng.integers(0, 5, n_ev)]),
         "value": pa.array(
             np.full(n_ev, 12.5)
-            if axis == "all_ties"
-            else np.round(rng.integers(0, 20, n_ev) * 12.5, 2)
+            if "all_ties" in axes
+            # negative_mass: ~70% of event values < 0 (the generic
+            # metric column every stats query aggregates)
+            else np.round(rng.integers(
+                *((-14, 6) if "negative_mass" in axes else (0, 20)),
+                n_ev) * 12.5, 2)
         ),
         "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
     }))
@@ -216,7 +246,7 @@ def generate(
     # --- documents: English-heavy (q214 infeasible regime), natural dups
     langs = np.array(["en", "de", "fr", "es", "zh"])
     lang_p = np.array([0.72, 0.07, 0.07, 0.07, 0.07])
-    if axis == "single_lang":
+    if "single_lang" in axes:
         lang_p = np.array([1.0, 0.0, 0.0, 0.0, 0.0])
     texts, lang_col = [], []
     for i in range(n_doc):
@@ -248,7 +278,7 @@ def generate(
         texts[45] = "café naïve résumé Zürich façade coöperate"
         texts[46] = "数据 处理 引擎 测试 🚀 emoji 混合 text"
     src_ids = rng.integers(0, 12, n_doc)
-    if axis == "hot_key":
+    if "hot_key" in axes:
         src_ids[: 9 * n_doc // 10] = 0
     write("documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),

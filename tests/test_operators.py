@@ -720,10 +720,13 @@ def test_priority_list_is_generated():
 
     from airquality_data_pipeline_spark.queries import QUERIES
     from airquality_data_pipeline_spark.queries._priority import (
+        LEDGER_FILES,
         MODIFIED,
         PRIORITY,
     )
 
-    expected = compute_priority(list(QUERIES), load_ledger(), MODIFIED)
+    expected = compute_priority(
+        list(QUERIES), load_ledger(files=LEDGER_FILES), MODIFIED
+    )
     assert PRIORITY == expected
     assert sorted(PRIORITY) == sorted(QUERIES), "priority must cover catalog"

@@ -54,10 +54,19 @@ def _numeric_key(name: str) -> tuple[int, str]:
     return (int(m.group(1)) if m else 10**9, name)
 
 
-def load_ledger(root: str = REPO_ROOT) -> dict[str, int]:
-    """Latest *green* round per query from CORRECTNESS_r*.json files."""
+def load_ledger(
+    root: str = REPO_ROOT, files: list[str] | None = None
+) -> dict[str, int]:
+    """Latest *green* round per query from CORRECTNESS_r*.json files.
+
+    `files` restricts to a recorded snapshot (basenames) — the pin
+    test passes the LEDGER_FILES list captured in the generated file,
+    so a NEW round's record landing mid-round doesn't retroactively
+    fail the pin; the next regeneration picks it up."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        if files is not None and os.path.basename(path) not in files:
+            continue
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
@@ -100,19 +109,28 @@ def compute_priority(
     return [*modified, *never, *rest]
 
 
-def render(priority: list[str], modified: list[str]) -> str:
+def render(
+    priority: list[str], modified: list[str], ledger_files: list[str]
+) -> str:
     lines = [
         '"""Driver-window priority order — GENERATED, do not hand-edit.',
         "",
         "Regenerate with ``python tools/gen_priority.py`` (see that module",
         "for the ordering policy).  ``MODIFIED`` records the queries whose",
         "code changed after their latest green driver row this round; they",
-        "lead the window.  The suite asserts this file matches the",
-        "generator output for the committed CORRECTNESS ledger.",
+        "lead the window.  ``LEDGER_FILES`` snapshots which CORRECTNESS",
+        "records this order was derived from, so a new round's record",
+        "landing mid-round doesn't retroactively fail the pin test.  The",
+        "suite asserts this file matches the generator output for exactly",
+        "that snapshot.",
         '"""',
         "",
         "MODIFIED = [",
         *(f'    "{n}",' for n in modified),
+        "]",
+        "",
+        "LEDGER_FILES = [",
+        *(f'    "{n}",' for n in ledger_files),
         "]",
         "",
         "PRIORITY = [",
@@ -137,9 +155,15 @@ def main() -> None:
     # delete the stale line from _priority.py by hand, then regenerate.
     from airquality_data_pipeline_spark.queries import QUERIES
 
-    priority = compute_priority(list(QUERIES), load_ledger(), args.modified)
+    ledger_files = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))
+    )
+    priority = compute_priority(
+        list(QUERIES), load_ledger(files=ledger_files), args.modified
+    )
     with open(GENERATED, "w") as fh:
-        fh.write(render(priority, list(args.modified)))
+        fh.write(render(priority, list(args.modified), ledger_files))
     print(f"wrote {GENERATED}: {len(priority)} names, head={priority[:6]}")
 
 
