@@ -357,3 +357,56 @@ def test_pagerank_iteration_join_not_forced_broadcast(spark):
         "edge+degree frame must be localCheckpoint-materialized once "
         "(lineage cut), not re-derived per unrolled iteration"
     )
+
+
+_HINT_SHRINK = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
+_FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def _hint_reaches_fact_relation(node):
+    name = node.nodeName()
+    if any(name.startswith(s) for s in _HINT_SHRINK):
+        return None
+    if name in ("LogicalRelation", "Relation"):
+        head = node.toString().splitlines()[0]
+        for f in _FACT_TABLES:
+            if f + ".parquet" in head:
+                return f
+        return None
+    for i in range(node.children().size()):
+        hit = _hint_reaches_fact_relation(node.children().apply(i))
+        if hit:
+            return hit
+    return None
+
+
+def _find_fact_broadcast_hints(node, out):
+    if "ResolvedHint" in node.nodeName():
+        hit = _hint_reaches_fact_relation(node)
+        if hit:
+            out.append(hit)
+    for i in range(node.children().size()):
+        _find_fact_broadcast_hints(node.children().apply(i), out)
+
+
+def test_catalog_wide_no_broadcast_hint_over_fact_subtree(spark, sf_dir):
+    # The q149 regression class, ratcheted catalog-wide: a FORCED
+    # F.broadcast hint whose subtree reaches a fact-table relation
+    # with no aggregate/limit shrink in between overrides AQE's
+    # size-based judgment and becomes an executor OOM at 100 TB.
+    # Catalyst's own size-based broadcasts are fine (they flip to
+    # shuffle joins when the stats grow); dimension-table and
+    # aggregate-bounded hints are fine (bounded by construction).
+    # Logical-plan walk, plan-build only, no execution.
+    offenders = {}
+    for name, fn in QUERIES.items():
+        bad = []
+        _find_fact_broadcast_hints(
+            fn(spark, sf_dir)._jdf.queryExecution().analyzed(), bad
+        )
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "forced broadcast hint over an unshrunk fact scan — drop the "
+        f"hint and let AQE plan the join by size: {offenders}"
+    )
