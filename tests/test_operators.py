@@ -730,3 +730,28 @@ def test_priority_list_is_generated():
     )
     assert PRIORITY == expected
     assert sorted(PRIORITY) == sorted(QUERIES), "priority must cover catalog"
+
+
+def test_compute_priority_ordering_invariants():
+    # pure-unit coverage of the rotation policy: modified head (given
+    # order), then never-green numeric order, then ascending
+    # latest-evidence round with numeric tie-break; output is always a
+    # permutation of the catalog; unknown modified names are rejected.
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.gen_priority import compute_priority
+
+    catalog = ["q2_b", "q10_a", "q1_a", "q3_c", "q7_d"]
+    ledger = {"q1_a": 4, "q10_a": 3, "q3_c": 4}
+    out = compute_priority(catalog, ledger, modified=["q3_c"])
+    assert out == ["q3_c", "q2_b", "q7_d", "q10_a", "q1_a"]
+    assert sorted(out) == sorted(catalog)
+    # without a modified head, never-green still sorts numerically
+    out2 = compute_priority(catalog, ledger)
+    assert out2 == ["q2_b", "q7_d", "q10_a", "q1_a", "q3_c"]
+    with _pytest.raises(ValueError):
+        compute_priority(catalog, ledger, modified=["q99_zz"])
