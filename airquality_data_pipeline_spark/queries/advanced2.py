@@ -863,18 +863,27 @@ def q153_stratified_kfold(spark, sf_dir):
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(p.p05, 6) AS p05_r,
-           round(p.p95, 6) AS p95_r,
+           {p05_rq} AS p05_r,
+           {p95_rq} AS p95_r,
            CAST(SUM(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clip_lo,
            CAST(SUM(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clip_hi,
-           round(CAST(CAST(SUM(CAST(least(greatest(e.value, p.p05), p.p95)
-                                    AS DECIMAL(18,6))) AS VARCHAR)
-                      AS DOUBLE) / count(*), 6) AS mean_winsorized
+           {mean_rq} AS mean_winsorized
     FROM events e JOIN p USING (event_type)
     GROUP BY e.event_type, p.p05, p.p95
-    """,
+    """.format(
+        # guarded floor grid (roundq): interpolated percentiles and
+        # mean-of-decimals are small-denominator rationals on the 1e-6
+        # grid — plain round() ties at .5 boundaries cross-engine (the
+        # r10 hot_key+all_ties x30 q225 catch generalized)
+        p05_rq=sql_roundq("p.p05"),
+        p95_rq=sql_roundq("p.p95"),
+        mean_rq=sql_roundq(
+            "CAST(CAST(SUM(CAST(least(greatest(e.value, p.p05), p.p95)"
+            " AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*)"
+        ),
+    ),
 )
 def q154_winsorized_scaling(spark, sf_dir):
     utc(spark)
@@ -893,13 +902,14 @@ def q154_winsorized_scaling(spark, sf_dir):
         F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
         .cast("long")
         .alias("n_clip_hi"),
-        F.round(F.sum(dec(clipped, 6)).cast("double") / F.count(F.lit(1)), 6)
-        .alias("mean_winsorized"),
+        roundq(
+            F.sum(dec(clipped, 6)).cast("double") / F.count(F.lit(1))
+        ).alias("mean_winsorized"),
     ).select(
         "event_type",
         "n",
-        F.round("p05", 6).alias("p05_r"),
-        F.round("p95", 6).alias("p95_r"),
+        roundq(F.col("p05")).alias("p05_r"),
+        roundq(F.col("p95")).alias("p95_r"),
         "n_clip_lo",
         "n_clip_hi",
         "mean_winsorized",
@@ -2990,12 +3000,15 @@ def q177_interevent_fit(spark, sf_dir):
       FROM expl GROUP BY dim
     )
     SELECT dim, n,
-           round(sx / n, 6) + 0.0 AS mean,
+           -- mean is a small-denominator rational (k / (100 * n) on
+           -- the 1e-6 grid): guarded floor grid, not round() (r10
+           -- q225-class); std is sqrt-derived — tie-free, round() ok
+           {mean_rq} AS mean,
            round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std,
            sqrt((sxx - sx * sx / n) / (n - 1)) < 0.5 AS collapsed,
            abs(sx / n) > 0.1 AS biased
     FROM s
-    """,
+    """.format(mean_rq=sql_roundq("sx / n")),
 )
 def q178_embedding_dim_stats(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select(
@@ -3032,7 +3045,7 @@ def q178_embedding_dim_stats(spark, sf_dir):
     return s.select(
         "dim",
         "n",
-        (F.round(mean, 6) + F.lit(0.0)).alias("mean"),
+        roundq(mean).alias("mean"),
         F.round(std, 6).alias("std"),
         (std < 0.5).alias("collapsed"),
         (F.abs(mean) > 0.1).alias("biased"),

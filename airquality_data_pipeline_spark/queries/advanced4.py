@@ -1474,11 +1474,15 @@ def q224_negative_sampling(spark, sf_dir):
              CAST(SUM(dt) AS DOUBLE) / count(*) AS seasonal
       FROM det GROUP BY dow
     )
-    SELECT det.d, det.v, round(det.trend, 6) AS trend,
-           round(s.seasonal, 6) + 0.0 AS seasonal,
-           round(CAST(det.dt AS DOUBLE) - s.seasonal, 6) + 0.0 AS residual
+    SELECT det.d, det.v, {trend_rq} AS trend,
+           {seasonal_rq} AS seasonal,
+           {residual_rq} AS residual
     FROM det JOIN seas s ON det.dow = s.dow
-    """,
+    """.format(
+        trend_rq=sql_roundq("det.trend"),
+        seasonal_rq=sql_roundq("s.seasonal"),
+        residual_rq=sql_roundq("CAST(det.dt AS DOUBLE) - s.seasonal"),
+    ),
 )
 def q225_seasonal_decompose(spark, sf_dir):
     utc(spark)
@@ -1508,19 +1512,22 @@ def q225_seasonal_decompose(spark, sf_dir):
         (F.sum("dt").cast("double") / F.count(F.lit(1))).alias("seasonal")
     )
     j = det.join(F.broadcast(seas), "dow")
-    # + 0.0 normalizes -0.0 -> 0.0: DuckDB's round keeps the sign of a
-    # tiny negative (-1e-14 -> -0.0) while Spark's round drops it; the
-    # signable components must normalize on BOTH engines (alt-seed
-    # sweep seed3 x0.25 caught the '-0.0' vs '0.0' hash split).
+    # Final roundings on the shared guarded floor grid (roundq): the
+    # hot_key+all_ties x30 sweep caught residual = dt - seasonal
+    # landing on a .5 boundary of the 1e-6 grid (dt is grid-exact
+    # DECIMAL(18,6), seasonal a continuous quotient), where Spark's
+    # BigDecimal HALF_UP and DuckDB's float-space round diverge by one
+    # quantum ('33.035715' vs '33.035714'). roundq is the same IEEE
+    # ops on both engines and also normalizes -0.0 (the seed3 x0.25
+    # catch that previously needed the + 0.0 idiom).
     return j.select(
         "d",
         "v",
-        F.round("trend", 6).alias("trend"),
-        (F.round("seasonal", 6) + F.lit(0.0)).alias("seasonal"),
-        (
-            F.round(F.col("dt").cast("double") - F.col("seasonal"), 6)
-            + F.lit(0.0)
-        ).alias("residual"),
+        roundq(F.col("trend")).alias("trend"),
+        roundq(F.col("seasonal")).alias("seasonal"),
+        roundq(F.col("dt").cast("double") - F.col("seasonal")).alias(
+            "residual"
+        ),
     )
 
 
