@@ -24,6 +24,8 @@ from airquality_data_pipeline_spark.operators.dedup import shingle_array
 from airquality_data_pipeline_spark.queries.common import (
     dec,
     decq,
+    roundq,
+    sql_roundq,
     table,
     utc,
 )
