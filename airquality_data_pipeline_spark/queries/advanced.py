@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    roundq,
+    sql_roundq,
     table,
     ts_ms,
     utc,
@@ -495,7 +497,7 @@ def q98_sequence_packing(spark, sf_dir):
     ),
     total AS (SELECT count(DISTINCT user_id) AS n FROM events)
     SELECT s.stage_name, s.n_users,
-           round(s.n_users / total.n::DOUBLE, 6) AS share_of_users
+           {share_rq} AS share_of_users
     FROM (
       SELECT 'view' AS stage_name, count(*) AS n_users
       FROM stages WHERE stage >= 1
@@ -504,7 +506,10 @@ def q98_sequence_packing(spark, sf_dir):
       UNION ALL
       SELECT 'view>click>purchase', count(*) FROM stages WHERE stage >= 3
     ) s, total
-    """,
+    """.format(
+        # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
+        share_rq=sql_roundq("s.n_users / total.n::DOUBLE"),
+    ),
 )
 def q139_funnel(spark, sf_dir):
     utc(spark)
@@ -564,7 +569,7 @@ def q139_funnel(spark, sf_dir):
     ).select(
         "stage_name",
         "n_users",
-        F.round(F.col("n_users") / F.col("n").cast("double"), 6).alias(
+        roundq(F.col("n_users") / F.col("n").cast("double")).alias(
             "share_of_users"
         ),
     )
@@ -734,12 +739,16 @@ def q141_zorder_layout(spark, sf_dir):
     )
     SELECT part_a, part_b, c_ab,
            ia.c AS c_a, ib.c AS c_b,
-           round((c_ab::DOUBLE * n.n_orders) / (ia.c * ib.c), 6) AS lift
+           {lift_rq} AS lift
     FROM pairs
     JOIN item ia ON pairs.part_a = ia.l_partkey
     JOIN item ib ON pairs.part_b = ib.l_partkey
     CROSS JOIN n
-    """,
+    """.format(
+        # lift = integer-count rational (.5-tie class): guarded floor
+        # grid (r10 q225 class)
+        lift_rq=sql_roundq("(c_ab::DOUBLE * n.n_orders) / (ia.c * ib.c)"),
+    ),
 )
 def q142_basket_lift(spark, sf_dir):
     utc(spark)
@@ -780,10 +789,9 @@ def q142_basket_lift(spark, sf_dir):
             "c_ab",
             "c_a",
             "c_b",
-            F.round(
+            roundq(
                 (F.col("c_ab").cast("double") * F.col("n_orders"))
-                / (F.col("c_a") * F.col("c_b")),
-                6,
+                / (F.col("c_a") * F.col("c_b"))
             ).alias("lift"),
         )
     )

@@ -67,12 +67,18 @@ from airquality_data_pipeline_spark.queries.registry import register
     SELECT doc_id,
            CAST(len(grams) AS BIGINT) AS n_grams,
            CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
-           round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-                 / len(grams), 6) AS dup_frac,
+           {dup_frac_rq} AS dup_frac,
            (len(grams) - len(list_distinct(grams))) * 5 >= len(grams)
              AS flagged
     FROM g WHERE len(grams) > 0
-    """,
+    """.format(
+        # k/n rationals tie at .5 boundaries of the 1e-6 grid (e.g.
+        # odd/128): guarded floor grid, not round() (r10 q225 class)
+        dup_frac_rq=sql_roundq(
+            "CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)"
+            " / len(grams)"
+        ),
+    ),
 )
 def q143_repetition_filter(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -102,7 +108,7 @@ def q143_repetition_filter(spark, sf_dir):
         "doc_id",
         total.alias("n_grams"),
         dist.alias("n_distinct"),
-        F.round((total - dist).cast("double") / total, 6).alias("dup_frac"),
+        roundq((total - dist).cast("double") / total).alias("dup_frac"),
         ((total - dist) * 5 >= total).alias("flagged"),
     )
 
@@ -131,24 +137,34 @@ def q143_repetition_filter(spark, sf_dir):
     ),
     w AS (
       SELECT *,
-             round(CAST(n_tokens AS DOUBLE)
-                   / SUM(n_tokens) OVER (), 6) AS token_share,
-             round(least(
-               (1.0 / COUNT(*) OVER ())
-               / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()),
-               3.0), 6) AS weight
+             {token_share_rq} AS token_share,
+             {weight_rq} AS weight
       FROM per_source
     ),
     e AS (
-      SELECT *, CAST(round(weight * n_tokens) AS BIGINT)
-                  AS expected_tokens
+      SELECT *, CAST({expected_rq} AS BIGINT) AS expected_tokens
       FROM w
     )
     SELECT source, n_docs, n_tokens, token_share, weight, expected_tokens,
-           round(CAST(expected_tokens AS DOUBLE)
-                 / SUM(expected_tokens) OVER (), 6) AS new_share
+           {new_share_rq} AS new_share
     FROM e
-    """,
+    """.format(
+        # every column here is a small-denominator rational (integer
+        # token-count ratios; a 6-dp weight times an integer): guarded
+        # floor grid, not round() (r10 q225 class)
+        token_share_rq=sql_roundq(
+            "CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()"
+        ),
+        weight_rq=sql_roundq(
+            "least((1.0 / COUNT(*) OVER ())"
+            " / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 3.0)"
+        ),
+        expected_rq=sql_roundq("weight * n_tokens", 0),
+        new_share_rq=sql_roundq(
+            "CAST(expected_tokens AS DOUBLE)"
+            " / SUM(expected_tokens) OVER ()"
+        ),
+    ),
 )
 def q144_mixture_reweight(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
@@ -168,18 +184,17 @@ def q144_mixture_reweight(spark, sf_dir):
         "source",
         "n_docs",
         "n_tokens",
-        F.round(share, 6).alias("token_share"),
-        F.round(F.least(target / share, F.lit(3.0)), 6).alias("weight"),
+        roundq(share).alias("token_share"),
+        roundq(F.least(target / share, F.lit(3.0))).alias("weight"),
     ).withColumn(
         "expected_tokens",
-        F.round(F.col("weight") * F.col("n_tokens"), 0).cast("long"),
+        roundq(F.col("weight") * F.col("n_tokens"), 0).cast("long"),
     )
     return w.withColumn(
         "new_share",
-        F.round(
+        roundq(
             F.col("expected_tokens").cast("double")
-            / F.sum("expected_tokens").over(everything),
-            6,
+            / F.sum("expected_tokens").over(everything)
         ),
     )
 
@@ -207,15 +222,21 @@ def q144_mixture_reweight(spark, sf_dir):
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(x.med, 6) AS med_r,
-           round(x.mad, 6) AS mad_r,
+           {med_rq} AS med_r,
+           {mad_rq} AS mad_r,
            CAST(SUM(CASE WHEN 0.6745 * abs(e.value - x.med) > 3.5 * x.mad
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           round(max(0.6745 * abs(e.value - x.med)) / x.mad, 6)
-             AS max_abs_z
+           {maxz_rq} AS max_abs_z
     FROM events e JOIN mad x USING (event_type)
     GROUP BY e.event_type, x.med, x.mad
-    """,
+    """.format(
+        # medians of grid-heavy values are midpoint rationals; the
+        # modified z is a rational ratio: guarded floor grid, not
+        # round() (r10 q225 class)
+        med_rq=sql_roundq("x.med"),
+        mad_rq=sql_roundq("x.mad"),
+        maxz_rq=sql_roundq("max(0.6745 * abs(e.value - x.med)) / x.mad"),
+    ),
 )
 def q145_mad_outliers(spark, sf_dir):
     utc(spark)
@@ -234,14 +255,14 @@ def q145_mad_outliers(spark, sf_dir):
         .alias("n_outliers"),
         # try_divide: mad = 0 when a group's values are all equal
         # (all-ties robustness axis) — DuckDB's x/0 is NULL
-        F.round(F.try_divide(F.max(dev), F.col("mad")), 6).alias(
+        roundq(F.try_divide(F.max(dev), F.col("mad"))).alias(
             "max_abs_z"
         ),
     ).select(
         "event_type",
         "n",
-        F.round("med", 6).alias("med_r"),
-        F.round("mad", 6).alias("mad_r"),
+        roundq(F.col("med")).alias("med_r"),
+        roundq(F.col("mad")).alias("mad_r"),
         "n_outliers",
         "max_abs_z",
     )
@@ -278,10 +299,16 @@ def q145_mad_outliers(spark, sf_dir):
        AND b.rn BETWEEN a.rn - 19 AND a.rn
     )
     SELECT user_id, CAST(rn AS BIGINT) AS rn,
-           round(CAST(CAST(SUM(v * u) AS VARCHAR) AS DOUBLE)
-                 / CAST(SUM(u) AS DOUBLE), 6) AS ewma
+           {ewma_rq} AS ewma
     FROM p GROUP BY user_id, rn
-    """,
+    """.format(
+        # sum(2dp*2^k)/sum(2^k) is a dyadic-denominator rational —
+        # exactly the .5-tie class: guarded floor grid (r10 q225 class)
+        ewma_rq=sql_roundq(
+            "CAST(CAST(SUM(v * u) AS VARCHAR) AS DOUBLE)"
+            " / CAST(SUM(u) AS DOUBLE)"
+        ),
+    ),
 )
 def q146_ewma(spark, sf_dir):
     utc(spark)
@@ -324,7 +351,7 @@ def q146_ewma(spark, sf_dir):
         .select(
             "user_id",
             F.col("rn").cast("long").alias("rn"),
-            F.round("_e", 6).alias("ewma"),
+            roundq(F.col("_e")).alias("ewma"),
         )
     )
 
@@ -591,7 +618,7 @@ def q149_pagerank(spark, sf_dir):
     SELECT e.event_type,
            CAST(EXTRACT(hour FROM e.ts) AS BIGINT) AS hh,
            x.n,
-           round(x.mean, 6) AS mean_r,
+           {mean_rq} AS mean_r,
            round(x.std, 6) AS std_r,
            CAST(SUM(CASE WHEN abs(e.value - x.mean) > 3 * x.std
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
@@ -600,7 +627,11 @@ def q149_pagerank(spark, sf_dir):
       ON e.event_type = x.event_type
      AND CAST(EXTRACT(hour FROM e.ts) AS BIGINT) = x.hh
     GROUP BY 1, 2, x.n, x.mean, x.std
-    """,
+    """.format(
+        # mean = k/(1e6*n) rational (.5-tie class): guarded floor
+        # grid; std is sqrt-derived — tie-free, round() ok
+        mean_rq=sql_roundq("x.mean"),
+    ),
 )
 def q150_seasonal_anomaly(spark, sf_dir):
     utc(spark)
@@ -637,7 +668,7 @@ def q150_seasonal_anomaly(spark, sf_dir):
         "event_type",
         "hh",
         "n",
-        F.round("mean", 6).alias("mean_r"),
+        roundq(F.col("mean")).alias("mean_r"),
         F.round("std", 6).alias("std_r"),
         "n_anom",
     )
@@ -665,10 +696,15 @@ def q150_seasonal_anomaly(spark, sf_dir):
     )
     SELECT cur, nxt, c,
            CAST(SUM(c) OVER (PARTITION BY cur) AS BIGINT) AS row_total,
-           round(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY cur), 6)
-             AS p
+           {p_rq} AS p
     FROM c
-    """,
+    """.format(
+        # k/n count ratio (.5-tie class, e.g. odd/128): guarded floor
+        # grid, not round() (r10 q225 class)
+        p_rq=sql_roundq(
+            "CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY cur)"
+        ),
+    ),
 )
 def q151_markov_transitions(spark, sf_dir):
     utc(spark)
@@ -692,7 +728,7 @@ def q151_markov_transitions(spark, sf_dir):
         "nxt",
         "c",
         F.sum("c").over(row_w).cast("long").alias("row_total"),
-        F.round(F.col("c").cast("double") / F.sum("c").over(row_w), 6).alias(
+        roundq(F.col("c").cast("double") / F.sum("c").over(row_w)).alias(
             "p"
         ),
     )
@@ -812,12 +848,19 @@ def q152_rfm_segmentation(spark, sf_dir):
     )
     SELECT c.fold, c.label, c.n, t.n_label,
            round(CAST(t.n_label AS DOUBLE) / 5, 2) AS expected,
-           round(abs(c.n - CAST(t.n_label AS DOUBLE) / 5)
-                 / (CAST(t.n_label AS DOUBLE) / 5), 6) AS rel_dev,
+           {rel_dev_rq} AS rel_dev,
            abs(c.n - CAST(t.n_label AS DOUBLE) / 5)
              * 4 < CAST(t.n_label AS DOUBLE) AS balanced
     FROM cell c JOIN tot t USING (label)
-    """,
+    """.format(
+        # rel_dev = |5c - n|/n, a k/n rational (.5-tie class): guarded
+        # floor grid. expected = n/5 is tie-free at scale 2 (x*100 is
+        # always the integer 20n), round() ok.
+        rel_dev_rq=sql_roundq(
+            "abs(c.n - CAST(t.n_label AS DOUBLE) / 5)"
+            " / (CAST(t.n_label AS DOUBLE) / 5)"
+        ),
+    ),
 )
 def q153_stratified_kfold(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
@@ -839,7 +882,7 @@ def q153_stratified_kfold(spark, sf_dir):
         "n",
         "n_label",
         F.round(exp, 2).alias("expected"),
-        F.round(F.abs(F.col("n") - exp) / exp, 6).alias("rel_dev"),
+        roundq(F.abs(F.col("n") - exp) / exp).alias("rel_dev"),
         (F.abs(F.col("n") - exp) * 4 < F.col("n_label").cast("double")).alias(
             "balanced"
         ),
@@ -1095,11 +1138,16 @@ def q156_scd2_intervals(spark, sf_dir):
            CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS BIGINT)
              AS n_wedges,
            n_wedge_checks, n_triangles,
-           round(CAST(3 * n_triangles AS DOUBLE)
-                 / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6)
-             AS clustering_coeff
+           {cc_rq} AS clustering_coeff
     FROM census
-    """,
+    """.format(
+        # 3T/W is a k/n rational (.5-tie class): guarded floor grid,
+        # not round() (r10 q225 class)
+        cc_rq=sql_roundq(
+            "CAST(3 * n_triangles AS DOUBLE)"
+            " / (SELECT SUM(deg * (deg - 1) // 2) FROM deg)"
+        ),
+    ),
 )
 def q157_triangle_count(spark, sf_dir):
     keep = (
@@ -1202,10 +1250,9 @@ def q157_triangle_count(spark, sf_dir):
             "n_wedges",
             "n_wedge_checks",
             "n_triangles",
-            F.round(
+            roundq(
                 (F.col("n_triangles") * 3).cast("double")
-                / F.col("n_wedges"),
-                6,
+                / F.col("n_wedges")
             ).alias("clustering_coeff"),
         )
     )
@@ -1723,11 +1770,20 @@ def q162_incremental_agg_merge(spark, sf_dir):
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) + 0.0 AS slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                 6) + 0.0 AS intercept
+           {slope_rq} AS slope,
+           {intercept_rq} AS intercept
     FROM s
-    """,
+    """.format(
+        # normal-equation ratios of micro-unit sums are rationals
+        # (.5-tie class): guarded floor grid — which also normalizes
+        # -0.0, subsuming the old + 0.0 idiom (r10 q225 class)
+        slope_rq=sql_roundq(
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx)", 8
+        ),
+        intercept_rq=sql_roundq(
+            "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n"
+        ),
+    ),
 )
 def q163_grouped_linear_trend(spark, sf_dir):
     utc(spark)
@@ -1764,10 +1820,9 @@ def q163_grouped_linear_trend(spark, sf_dir):
     return s.select(
         "event_type",
         "n",
-        (F.round(slope, 8) + F.lit(0.0)).alias("slope"),
-        (
-            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
-            + F.lit(0.0)
+        roundq(slope, 8).alias("slope"),
+        roundq(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n")
         ).alias("intercept"),
     )
 
@@ -1800,15 +1855,21 @@ def q163_grouped_linear_trend(spark, sf_dir):
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
            -- floor grid, not CAST-to-DECIMAL: the term is continuous
            -- (common.decq docstring)
-           round(CAST(CAST(SUM(CAST(floor((o - e) * (o - e) / e
-                                          * 100000000.0 + 0.5) AS HUGEINT))
-                           AS VARCHAR) AS DOUBLE) / 100000000, 6) AS chi2,
+           {chi2_rq} AS chi2,
            CAST(CAST(SUM(CAST(floor((o - e) * (o - e) / e
                                     * 100000000.0 + 0.5) AS HUGEINT))
                      AS VARCHAR) AS DOUBLE) / 100000000 < 45.56
              AS independent_995
     FROM cells
-    """,
+    """.format(
+        # chi2 is k/1e8 grid-exact — re-rounding to 6 dp ties when
+        # k mod 100 = 50: guarded floor grid (r10 q225 class)
+        chi2_rq=sql_roundq(
+            "CAST(CAST(SUM(CAST(floor((o - e) * (o - e) / e"
+            " * 100000000.0 + 0.5) AS HUGEINT))"
+            " AS VARCHAR) AS DOUBLE) / 100000000"
+        ),
+    ),
 )
 def q164_chi_square(spark, sf_dir):
     utc(spark)
@@ -1834,7 +1895,7 @@ def q164_chi_square(spark, sf_dir):
     chi2 = F.sum(decq(term, 8)).cast("double") / F.lit(1e8)
     return cells.agg(
         F.count(F.lit(1)).alias("n_cells"),
-        F.round(chi2, 6).alias("chi2"),
+        roundq(chi2).alias("chi2"),
         (chi2 < 45.56).alias("independent_995"),
     )
 
@@ -1873,12 +1934,20 @@ def q164_chi_square(spark, sf_dir):
       FROM ranked
     )
     SELECT n,
-           round(tot, 2) AS total_revenue,
-           round(2.0 * iw / (n * tot) - CAST(n + 1 AS DOUBLE) / n, 6)
-             AS gini,
-           round(top_rev / tot, 6) AS top20_share
+           {tot_rq} AS total_revenue,
+           {gini_rq} AS gini,
+           {top20_rq} AS top20_share
     FROM g
-    """,
+    """.format(
+        # gini/top20 are rationals of 2-dp sums (.5-tie class) and tot
+        # can carry magnitude at scaled sweeps: guarded floor grid
+        # (r10 q225 class + q220 magnitude class)
+        tot_rq=sql_roundq("tot", 2),
+        gini_rq=sql_roundq(
+            "2.0 * iw / (n * tot) - CAST(n + 1 AS DOUBLE) / n"
+        ),
+        top20_rq=sql_roundq("top_rev / tot"),
+    ),
 )
 def q165_revenue_concentration(spark, sf_dir):
     utc(spark)
@@ -1910,13 +1979,12 @@ def q165_revenue_concentration(spark, sf_dir):
     )
     return g.select(
         "n",
-        F.round("tot", 2).alias("total_revenue"),
-        F.round(
+        roundq(F.col("tot"), 2).alias("total_revenue"),
+        roundq(
             F.lit(2.0) * F.col("iw") / (F.col("n") * F.col("tot"))
-            - (F.col("n") + 1).cast("double") / F.col("n"),
-            6,
+            - (F.col("n") + 1).cast("double") / F.col("n")
         ).alias("gini"),
-        F.round(F.col("top_rev") / F.col("tot"), 6).alias("top20_share"),
+        roundq(F.col("top_rev") / F.col("tot")).alias("top20_share"),
     )
 
 
@@ -2028,8 +2096,8 @@ def q166_series_correlation(spark, sf_dir):
       FROM v
     )
     SELECT n0, c0, n1, c1,
-           round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
-           round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+           {p0_rq} AS p0,
+           {p1_rq} AS p1,
            round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
                  / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                         * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
@@ -2041,7 +2109,13 @@ def q166_series_correlation(spark, sf_dir):
                       * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)))
              < 1.96 AS no_difference
     FROM wide
-    """,
+    """.format(
+        # conversion rates are k/n rationals (.5-tie class): guarded
+        # floor grid; z's denominator is sqrt-derived — tie-free,
+        # round() + 0.0 ok (r10 q225 class)
+        p0_rq=sql_roundq("CAST(c0 AS DOUBLE) / n0"),
+        p1_rq=sql_roundq("CAST(c1 AS DOUBLE) / n1"),
+    ),
 )
 def q167_ab_test(spark, sf_dir):
     utc(spark)
@@ -2092,8 +2166,8 @@ def q167_ab_test(spark, sf_dir):
         "c0",
         "n1",
         "c1",
-        F.round(p0, 6).alias("p0"),
-        F.round(p1, 6).alias("p1"),
+        roundq(p0).alias("p0"),
+        roundq(p1).alias("p1"),
         (F.round(z, 6) + F.lit(0.0)).alias("z"),
         (F.abs(z) < 1.96).alias("no_difference"),
     )
@@ -2185,10 +2259,15 @@ def q168_fulfillment_latency(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_bounces,
-           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS bounce_rate
+           {bounce_rq} AS bounce_rate
     FROM agg GROUP BY entry_type
-    """,
+    """.format(
+        # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
+        bounce_rq=sql_roundq(
+            "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / count(*)"
+        ),
+    ),
 )
 def q169_bounce_rate(spark, sf_dir):
     from airquality_data_pipeline_spark.operators.windows import sessionize
@@ -2211,8 +2290,8 @@ def q169_bounce_rate(spark, sf_dir):
     return agg.groupBy("entry_type").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         bounces.cast("long").alias("n_bounces"),
-        F.round(
-            bounces.cast("double") / F.count(F.lit(1)), 6
+        roundq(
+            bounces.cast("double") / F.count(F.lit(1))
         ).alias("bounce_rate"),
     )
 
@@ -2238,14 +2317,19 @@ def q169_bounce_rate(spark, sf_dir):
     )
     SELECT r_name, month_ms,
            CAST(CAST(m AS VARCHAR) AS DOUBLE) AS revenue,
-           round(CASE WHEN lag(m) OVER w IS NULL THEN NULL
-                 ELSE (CAST(CAST(m AS VARCHAR) AS DOUBLE)
-                       - CAST(CAST(lag(m) OVER w AS VARCHAR) AS DOUBLE))
-                      / CAST(CAST(lag(m) OVER w AS VARCHAR) AS DOUBLE)
-                 END, 6) + 0.0 AS mom_growth
+           {mom_rq} AS mom_growth
     FROM rev
     WINDOW w AS (PARTITION BY r_name ORDER BY month_ms)
-    """,
+    """.format(
+        # ratio of 2-dp decimal sums is a rational (.5-tie class):
+        # guarded floor grid, which also normalizes -0.0 (r10 q225)
+        mom_rq=sql_roundq(
+            "CASE WHEN lag(m) OVER w IS NULL THEN NULL"
+            " ELSE (CAST(CAST(m AS VARCHAR) AS DOUBLE)"
+            " - CAST(CAST(lag(m) OVER w AS VARCHAR) AS DOUBLE))"
+            " / CAST(CAST(lag(m) OVER w AS VARCHAR) AS DOUBLE) END"
+        ),
+    ),
 )
 def q170_mom_growth(spark, sf_dir):
     utc(spark)
@@ -2277,7 +2361,7 @@ def q170_mom_growth(spark, sf_dir):
         "r_name",
         "month_ms",
         cur.alias("revenue"),
-        (F.round((cur - prev) / prev, 6) + F.lit(0.0)).alias("mom_growth"),
+        roundq((cur - prev) / prev).alias("mom_growth"),
     )
 
 
@@ -2321,12 +2405,19 @@ def q170_mom_growth(spark, sf_dir):
       FROM g CROSS JOIN tot t
     )
     SELECT nn, k,
-           round(ssb, 6) AS ss_between,
-           round(ssw, 6) AS ss_within,
-           round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat,
-           round(ssb / (ssb + ssw), 6) AS eta_squared
+           {ssb_rq} AS ss_between,
+           {ssw_rq} AS ss_within,
+           {f_rq} AS f_stat,
+           {eta_rq} AS eta_squared
     FROM parts
-    """,
+    """.format(
+        # sums-of-squares and their ratios are micro-unit rationals
+        # (.5-tie class): guarded floor grid (r10 q225 class)
+        ssb_rq=sql_roundq("ssb"),
+        ssw_rq=sql_roundq("ssw"),
+        f_rq=sql_roundq("(ssb / (k - 1)) / (ssw / (nn - k))"),
+        eta_rq=sql_roundq("ssb / (ssb + ssw)"),
+    ),
 )
 def q171_anova_f(spark, sf_dir):
     utc(spark)
@@ -2354,18 +2445,17 @@ def q171_anova_f(spark, sf_dir):
     return parts.select(
         "nn",
         "k",
-        F.round(ssb, 6).alias("ss_between"),
-        F.round(ssw, 6).alias("ss_within"),
+        roundq(ssb).alias("ss_between"),
+        roundq(ssw).alias("ss_within"),
         # try_divide: ssw = 0 (and ssb + ssw = 0) when every value is
         # identical (all-ties robustness axis) — DuckDB yields NULL
-        F.round(
+        roundq(
             F.try_divide(
                 F.try_divide(ssb, (F.col("k") - 1).cast("double")),
                 F.try_divide(ssw, (F.col("nn") - F.col("k")).cast("double")),
-            ),
-            6,
+            )
         ).alias("f_stat"),
-        F.round(F.try_divide(ssb, ssb + ssw), 6).alias("eta_squared"),
+        roundq(F.try_divide(ssb, ssb + ssw)).alias("eta_squared"),
     )
 
 
@@ -2435,11 +2525,15 @@ def q171_anova_f(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_vectors,
            CAST(SUM(CASE WHEN majority_label <> own_label
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-           round(CAST(SUM(CASE WHEN majority_label <> own_label
-                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
-             AS noise_rate
+           {noise_rq} AS noise_rate
     FROM vote GROUP BY own_label
-    """,
+    """.format(
+        # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
+        noise_rq=sql_roundq(
+            "CAST(SUM(CASE WHEN majority_label <> own_label"
+            " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+        ),
+    ),
 )
 def q172_knn_label_noise(spark, sf_dir):
     from airquality_data_pipeline_spark.operators.similarity import (
@@ -2507,7 +2601,7 @@ def q172_knn_label_noise(spark, sf_dir):
     return vote.groupBy(F.col("own_label").alias("label")).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         flagged.cast("long").alias("n_flagged"),
-        F.round(flagged.cast("double") / F.count(F.lit(1)), 6).alias(
+        roundq(flagged.cast("double") / F.count(F.lit(1))).alias(
             "noise_rate"
         ),
     )
@@ -2563,8 +2657,7 @@ def q172_knn_label_noise(spark, sf_dir):
     ),
     scored AS (
       SELECT p.id, s.sid,
-             round((p.lat - s.slat) * (p.lat - s.slat)
-                   + (p.lon - s.slon) * (p.lon - s.slon), 6) AS d2
+             {d2_rq} AS d2
       FROM probes p JOIN sg s ON p.gy = s.gy AND p.gx = s.gx
     )
     SELECT id AS c_custkey, sid AS nearest_supplier, d2 FROM (
@@ -2572,7 +2665,14 @@ def q172_knn_label_noise(spark, sf_dir):
              row_number() OVER (PARTITION BY id ORDER BY d2, sid) AS rk
       FROM scored
     ) WHERE rk = 1
-    """,
+    """.format(
+        # squared distance of grid coordinates is a rational (.5-tie
+        # class, and it ORDERS the rank): guarded floor grid (r10 q225)
+        d2_rq=sql_roundq(
+            "(p.lat - s.slat) * (p.lat - s.slat)"
+            " + (p.lon - s.slon) * (p.lon - s.slon)"
+        ),
+    ),
 )
 def q173_grid_nn_join(spark, sf_dir):
     def coord(expr, start, mod, scale, shift):
@@ -2617,10 +2717,9 @@ def q173_grid_nn_join(spark, sf_dir):
     scored = probes.join(F.broadcast(sg), ["gy", "gx"]).select(
         "id",
         "sid",
-        F.round(
+        roundq(
             (F.col("lat") - F.col("slat")) * (F.col("lat") - F.col("slat"))
-            + (F.col("lon") - F.col("slon")) * (F.col("lon") - F.col("slon")),
-            6,
+            + (F.col("lon") - F.col("slon")) * (F.col("lon") - F.col("slon"))
         ).alias("d2"),
     )
     rk = F.row_number().over(W.partitionBy("id").orderBy("d2", "sid"))
@@ -2771,15 +2870,21 @@ def q174_time_travel_lookup(spark, sf_dir):
       FROM byx
     )
     SELECT t.na, t.nb,
-           round(max(abs(CAST(w.ca AS DOUBLE) / t.na
-                         - CAST(w.cb AS DOUBLE) / t.nb)), 6) AS ks_stat,
+           {ks_rq} AS ks_stat,
            max(abs(CAST(w.ca AS DOUBLE) / t.na
                    - CAST(w.cb AS DOUBLE) / t.nb))
              < 1.63 * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb))
              AS same_distribution_01
     FROM walk w CROSS JOIN tot t
     GROUP BY t.na, t.nb
-    """,
+    """.format(
+        # ECDF gap k/na - j/nb is a rational (.5-tie class): guarded
+        # floor grid (r10 q225 class)
+        ks_rq=sql_roundq(
+            "max(abs(CAST(w.ca AS DOUBLE) / t.na"
+            " - CAST(w.cb AS DOUBLE) / t.nb))"
+        ),
+    ),
 )
 def q175_ks_test(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select(
@@ -2826,7 +2931,7 @@ def q175_ks_test(spark, sf_dir):
         / (F.col("na") * F.col("nb"))
     )
     return j.groupBy("na", "nb").agg(
-        F.round(F.max(diff), 6).alias("ks_stat"),
+        roundq(F.max(diff)).alias("ks_stat"),
         (F.max(diff) < thresh).alias("same_distribution_01"),
     )
 
@@ -2910,14 +3015,21 @@ def q176_quantile_normalization(spark, sf_dir):
       FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, n,
-           round(sg / n, 6) AS mean_gap_s,
-           round(n / sg, 6) AS lambda_per_s,
-           round(((sgg - sg * sg / n) / (n - 1)) / ((sg / n) * (sg / n)),
-                 6) AS cv_squared,
+           {mean_rq} AS mean_gap_s,
+           {lambda_rq} AS lambda_per_s,
+           {cv2_rq} AS cv_squared,
            ((sgg - sg * sg / n) / (n - 1)) / ((sg / n) * (sg / n))
              < 1.5 AS poisson_like
     FROM s
-    """,
+    """.format(
+        # mean/rate/cv^2 of grid-exact gaps are rationals (.5-tie
+        # class): guarded floor grid (r10 q225 class)
+        mean_rq=sql_roundq("sg / n"),
+        lambda_rq=sql_roundq("n / sg"),
+        cv2_rq=sql_roundq(
+            "((sgg - sg * sg / n) / (n - 1)) / ((sg / n) * (sg / n))"
+        ),
+    ),
 )
 def q177_interevent_fit(spark, sf_dir):
     utc(spark)
@@ -2957,11 +3069,11 @@ def q177_interevent_fit(spark, sf_dir):
     return s.select(
         "event_type",
         "n",
-        F.round(mean, 6).alias("mean_gap_s"),
-        F.round(F.try_divide(F.col("n"), F.col("sg")), 6).alias(
+        roundq(mean).alias("mean_gap_s"),
+        roundq(F.try_divide(F.col("n"), F.col("sg"))).alias(
             "lambda_per_s"
         ),
-        F.round(cv2, 6).alias("cv_squared"),
+        roundq(cv2).alias("cv_squared"),
         (cv2 < 1.5).alias("poisson_like"),
     )
 
@@ -3247,10 +3359,16 @@ def q180_join_cardinality(spark, sf_dir):
     )
     SELECT s.event_type,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(median(s.slope), 8) + 0.0 AS slope_per_hour,
-           round(median(s.slope) * 24, 6) + 0.0 AS slope_per_day
+           {sph_rq} AS slope_per_hour,
+           {spd_rq} AS slope_per_day
     FROM slopes s GROUP BY s.event_type
-    """,
+    """.format(
+        # median of k/d slope rationals is itself a rational (or a
+        # midpoint of two): guarded floor grid, which also normalizes
+        # -0.0 (r10 q225 class)
+        sph_rq=sql_roundq("median(s.slope)", 8),
+        spd_rq=sql_roundq("median(s.slope) * 24"),
+    ),
 )
 def q181_theil_sen(spark, sf_dir):
     utc(spark)
@@ -3280,10 +3398,10 @@ def q181_theil_sen(spark, sf_dir):
     )
     return slopes.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        (F.round(F.median("slope"), 8) + F.lit(0.0)).alias(
+        roundq(F.median("slope"), 8).alias(
             "slope_per_hour"
         ),
-        (F.round(F.median("slope") * 24, 6) + F.lit(0.0)).alias(
+        roundq(F.median("slope") * 24).alias(
             "slope_per_day"
         ),
     )
@@ -3422,14 +3540,21 @@ _BENFORD = {
     ),
     tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
     SELECT obs.digit, obs.o,
-           CAST(round(CAST(exp.p AS DOUBLE) * tot.n * 1000) AS BIGINT)
-             AS expected_milli,
-           round(CAST(obs.o AS DOUBLE) / tot.n, 6) AS share,
-           round((obs.o - CAST(exp.p AS DOUBLE) * tot.n)
-                 * (obs.o - CAST(exp.p AS DOUBLE) * tot.n)
-                 / (CAST(exp.p AS DOUBLE) * tot.n), 6) AS chi2_term
+           CAST({exp_milli_rq} AS BIGINT) AS expected_milli,
+           {share_rq} AS share,
+           {chi2_rq} AS chi2_term
     FROM obs JOIN exp USING (digit) CROSS JOIN tot
-    """,
+    """.format(
+        # p*n*1000 (p a 6-dp constant) and the k/n share are rationals
+        # with .5 boundaries: guarded floor grid (r10 q225 class)
+        exp_milli_rq=sql_roundq("CAST(exp.p AS DOUBLE) * tot.n * 1000", 0),
+        share_rq=sql_roundq("CAST(obs.o AS DOUBLE) / tot.n"),
+        chi2_rq=sql_roundq(
+            "(obs.o - CAST(exp.p AS DOUBLE) * tot.n)"
+            " * (obs.o - CAST(exp.p AS DOUBLE) * tot.n)"
+            " / (CAST(exp.p AS DOUBLE) * tot.n)"
+        ),
+    ),
 )
 def q183_benford_audit(spark, sf_dir):
     utc(spark)
@@ -3453,11 +3578,11 @@ def q183_benford_audit(spark, sf_dir):
         .select(
             "digit",
             "o",
-            F.round(e * 1000, 0).cast("long").alias("expected_milli"),
-            F.round(F.col("o").cast("double") / F.col("n"), 6).alias(
+            roundq(e * 1000, 0).cast("long").alias("expected_milli"),
+            roundq(F.col("o").cast("double") / F.col("n")).alias(
                 "share"
             ),
-            F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias(
+            roundq((F.col("o") - e) * (F.col("o") - e) / e).alias(
                 "chi2_term"
             ),
         )
@@ -3701,10 +3826,15 @@ def q185_weighted_median(spark, sf_dir):
       FROM t3s JOIN t2s USING (user_id)
     )
     SELECT step, CAST(count(*) AS BIGINT) AS n_users,
-           round(quantile_cont(secs, 0.5), 3) AS median_secs,
-           round(quantile_cont(secs, 0.9), 3) AS p90_secs
+           {med_rq} AS median_secs,
+           {p90_rq} AS p90_secs
     FROM lat GROUP BY step
-    """,
+    """.format(
+        # interpolated percentiles of millisecond-grid latencies are
+        # rationals (.5-tie class at scale 3): guarded floor grid
+        med_rq=sql_roundq("quantile_cont(secs, 0.5)", 3),
+        p90_rq=sql_roundq("quantile_cont(secs, 0.9)", 3),
+    ),
 )
 def q186_funnel_latency(spark, sf_dir):
     utc(spark)
@@ -3742,8 +3872,8 @@ def q186_funnel_latency(spark, sf_dir):
     )
     return lat.groupBy("step").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.round(F.expr("percentile(secs, 0.5)"), 3).alias("median_secs"),
-        F.round(F.expr("percentile(secs, 0.9)"), 3).alias("p90_secs"),
+        roundq(F.expr("percentile(secs, 0.5)"), 3).alias("median_secs"),
+        roundq(F.expr("percentile(secs, 0.9)"), 3).alias("p90_secs"),
     )
 
 
@@ -3779,7 +3909,7 @@ def q186_funnel_latency(spark, sf_dir):
       FROM deltas WHERE d IS NOT NULL GROUP BY event_type
     )
     SELECT x.event_type, x.n,
-           round(x.sd / x.n, 6) + 0.0 AS mean_delta,
+           {mean_rq} AS mean_delta,
            round(sqrt((x.sdd - x.sd * x.sd / x.n) / (x.n - 1)), 6)
              AS sigma_delta,
            CAST(SUM(CASE WHEN abs(dl.d - x.sd / x.n)
@@ -3788,7 +3918,12 @@ def q186_funnel_latency(spark, sf_dir):
     FROM deltas dl JOIN stats x USING (event_type)
     WHERE dl.d IS NOT NULL
     GROUP BY x.event_type, x.n, x.sd, x.sdd
-    """,
+    """.format(
+        # mean = k/(1e6*n) rational (.5-tie class): guarded floor
+        # grid, which also normalizes -0.0; sigma is sqrt-derived —
+        # tie-free, round() ok (r10 q225 class)
+        mean_rq=sql_roundq("x.sd / x.n"),
+    ),
 )
 def q187_rate_change_alert(spark, sf_dir):
     utc(spark)
@@ -3829,7 +3964,7 @@ def q187_rate_change_alert(spark, sf_dir):
     ).select(
         "event_type",
         "n",
-        (F.round(mean, 6) + F.lit(0.0)).alias("mean_delta"),
+        roundq(mean).alias("mean_delta"),
         F.round(sigma, 6).alias("sigma_delta"),
         "n_jumps",
     )
@@ -3866,13 +4001,17 @@ def q187_rate_change_alert(spark, sf_dir):
              ELSE 'gross_mismatch' END AS band,
            CAST(count(*) AS BIGINT) AS n_orders,
            -- gaps carry <= 6 decimals exactly: scale-6 quantization is
-           -- identity (scale-2 sat ON decimal ties and flipped rounding)
-           round(CAST(CAST(SUM(CAST(abs(o.o_totalprice - c.charge)
-                                    AS DECIMAL(18,6))) AS VARCHAR)
-                      AS DOUBLE), 2) AS abs_gap_total
+           -- identity; re-rounding the 6-dp sum to 2 dp ties when the
+           -- last four digits are exactly 5000 — guarded floor grid
+           {gap_rq} AS abs_gap_total
     FROM orders o JOIN calc c ON o.o_orderkey = c.l_orderkey
     GROUP BY band
-    """,
+    """.format(
+        gap_rq=sql_roundq(
+            "CAST(CAST(SUM(CAST(abs(o.o_totalprice - c.charge)"
+            " AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)", 2
+        ),
+    ),
 )
 def q188_invoice_reconciliation(spark, sf_dir):
     utc(spark)
@@ -3899,7 +4038,7 @@ def q188_invoice_reconciliation(spark, sf_dir):
     )
     return j.groupBy(band.alias("band")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(dec(gap, 6)).cast("double"), 2).alias("abs_gap_total"),
+        roundq(F.sum(dec(gap, 6)).cast("double"), 2).alias("abs_gap_total"),
     )
 
 

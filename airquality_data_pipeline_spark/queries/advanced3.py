@@ -48,7 +48,7 @@ from airquality_data_pipeline_spark.queries.registry import register
     "q190_roc_auc",
     oracle="""
     WITH s AS (
-      SELECT CAST(round(value * 100) AS BIGINT) AS s,
+      SELECT CAST({s_rq} AS BIGINT) AS s,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
       FROM events WHERE event_type IN ('purchase', 'click')
     ),
@@ -66,10 +66,18 @@ from airquality_data_pipeline_spark.queries.registry import register
     )
     SELECT CAST(SUM(np_) AS BIGINT) AS n_pos,
            CAST(SUM(nn_) AS BIGINT) AS n_neg,
-           round(CAST(SUM(np_ * (2 * below + nn_)) AS DOUBLE)
-                 / (2.0 * SUM(np_) * SUM(nn_)), 6) AS auc
+           {auc_rq} AS auc
     FROM c
-    """,
+    """.format(
+        # value*100 sits ON half-cent boundaries when value carries a
+        # third decimal, and AUC = U/(2ab) is an integer rational:
+        # guarded floor grid on both (r10 q225 class)
+        s_rq=sql_roundq("value * 100", 0),
+        auc_rq=sql_roundq(
+            "CAST(SUM(np_ * (2 * below + nn_)) AS DOUBLE)"
+            " / (2.0 * SUM(np_) * SUM(nn_))"
+        ),
+    ),
 )
 def q190_roc_auc(spark, sf_dir):
     utc(spark)
@@ -77,7 +85,7 @@ def q190_roc_auc(spark, sf_dir):
         F.col("event_type").isin("purchase", "click")
     )
     s = ev.select(
-        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        roundq(F.col("value") * 100, 0).cast("long").alias("s"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
     g = s.groupBy("s").agg(
@@ -93,11 +101,10 @@ def q190_roc_auc(spark, sf_dir):
     return c.agg(
         F.sum("np_").alias("n_pos"),
         F.sum("nn_").alias("n_neg"),
-        F.round(
+        roundq(
             F.sum(F.col("np_") * (2 * F.col("below") + F.col("nn_")))
             .cast("double")
-            / (2.0 * F.sum("np_") * F.sum("nn_")),
-            6,
+            / (2.0 * F.sum("np_") * F.sum("nn_"))
         ).alias("auc"),
     )
 
@@ -242,9 +249,13 @@ def q191_acf(spark, sf_dir):
     )
     SELECT event_type, n AS n_days,
            date_diff('day', DATE '1970-01-01', d) AS chg_epoch_day,
-           round(s_t, 6) + 0.0 AS cusum_peak
+           {peak_rq} AS cusum_peak
     FROM r WHERE rk = 1
-    """,
+    """.format(
+        # s_t = cum - t*tot/n is an integer rational (.5-tie class):
+        # guarded floor grid, which also normalizes -0.0 (r10 q225)
+        peak_rq=sql_roundq("s_t"),
+    ),
 )
 def q192_cusum_changepoint(spark, sf_dir):
     utc(spark)
@@ -279,7 +290,7 @@ def q192_cusum_changepoint(spark, sf_dir):
             "event_type",
             F.col("n").alias("n_days"),
             F.datediff("d", F.lit("1970-01-01")).alias("chg_epoch_day"),
-            (F.round("s_t", 6) + F.lit(0.0)).alias("cusum_peak"),
+            roundq(F.col("s_t")).alias("cusum_peak"),
         )
     )
 
@@ -330,9 +341,12 @@ def q192_cusum_changepoint(spark, sf_dir):
       FROM bywk
     )
     SELECT wk, n_risk, d_events,
-           round(CAST(d_events AS DOUBLE) / n_risk, 6) AS hazard
+           {hazard_rq} AS hazard
     FROM risk WHERE d_events > 0
-    """,
+    """.format(
+        # hazard = k/n count ratio (.5-tie class): guarded floor grid
+        hazard_rq=sql_roundq("CAST(d_events AS DOUBLE) / n_risk"),
+    ),
 )
 def q193_survival_km(spark, sf_dir):
     utc(spark)
@@ -371,8 +385,8 @@ def q193_survival_km(spark, sf_dir):
         "wk",
         "n_risk",
         "d_events",
-        F.round(
-            F.col("d_events").cast("double") / F.col("n_risk"), 6
+        roundq(
+            F.col("d_events").cast("double") / F.col("n_risk")
         ).alias("hazard"),
     )
 
@@ -567,13 +581,21 @@ def q195_activity_streaks(spark, sf_dir):
       FROM dec GROUP BY decile
     )
     SELECT decile, n, n_pos,
-           round(CAST(SUM(n_pos) OVER (ORDER BY decile
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DOUBLE) / t.pos_total, 6) AS capture,
-           round(CAST(n_pos * t.n_total AS DOUBLE)
-                 / (n * t.pos_total), 6) AS lift
+           {capture_rq} AS capture,
+           {lift_rq} AS lift
     FROM g, tot t
-    """,
+    """.format(
+        # capture/lift are integer-count rationals (.5-tie class):
+        # guarded floor grid (r10 q225 class)
+        capture_rq=sql_roundq(
+            "CAST(SUM(n_pos) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS DOUBLE) / t.pos_total"
+        ),
+        lift_rq=sql_roundq(
+            "CAST(n_pos * t.n_total AS DOUBLE) / (n * t.pos_total)"
+        ),
+    ),
 )
 def q196_decile_lift(spark, sf_dir):
     utc(spark)
@@ -621,14 +643,12 @@ def q196_decile_lift(spark, sf_dir):
         "decile",
         "n",
         "n_pos",
-        F.round(
-            F.sum("n_pos").over(wc).cast("double") / F.col("pos_total"),
-            6,
+        roundq(
+            F.sum("n_pos").over(wc).cast("double") / F.col("pos_total")
         ).alias("capture"),
-        F.round(
+        roundq(
             (F.col("n_pos") * F.col("n_total")).cast("double")
-            / (F.col("n") * F.col("pos_total")),
-            6,
+            / (F.col("n") * F.col("pos_total"))
         ).alias("lift"),
     )
 
@@ -773,13 +793,22 @@ def q198_hierarchy_rollup(spark, sf_dir):
     )
     SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n,
-           round(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_pred,
-           round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS obs_rate,
-           round(CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(18,6)))
-                      AS DOUBLE) / count(*), 6) AS brier
+           {pred_rq} AS mean_pred,
+           {obs_rq} AS obs_rate,
+           {brier_rq} AS brier
     FROM scored GROUP BY 1
-    """,
+    """.format(
+        # all three are micro-unit / count rationals (.5-tie class):
+        # guarded floor grid (r10 q225 class)
+        pred_rq=sql_roundq(
+            "CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+        ),
+        obs_rq=sql_roundq("CAST(SUM(y) AS DOUBLE) / count(*)"),
+        brier_rq=sql_roundq(
+            "CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(18,6)))"
+            " AS DOUBLE) / count(*)"
+        ),
+    ),
 )
 def q199_calibration_bins(spark, sf_dir):
     utc(spark)
@@ -790,18 +819,17 @@ def q199_calibration_bins(spark, sf_dir):
     b = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long")
     return scored.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(dec("p", 6)).cast("double") / F.count(F.lit(1)), 6
+        roundq(
+            F.sum(dec("p", 6)).cast("double") / F.count(F.lit(1))
         ).alias("mean_pred"),
-        F.round(
-            F.sum("y").cast("double") / F.count(F.lit(1)), 6
+        roundq(
+            F.sum("y").cast("double") / F.count(F.lit(1))
         ).alias("obs_rate"),
-        F.round(
+        roundq(
             F.sum(
                 dec((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 6)
             ).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("brier"),
     )
 
@@ -826,9 +854,9 @@ def q199_calibration_bins(spark, sf_dir):
     "q200_ols_two_feature",
     oracle="""
     WITH fx AS (
-      SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
-             CAST(round(l_discount * 100) AS BIGINT) AS x2c,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      SELECT CAST({x1_rq} AS BIGINT) AS x1,
+             CAST({x2_rq} AS BIGINT) AS x2c,
+             CAST({y_rq} AS BIGINT) AS yc
       FROM lineitem
     ),
     mi AS (
@@ -857,33 +885,49 @@ def q199_calibration_bins(spark, sf_dir):
       FROM mi
     )
     SELECT CAST(n AS BIGINT) AS n,
-           round((sy * (s11 * s22 - s12 * s12)
-                  - s1 * (s1y * s22 - s12 * s2y)
-                  + s2 * (s1y * s12 - s11 * s2y))
-                 / (n * (s11 * s22 - s12 * s12)
-                    - s1 * (s1 * s22 - s12 * s2)
-                    + s2 * (s1 * s12 - s11 * s2)), 6) + 0.0 AS beta0,
-           round((n * (s1y * s22 - s2y * s12)
-                  - sy * (s1 * s22 - s12 * s2)
-                  + s2 * (s1 * s2y - s1y * s2))
-                 / (n * (s11 * s22 - s12 * s12)
-                    - s1 * (s1 * s22 - s12 * s2)
-                    + s2 * (s1 * s12 - s11 * s2)), 6) + 0.0 AS beta1,
-           round((n * (s11 * s2y - s12 * s1y)
-                  - s1 * (s1 * s2y - s1y * s2)
-                  + sy * (s1 * s12 - s11 * s2))
-                 / (n * (s11 * s22 - s12 * s12)
-                    - s1 * (s1 * s22 - s12 * s2)
-                    + s2 * (s1 * s12 - s11 * s2)), 6) + 0.0 AS beta2
+           {beta0_rq} AS beta0,
+           {beta1_rq} AS beta1,
+           {beta2_rq} AS beta2
     FROM m
-    """,
+    """.format(
+        # feature casts and normal-equation betas are rationals of
+        # exact integer moments (.5-tie class): guarded floor grid,
+        # which also normalizes -0.0 (r10 q225 class)
+        x1_rq=sql_roundq("l_quantity", 0),
+        x2_rq=sql_roundq("l_discount * 100", 0),
+        y_rq=sql_roundq("l_extendedprice * 100", 0),
+        beta0_rq=sql_roundq(
+            "(sy * (s11 * s22 - s12 * s12)"
+            " - s1 * (s1y * s22 - s12 * s2y)"
+            " + s2 * (s1y * s12 - s11 * s2y))"
+            " / (n * (s11 * s22 - s12 * s12)"
+            " - s1 * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s12 - s11 * s2))"
+        ),
+        beta1_rq=sql_roundq(
+            "(n * (s1y * s22 - s2y * s12)"
+            " - sy * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s2y - s1y * s2))"
+            " / (n * (s11 * s22 - s12 * s12)"
+            " - s1 * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s12 - s11 * s2))"
+        ),
+        beta2_rq=sql_roundq(
+            "(n * (s11 * s2y - s12 * s1y)"
+            " - s1 * (s1 * s2y - s1y * s2)"
+            " + sy * (s1 * s12 - s11 * s2))"
+            " / (n * (s11 * s22 - s12 * s12)"
+            " - s1 * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s12 - s11 * s2))"
+        ),
+    ),
 )
 def q200_ols_two_feature(spark, sf_dir):
     utc(spark)
     fx = table(spark, sf_dir, "lineitem").select(
-        F.round("l_quantity", 0).cast("long").alias("x1"),
-        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2c"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("yc"),
+        roundq(F.col("l_quantity"), 0).cast("long").alias("x1"),
+        roundq(F.col("l_discount") * 100, 0).cast("long").alias("x2c"),
+        roundq(F.col("l_extendedprice") * 100, 0).cast("long").alias("yc"),
     )
     mi = fx.agg(
         F.count(F.lit(1)).alias("ni"),
@@ -932,9 +976,9 @@ def q200_ols_two_feature(spark, sf_dir):
     )
     return m.select(
         n.cast("long").alias("n"),
-        (F.round(d0 / det, 6) + F.lit(0.0)).alias("beta0"),
-        (F.round(d1 / det, 6) + F.lit(0.0)).alias("beta1"),
-        (F.round(d2 / det, 6) + F.lit(0.0)).alias("beta2"),
+        roundq(d0 / det).alias("beta0"),
+        roundq(d1 / det).alias("beta1"),
+        roundq(d2 / det).alias("beta2"),
     )
 
 
@@ -1269,12 +1313,17 @@ def q258_offpolicy_eval(spark, sf_dir):
       WHERE r.win = 'ref' AND c.win = 'cur'
     )
     SELECT CAST(bin AS BIGINT) AS bin,
-           round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           {p_ref_rq} AS p_ref, {p_cur_rq} AS p_cur,
            term AS psi_term,
            CAST(SUM(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE)
              AS psi_total
     FROM terms
-    """,
+    """.format(
+        # bin shares are k/n rationals (.5-tie class): guarded floor
+        # grid; psi_term is ln-derived — tie-free (r10 q225 class)
+        p_ref_rq=sql_roundq("p_ref"),
+        p_cur_rq=sql_roundq("p_cur"),
+    ),
 )
 def q259_psi_drift(spark, sf_dir):
     utc(spark)
@@ -1345,8 +1394,8 @@ def q259_psi_drift(spark, sf_dir):
 
     return terms.select(
         F.col("bin").cast("long").alias("bin"),
-        F.round("p_ref", 6).alias("p_ref"),
-        F.round("p_cur", 6).alias("p_cur"),
+        roundq(F.col("p_ref")).alias("p_ref"),
+        roundq(F.col("p_cur")).alias("p_cur"),
         "psi_term",
         F.sum(dec("psi_term", 6))
         .over(_W.partitionBy())
@@ -1420,11 +1469,16 @@ def q259_psi_drift(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_test,
            CAST(SUM(CASE WHEN t.resid <= q.q_hat THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_covered,
-           round(CAST(SUM(CASE WHEN t.resid <= q.q_hat THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS coverage
+           {cov_rq} AS coverage
     FROM test t, qhat q
     GROUP BY 1, 2
-    """,
+    """.format(
+        # coverage = k/n count ratio (.5-tie class): guarded floor grid
+        cov_rq=sql_roundq(
+            "CAST(SUM(CASE WHEN t.resid <= q.q_hat THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / count(*)"
+        ),
+    ),
 )
 def q260_conformal_calibration(spark, sf_dir):
     utc(spark)
@@ -1493,12 +1547,11 @@ def q260_conformal_calibration(spark, sf_dir):
         F.sum(F.when(F.col("resid") <= F.col("q_hat"), 1).otherwise(0))
         .cast("long")
         .alias("n_covered"),
-        F.round(
+        roundq(
             F.sum(
                 F.when(F.col("resid") <= F.col("q_hat"), 1).otherwise(0)
             ).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("coverage"),
     )
 
@@ -1540,17 +1593,27 @@ def q260_conformal_calibration(spark, sf_dir):
       FROM g
     )
     SELECT g.grp, g.n,
-           round(CAST(g.n_pred AS DOUBLE) / g.n, 6) AS ppr,
-           round(CAST(g.tp AS DOUBLE) / g.n_pos, 6) AS tpr,
-           round(CAST(g.fp AS DOUBLE) / (g.n - g.n_pos), 6) AS fpr,
-           round(CAST(g.n_pred AS DOUBLE) / g.n - o.ppr_all, 6)
-             + 0.0 AS dp_gap,
-           round(abs(CAST(g.tp AS DOUBLE) / g.n_pos - o.tpr_all), 6)
-             AS eo_tpr_gap,
-           round(abs(CAST(g.fp AS DOUBLE) / (g.n - g.n_pos)
-                     - o.fpr_all), 6) AS eo_fpr_gap
+           {ppr_rq} AS ppr,
+           {tpr_rq} AS tpr,
+           {fpr_rq} AS fpr,
+           {dp_rq} AS dp_gap,
+           {eot_rq} AS eo_tpr_gap,
+           {eof_rq} AS eo_fpr_gap
     FROM g, o
-    """,
+    """.format(
+        # every rate and gap is a k/n rational (.5-tie class):
+        # guarded floor grid, which also normalizes -0.0 (r10 q225)
+        ppr_rq=sql_roundq("CAST(g.n_pred AS DOUBLE) / g.n"),
+        tpr_rq=sql_roundq("CAST(g.tp AS DOUBLE) / g.n_pos"),
+        fpr_rq=sql_roundq("CAST(g.fp AS DOUBLE) / (g.n - g.n_pos)"),
+        dp_rq=sql_roundq("CAST(g.n_pred AS DOUBLE) / g.n - o.ppr_all"),
+        eot_rq=sql_roundq(
+            "abs(CAST(g.tp AS DOUBLE) / g.n_pos - o.tpr_all)"
+        ),
+        eof_rq=sql_roundq(
+            "abs(CAST(g.fp AS DOUBLE) / (g.n - g.n_pos) - o.fpr_all)"
+        ),
+    ),
 )
 def q261_fairness_audit(spark, sf_dir):
     utc(spark)
@@ -1596,21 +1659,17 @@ def q261_fairness_audit(spark, sf_dir):
     return g.crossJoin(F.broadcast(o)).select(
         "grp",
         "n",
-        F.round(F.col("n_pred").cast("double") / F.col("n"), 6).alias(
+        roundq(F.col("n_pred").cast("double") / F.col("n")).alias(
             "ppr"
         ),
-        F.round(tpr, 6).alias("tpr"),
-        F.round(fpr, 6).alias("fpr"),
-        (
-            F.round(
-                F.col("n_pred").cast("double") / F.col("n")
-                - F.col("ppr_all"),
-                6,
-            )
-            + F.lit(0.0)
+        roundq(tpr).alias("tpr"),
+        roundq(fpr).alias("fpr"),
+        roundq(
+            F.col("n_pred").cast("double") / F.col("n")
+            - F.col("ppr_all")
         ).alias("dp_gap"),
-        F.round(F.abs(tpr - F.col("tpr_all")), 6).alias("eo_tpr_gap"),
-        F.round(F.abs(fpr - F.col("fpr_all")), 6).alias("eo_fpr_gap"),
+        roundq(F.abs(tpr - F.col("tpr_all"))).alias("eo_tpr_gap"),
+        roundq(F.abs(fpr - F.col("fpr_all"))).alias("eo_fpr_gap"),
     )
 
 
@@ -1758,16 +1817,24 @@ def q262_woe_iv(spark, sf_dir):
     g AS (SELECT CAST(sum(tpos) AS DOUBLE) / sum(tn) AS grate
           FROM per_type)
     SELECT f.event_type, CAST(f.fold AS BIGINT) AS fold, f.fn,
-           round((t.tpos - f.fpos + 10 * g.grate)
-                 / (t.tn - f.fn + 10), 6) AS oof_enc,
-           round(CAST(t.tpos AS DOUBLE) / t.tn, 6) AS full_enc,
-           round(abs((t.tpos - f.fpos + 10 * g.grate)
-                     / (t.tn - f.fn + 10)
-                     - CAST(t.tpos AS DOUBLE) / t.tn), 6)
-             AS leakage_delta
+           {oof_rq} AS oof_enc,
+           {full_rq} AS full_enc,
+           {delta_rq} AS leakage_delta
     FROM per_fold f
     JOIN per_type t ON f.event_type = t.event_type, g
-    """,
+    """.format(
+        # smoothed encodings are integer rationals (.5-tie class):
+        # guarded floor grid (r10 q225 class)
+        oof_rq=sql_roundq(
+            "(t.tpos - f.fpos + 10 * g.grate) / (t.tn - f.fn + 10)"
+        ),
+        full_rq=sql_roundq("CAST(t.tpos AS DOUBLE) / t.tn"),
+        delta_rq=sql_roundq(
+            "abs((t.tpos - f.fpos + 10 * g.grate)"
+            " / (t.tn - f.fn + 10)"
+            " - CAST(t.tpos AS DOUBLE) / t.tn)"
+        ),
+    ),
 )
 def q263_oof_target_encoding(spark, sf_dir):
     utc(spark)
@@ -1804,9 +1871,9 @@ def q263_oof_target_encoding(spark, sf_dir):
             "event_type",
             F.col("fold").cast("long").alias("fold"),
             "fn",
-            F.round(oof, 6).alias("oof_enc"),
-            F.round(full, 6).alias("full_enc"),
-            F.round(F.abs(oof - full), 6).alias("leakage_delta"),
+            roundq(oof).alias("oof_enc"),
+            roundq(full).alias("full_enc"),
+            roundq(F.abs(oof - full)).alias("leakage_delta"),
         )
     )
 
@@ -1856,26 +1923,38 @@ def q263_oof_target_encoding(spark, sf_dir):
     ),
     ipw AS (
       SELECT CAST(count(*) AS BIGINT) AS n_events,
-             CAST(SUM(CAST(round(ev.t * ev.y / e.prop, 6)
+             CAST(SUM(CAST({s1_rq}
                            AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(round((1 - ev.t) * ev.y / (1 - e.prop), 6)
+             CAST(SUM(CAST({s0_rq}
                            AS DECIMAL(18,6))) AS DOUBLE) AS s0
       FROM ev JOIN e ON ev.x = e.x
     ),
     att AS (
-      SELECT CAST(SUM(CAST(round((CAST(e.n_t AS DOUBLE)
-                                  / (SELECT sum(n_t) FROM e))
-                                 * (e.mu_t - e.mu_c), 6)
+      SELECT CAST(SUM(CAST({term_rq}
                            AS DECIMAL(18,6))) AS DOUBLE) AS att
       FROM e
     )
     SELECT e.x AS stratum, e.n, e.n_t,
-           round(e.prop, 6) AS propensity,
-           round(e.mu_t - e.mu_c, 6) + 0.0 AS stratum_gap,
-           round(i.s1 / i.n_events - i.s0 / i.n_events, 6) + 0.0 AS ipw_ate,
-           round(a.att, 6) + 0.0 AS stratified_att
+           {prop_rq} AS propensity,
+           {gap_rq} AS stratum_gap,
+           {ate_rq} AS ipw_ate,
+           {att_rq} AS stratified_att
     FROM e, ipw i, att a
-    """,
+    """.format(
+        # IPW terms, propensities, and stratified gaps are all
+        # rationals of exact sums (.5-tie class): guarded floor grid,
+        # which also normalizes -0.0 (r10 q225 class)
+        s1_rq=sql_roundq("ev.t * ev.y / e.prop"),
+        s0_rq=sql_roundq("(1 - ev.t) * ev.y / (1 - e.prop)"),
+        term_rq=sql_roundq(
+            "(CAST(e.n_t AS DOUBLE) / (SELECT sum(n_t) FROM e))"
+            " * (e.mu_t - e.mu_c)"
+        ),
+        prop_rq=sql_roundq("e.prop"),
+        gap_rq=sql_roundq("e.mu_t - e.mu_c"),
+        ate_rq=sql_roundq("i.s1 / i.n_events - i.s0 / i.n_events"),
+        att_rq=sql_roundq("a.att"),
+    ),
 )
 def q264_causal_estimators(spark, sf_dir):
     utc(spark)
@@ -1918,11 +1997,10 @@ def q264_causal_estimators(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.sum(
                 dec(
-                    F.round(
+                    roundq(
                         F.try_divide(
                             F.col("t") * F.col("y"), F.col("prop")
-                        ),
-                        6,
+                        )
                     ),
                     6,
                 )
@@ -1931,12 +2009,11 @@ def q264_causal_estimators(spark, sf_dir):
             .alias("s1"),
             F.sum(
                 dec(
-                    F.round(
+                    roundq(
                         F.try_divide(
                             (1 - F.col("t")) * F.col("y"),
                             1 - F.col("prop"),
-                        ),
-                        6,
+                        )
                     ),
                     6,
                 )
@@ -1949,13 +2026,12 @@ def q264_causal_estimators(spark, sf_dir):
     att = (
         e.crossJoin(F.broadcast(nt_tot))
         .select(
-            F.round(
+            roundq(
                 F.try_divide(
                     F.col("n_t").cast("double"),
                     F.col("nt_tot").cast("double"),
                 )
-                * (F.col("mu_t") - F.col("mu_c")),
-                6,
+                * (F.col("mu_t") - F.col("mu_c"))
             ).alias("term")
         )
         .agg(F.sum(dec("term", 6)).cast("double").alias("att"))
@@ -1967,19 +2043,13 @@ def q264_causal_estimators(spark, sf_dir):
             F.col("x").alias("stratum"),
             "n",
             "n_t",
-            F.round("prop", 6).alias("propensity"),
-            (
-                F.round(F.col("mu_t") - F.col("mu_c"), 6) + F.lit(0.0)
-            ).alias("stratum_gap"),
-            (
-                F.round(
-                    F.col("s1") / F.col("n_events")
-                    - F.col("s0") / F.col("n_events"),
-                    6,
-                )
-                + F.lit(0.0)
+            roundq(F.col("prop")).alias("propensity"),
+            roundq(F.col("mu_t") - F.col("mu_c")).alias("stratum_gap"),
+            roundq(
+                F.col("s1") / F.col("n_events")
+                - F.col("s0") / F.col("n_events")
             ).alias("ipw_ate"),
-            (F.round("att", 6) + F.lit(0.0)).alias("stratified_att"),
+            roundq(F.col("att")).alias("stratified_att"),
         )
     )
 
@@ -2128,14 +2198,19 @@ def q267_variant_rollup(spark, sf_dir):
                     AND CURRENT ROW)
     )
     SELECT hour_ms, n, n_bad,
-           round(CAST(bad_1h AS DOUBLE) / n_1h / 0.01, 6) AS burn_1h,
-           round(CAST(bad_6h AS DOUBLE) / n_6h / 0.01, 6) AS burn_6h,
+           {b1_rq} AS burn_1h,
+           {b6_rq} AS burn_6h,
            (CAST(bad_1h AS DOUBLE) / n_1h / 0.01 > 14.4
             AND CAST(bad_6h AS DOUBLE) / n_6h / 0.01 > 14.4) AS page,
            (CAST(bad_1h AS DOUBLE) / n_1h / 0.01 > 6
             AND CAST(bad_6h AS DOUBLE) / n_6h / 0.01 > 6) AS ticket
     FROM win
-    """,
+    """.format(
+        # burn rates are 100k/n count rationals (.5-tie class):
+        # guarded floor grid (r10 q225 class)
+        b1_rq=sql_roundq("CAST(bad_1h AS DOUBLE) / n_1h / 0.01"),
+        b6_rq=sql_roundq("CAST(bad_6h AS DOUBLE) / n_6h / 0.01"),
+    ),
 )
 def q268_slo_burn_rate(spark, sf_dir):
     utc(spark)
@@ -2168,8 +2243,8 @@ def q268_slo_burn_rate(spark, sf_dir):
         "hour_ms",
         "n",
         "n_bad",
-        F.round(b1, 6).alias("burn_1h"),
-        F.round(b6, 6).alias("burn_6h"),
+        roundq(b1).alias("burn_1h"),
+        roundq(b6).alias("burn_6h"),
         ((b1 > 14.4) & (b6 > 14.4)).alias("page"),
         ((b1 > 6) & (b6 > 6)).alias("ticket"),
     )

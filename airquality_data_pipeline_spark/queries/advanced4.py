@@ -115,19 +115,25 @@ def q201_nation_trade(spark, sf_dir):
            CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                               AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              AS total_revenue,
-           round(CAST(SUM(CASE WHEN n.n_name = 'NATION_0'
-                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                    AS DECIMAL(18,6))
-                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / CAST(CAST(SUM(CAST(l.l_extendedprice
-                                      * (1 - l.l_discount)
-                                      AS DECIMAL(18,6))) AS VARCHAR)
-                        AS DOUBLE), 6) AS nation0_share
+           {share_rq} AS nation0_share
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY 1
-    """,
+    """.format(
+        # ratio of 6-dp decimal sums is a rational (.5-tie class):
+        # guarded floor grid, not round() (r10 q225 class)
+        share_rq=sql_roundq(
+            "CAST(SUM(CASE WHEN n.n_name = 'NATION_0'"
+            " THEN CAST(l.l_extendedprice * (1 - l.l_discount)"
+            " AS DECIMAL(18,6))"
+            " ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)"
+            " / CAST(CAST(SUM(CAST(l.l_extendedprice"
+            " * (1 - l.l_discount)"
+            " AS DECIMAL(18,6))) AS VARCHAR)"
+            " AS DOUBLE)"
+        ),
+    ),
 )
 def q202_market_share(spark, sf_dir):
     utc(spark)
@@ -158,7 +164,7 @@ def q202_market_share(spark, sf_dir):
     ).cast("double")
     return j.groupBy("ship_year").agg(
         total.alias("total_revenue"),
-        F.round(n0 / total, 6).alias("nation0_share"),
+        roundq(n0 / total).alias("nation0_share"),
     )
 
 
@@ -618,13 +624,18 @@ def q208_topn_with_other(spark, sf_dir):
       FROM pre WHERE k < n
     )
     SELECT d AS split_epoch_day, k AS n_left, n - k AS n_right,
-           round(s2, 6) AS sse_split,
-           round(s0 - s2, 6) AS sse_reduction
+           {s2_rq} AS sse_split,
+           {red_rq} AS sse_reduction
     FROM (
       SELECT *, row_number() OVER (ORDER BY s2 ASC, d ASC) AS rk
       FROM sse
     ) WHERE rk = 1
-    """,
+    """.format(
+        # SSEs of integer counts are k/m rationals (.5-tie class):
+        # guarded floor grid, not round() (r10 q225 class)
+        s2_rq=sql_roundq("s2"),
+        red_rq=sql_roundq("s0 - s2"),
+    ),
 )
 def q209_binary_segmentation(spark, sf_dir):
     utc(spark)
@@ -667,8 +678,8 @@ def q209_binary_segmentation(spark, sf_dir):
             F.col("d").alias("split_epoch_day"),
             F.col("k").alias("n_left"),
             (F.col("n") - F.col("k")).alias("n_right"),
-            F.round("s2", 6).alias("sse_split"),
-            F.round(F.col("s0") - F.col("s2"), 6).alias("sse_reduction"),
+            roundq(F.col("s2")).alias("sse_split"),
+            roundq(F.col("s0") - F.col("s2")).alias("sse_reduction"),
         )
     )
 
@@ -727,16 +738,25 @@ def q210_pareto_frontier(spark, sf_dir):
     "q211_robust_means",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_arith,
+           {arith_rq} AS mean_arith,
            round(exp(CAST(SUM(CAST(ln(value) AS DECIMAL(18,6)))
                           AS DOUBLE) / count(*)), 6) AS mean_geom,
-           round(count(*)
-                 / CAST(SUM(CAST(1.0 / value AS DECIMAL(18,6)))
-                        AS DOUBLE), 6) AS mean_harm
+           {harm_rq} AS mean_harm
     FROM events WHERE value > 0
     GROUP BY event_type
-    """,
+    """.format(
+        # arith/harm means are micro-unit rationals (.5-tie class):
+        # guarded floor grid; geom is exp-derived — tie-free, round()
+        # ok (r10 q225 class)
+        arith_rq=sql_roundq(
+            "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            " / count(*)"
+        ),
+        harm_rq=sql_roundq(
+            "count(*) / CAST(SUM(CAST(1.0 / value AS DECIMAL(18,6)))"
+            " AS DOUBLE)"
+        ),
+    ),
 )
 def q211_robust_means(spark, sf_dir):
     utc(spark)
@@ -744,15 +764,14 @@ def q211_robust_means(spark, sf_dir):
     n = F.count(F.lit(1))
     return ev.groupBy("event_type").agg(
         n.alias("n"),
-        F.round(F.sum(dec("value", 6)).cast("double") / n, 6).alias(
+        roundq(F.sum(dec("value", 6)).cast("double") / n).alias(
             "mean_arith"
         ),
         F.round(
             F.exp(F.sum(dec(F.log("value"), 6)).cast("double") / n), 6
         ).alias("mean_geom"),
-        F.round(
-            n / F.sum(dec(F.lit(1.0) / F.col("value"), 6)).cast("double"),
-            6,
+        roundq(
+            n / F.sum(dec(F.lit(1.0) / F.col("value"), 6)).cast("double")
         ).alias("mean_harm"),
     )
 
@@ -830,16 +849,24 @@ def q212_survivorship(spark, sf_dir):
       FROM daily
     )
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-           round(CAST(SUM(abs(v - f)) AS DOUBLE) / count(*), 6) AS mae,
-           round(CAST(SUM(CAST(CAST(abs(v - f) AS DOUBLE) / v
-                               AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS mape,
-           round(CAST(SUM(CAST(2.0 * abs(v - f) / (v + f)
-                               AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS smape
+           {mae_rq} AS mae,
+           {mape_rq} AS mape,
+           {smape_rq} AS smape
     FROM fc WHERE f IS NOT NULL
     GROUP BY event_type
-    """,
+    """.format(
+        # all three error means are rationals over integer counts
+        # (.5-tie class): guarded floor grid (r10 q225 class)
+        mae_rq=sql_roundq("CAST(SUM(abs(v - f)) AS DOUBLE) / count(*)"),
+        mape_rq=sql_roundq(
+            "CAST(SUM(CAST(CAST(abs(v - f) AS DOUBLE) / v"
+            " AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+        ),
+        smape_rq=sql_roundq(
+            "CAST(SUM(CAST(2.0 * abs(v - f) / (v + f)"
+            " AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+        ),
+    ),
 )
 def q213_backtest_smape(spark, sf_dir):
     utc(spark)
@@ -858,18 +885,16 @@ def q213_backtest_smape(spark, sf_dir):
     err = F.abs(F.col("v") - F.col("f"))
     return fc.groupBy("event_type").agg(
         n.alias("n_days"),
-        F.round(F.sum(err).cast("double") / n, 6).alias("mae"),
-        F.round(
+        roundq(F.sum(err).cast("double") / n).alias("mae"),
+        roundq(
             F.sum(dec(err.cast("double") / F.col("v"), 6)).cast("double")
-            / n,
-            6,
+            / n
         ).alias("mape"),
-        F.round(
+        roundq(
             F.sum(
                 dec(2.0 * err / (F.col("v") + F.col("f")), 6)
             ).cast("double")
-            / n,
-            6,
+            / n
         ).alias("smape"),
     )
 
@@ -1093,14 +1118,22 @@ def q220_cuped(spark, sf_dir):
       FROM agg
     )
     SELECT n_events,
-           round(t_pre, 6) AS treated_pre,
-           round(t_post, 6) AS treated_post,
-           round(c_pre, 6) AS control_pre,
-           round(c_post, 6) AS control_post,
-           round((t_post - t_pre) - (c_post - c_pre), 6)
-             + 0.0 AS did_estimate
+           {t_pre_rq} AS treated_pre,
+           {t_post_rq} AS treated_post,
+           {c_pre_rq} AS control_pre,
+           {c_post_rq} AS control_post,
+           {did_rq} AS did_estimate
     FROM wide
-    """,
+    """.format(
+        # cell means and their differences are micro-unit rationals
+        # (.5-tie class): guarded floor grid, which also normalizes
+        # -0.0 (r10 q225 class)
+        t_pre_rq=sql_roundq("t_pre"),
+        t_post_rq=sql_roundq("t_post"),
+        c_pre_rq=sql_roundq("c_pre"),
+        c_post_rq=sql_roundq("c_post"),
+        did_rq=sql_roundq("(t_post - t_pre) - (c_post - c_pre)"),
+    ),
 )
 def q221_diff_in_diff(spark, sf_dir):
     utc(spark)
@@ -1133,17 +1166,13 @@ def q221_diff_in_diff(spark, sf_dir):
     )
     return wide.select(
         "n_events",
-        F.round("t_pre", 6).alias("treated_pre"),
-        F.round("t_post", 6).alias("treated_post"),
-        F.round("c_pre", 6).alias("control_pre"),
-        F.round("c_post", 6).alias("control_post"),
-        (
-            F.round(
-                (F.col("t_post") - F.col("t_pre"))
-                - (F.col("c_post") - F.col("c_pre")),
-                6,
-            )
-            + F.lit(0.0)
+        roundq(F.col("t_pre")).alias("treated_pre"),
+        roundq(F.col("t_post")).alias("treated_post"),
+        roundq(F.col("c_pre")).alias("control_pre"),
+        roundq(F.col("c_post")).alias("control_post"),
+        roundq(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
         ).alias("did_estimate"),
     )
 
@@ -1195,16 +1224,25 @@ def q221_diff_in_diff(spark, sf_dir):
     ),
     est AS (
       SELECT CAST(count(*) AS BIGINT) AS n_users,
-             round(CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR)
-                        AS DOUBLE) / count(*), 6) AS estimate
+             {est_rq} AS estimate
       FROM per_user
     )
     SELECT e.n_users, CAST(20 AS BIGINT) AS n_reps, e.estimate,
-           round(quantile_cont(r.m, 0.025), 6) AS ci_lo,
-           round(quantile_cont(r.m, 0.975), 6) AS ci_hi
+           {lo_rq} AS ci_lo,
+           {hi_rq} AS ci_hi
     FROM rep_means r, est e
     GROUP BY e.n_users, e.estimate
-    """,
+    """.format(
+        # the mean estimate and the interpolated percentiles of
+        # rational replicate means are rationals (.5-tie class):
+        # guarded floor grid (r10 q225 class)
+        est_rq=sql_roundq(
+            "CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR)"
+            " AS DOUBLE) / count(*)"
+        ),
+        lo_rq=sql_roundq("quantile_cont(r.m, 0.025)"),
+        hi_rq=sql_roundq("quantile_cont(r.m, 0.975)"),
+    ),
 )
 def q222_poisson_bootstrap(spark, sf_dir):
     utc(spark)
@@ -1253,13 +1291,13 @@ def q222_poisson_bootstrap(spark, sf_dir):
     )
     est = per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.round(
-            F.sum(dec("y", 6)).cast("double") / F.count(F.lit(1)), 6
+        roundq(
+            F.sum(dec("y", 6)).cast("double") / F.count(F.lit(1))
         ).alias("estimate"),
     )
     ci = rep_means.agg(
-        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
-        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        roundq(F.expr("percentile(m, 0.025)")).alias("ci_lo"),
+        roundq(F.expr("percentile(m, 0.975)")).alias("ci_hi"),
     )
     return est.crossJoin(F.broadcast(ci)).select(
         "n_users",
@@ -1295,7 +1333,7 @@ def q222_poisson_bootstrap(spark, sf_dir):
                        CAST(date_trunc('day', e.ts) AS DATE)) // 7
                - f.cohort_wk AS offset_wk,
              f.cohort_wk,
-             CAST(round(e.value * 100) AS BIGINT) AS cents
+             CAST({cents_rq} AS BIGINT) AS cents
       FROM events e JOIN firsts f ON e.user_id = f.user_id
       WHERE e.event_type = 'purchase'
     ),
@@ -1309,7 +1347,11 @@ def q222_poisson_bootstrap(spark, sf_dir):
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS cum_revenue_cents
     FROM cell
-    """,
+    """.format(
+        # value*100 sits ON half-cent boundaries when value carries a
+        # third decimal: guarded floor grid at scale 0 (r10 q225 class)
+        cents_rq=sql_roundq("e.value * 100", 0),
+    ),
 )
 def q223_cohort_ltv(spark, sf_dir):
     utc(spark)
@@ -1326,7 +1368,7 @@ def q223_cohort_ltv(spark, sf_dir):
         .select(
             "cohort_wk",
             (wk - F.col("cohort_wk")).alias("offset_wk"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            roundq(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
     )
     cell = rev.groupBy("cohort_wk", "offset_wk").agg(
@@ -1663,8 +1705,7 @@ def q226_burst_detection(spark, sf_dir):
       WHERE t > 1
     )
     SELECT nn.n, s.s_stat,
-           round((CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
-                       - ties.tie_term AS DOUBLE)) / 18, 6) AS var_s,
+           {var_rq} AS var_s,
            round(CASE
              WHEN s.s_stat > 0 THEN (s.s_stat - 1)
                / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
@@ -1677,7 +1718,14 @@ def q226_burst_detection(spark, sf_dir):
                 WHEN s.s_stat < 0 THEN 'decreasing'
                 ELSE 'no_trend' END AS direction
     FROM s, nn, ties
-    """,
+    """.format(
+        # var_s = integer/18 rational (.5-tie class): guarded floor
+        # grid; z's denominator is sqrt-derived — tie-free (r10 q225)
+        var_rq=sql_roundq(
+            "(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)"
+            " - ties.tie_term AS DOUBLE)) / 18"
+        ),
+    ),
 )
 def q227_mann_kendall(spark, sf_dir):
     utc(spark)
@@ -1727,7 +1775,7 @@ def q227_mann_kendall(spark, sf_dir):
     return j.select(
         "n",
         "s_stat",
-        F.round(var18 / 18, 6).alias("var_s"),
+        roundq(var18 / 18).alias("var_s"),
         (F.round(z, 6) + F.lit(0.0)).alias("z"),
         F.when(F.col("s_stat") > 0, "increasing")
         .when(F.col("s_stat") < 0, "decreasing")
@@ -1772,13 +1820,17 @@ def q227_mann_kendall(spark, sf_dir):
       FROM runs
     )
     SELECT r, n1, n2,
-           round(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_r,
+           {er_rq} AS expected_r,
            round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
                         / ((n1 + n2) * (n1 + n2) * 1.0
                            * (n1 + n2 - 1))), 6) + 0.0 AS z
     FROM agg
-    """,
+    """.format(
+        # expected_r = 2ab/(a+b)+1 rational (.5-tie class): guarded
+        # floor grid; z is sqrt-denominated — tie-free (r10 q225)
+        er_rq=sql_roundq("2.0 * n1 * n2 / (n1 + n2) + 1"),
+    ),
 )
 def q228_runs_test(spark, sf_dir):
     utc(spark)
@@ -1825,7 +1877,7 @@ def q228_runs_test(spark, sf_dir):
         "r",
         "n1",
         "n2",
-        F.round(er, 6).alias("expected_r"),
+        roundq(er).alias("expected_r"),
         (
             F.round(F.try_divide(r - er, F.sqrt(vr)), 6) + F.lit(0.0)
         ).alias("z"),
@@ -1856,13 +1908,19 @@ def q228_runs_test(spark, sf_dir):
       FROM users
     )
     SELECT n0, n1,
-           round((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
-                 / ((n0 + n1) / 2.0)
-                 + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
-                 / ((n0 + n1) / 2.0), 6) AS chi_square,
+           {chi_rq} AS chi_square,
            abs(n0 - n1) > 2 * sqrt(CAST(n0 + n1 AS DOUBLE)) AS srm_flag
     FROM counts
-    """,
+    """.format(
+        # chi-square of integer counts is a k/n rational (.5-tie
+        # class): guarded floor grid (r10 q225 class)
+        chi_rq=sql_roundq(
+            "(n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)"
+            " / ((n0 + n1) / 2.0)"
+            " + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)"
+            " / ((n0 + n1) / 2.0)"
+        ),
+    ),
 )
 def q231_srm_check(spark, sf_dir):
     utc(spark)
@@ -1882,7 +1940,7 @@ def q231_srm_check(spark, sf_dir):
     return counts.select(
         "n0",
         "n1",
-        F.round(chi, 6).alias("chi_square"),
+        roundq(chi).alias("chi_square"),
         (
             F.abs(n0 - n1) > 2 * F.sqrt((n0 + n1).cast("double"))
         ).alias("srm_flag"),
@@ -1909,17 +1967,32 @@ def q231_srm_check(spark, sf_dir):
       FROM events
     )
     SELECT CAST(count(*) AS BIGINT) AS n,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_raw,
-           round(CAST(SUM(CAST(least(value, c.p99) AS DECIMAL(18,6)))
-                      AS DOUBLE) / count(*), 6) AS mean_cap_p99,
-           round(CAST(SUM(CAST(least(value, c.p95) AS DECIMAL(18,6)))
-                      AS DOUBLE) / count(*), 6) AS mean_cap_p95,
-           round(CAST(SUM(CAST(least(value, c.p90) AS DECIMAL(18,6)))
-                      AS DOUBLE) / count(*), 6) AS mean_cap_p90
+           {raw_rq} AS mean_raw,
+           {p99_rq} AS mean_cap_p99,
+           {p95_rq} AS mean_cap_p95,
+           {p90_rq} AS mean_cap_p90
     FROM events, caps c
     GROUP BY c.p90, c.p95, c.p99
-    """,
+    """.format(
+        # capped means are micro-unit rationals (.5-tie class):
+        # guarded floor grid (r10 q225 class)
+        raw_rq=sql_roundq(
+            "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            " / count(*)"
+        ),
+        p99_rq=sql_roundq(
+            "CAST(SUM(CAST(least(value, c.p99) AS DECIMAL(18,6)))"
+            " AS DOUBLE) / count(*)"
+        ),
+        p95_rq=sql_roundq(
+            "CAST(SUM(CAST(least(value, c.p95) AS DECIMAL(18,6)))"
+            " AS DOUBLE) / count(*)"
+        ),
+        p90_rq=sql_roundq(
+            "CAST(SUM(CAST(least(value, c.p90) AS DECIMAL(18,6)))"
+            " AS DOUBLE) / count(*)"
+        ),
+    ),
 )
 def q232_capping_sensitivity(spark, sf_dir):
     utc(spark)
@@ -1933,26 +2006,23 @@ def q232_capping_sensitivity(spark, sf_dir):
     n = F.count(F.lit(1))
     return j.groupBy("p90", "p95", "p99").agg(
         n.alias("n"),
-        F.round(F.sum(dec("value", 6)).cast("double") / n, 6).alias(
+        roundq(F.sum(dec("value", 6)).cast("double") / n).alias(
             "mean_raw"
         ),
-        F.round(
+        roundq(
             F.sum(dec(F.least(F.col("value"), F.col("p99")), 6))
             .cast("double")
-            / n,
-            6,
+            / n
         ).alias("mean_cap_p99"),
-        F.round(
+        roundq(
             F.sum(dec(F.least(F.col("value"), F.col("p95")), 6))
             .cast("double")
-            / n,
-            6,
+            / n
         ).alias("mean_cap_p95"),
-        F.round(
+        roundq(
             F.sum(dec(F.least(F.col("value"), F.col("p90")), 6))
             .cast("double")
-            / n,
-            6,
+            / n
         ).alias("mean_cap_p90"),
     ).drop("p90", "p95", "p99")
 
@@ -1998,17 +2068,25 @@ def q232_capping_sensitivity(spark, sf_dir):
       FROM dec GROUP BY decile
     )
     SELECT decile, n_t, c_t, n_c, c_c,
-           round(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
-                 ELSE CAST(c_t AS DOUBLE) / n_t
-                      - CAST(c_c AS DOUBLE) / n_c END, 6) + 0.0 AS uplift,
-           round(SUM(CASE WHEN n_t = 0 OR n_c = 0 THEN 0.0
-                     ELSE CAST(c_t AS DOUBLE) / n_t
-                          - CAST(c_c AS DOUBLE) / n_c END)
-                 OVER (ORDER BY decile
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 6) + 0.0 AS cum_uplift
+           {uplift_rq} AS uplift,
+           {cum_rq} AS cum_uplift
     FROM g
-    """,
+    """.format(
+        # rate gaps k/n - j/m are rationals (.5-tie class): guarded
+        # floor grid, which also normalizes -0.0 (r10 q225 class)
+        uplift_rq=sql_roundq(
+            "CASE WHEN n_t = 0 OR n_c = 0 THEN NULL"
+            " ELSE CAST(c_t AS DOUBLE) / n_t"
+            " - CAST(c_c AS DOUBLE) / n_c END"
+        ),
+        cum_rq=sql_roundq(
+            "SUM(CASE WHEN n_t = 0 OR n_c = 0 THEN 0.0"
+            " ELSE CAST(c_t AS DOUBLE) / n_t"
+            " - CAST(c_c AS DOUBLE) / n_c END)"
+            " OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+    ),
 )
 def q237_uplift_deciles(spark, sf_dir):
     utc(spark)
@@ -2067,10 +2145,8 @@ def q237_uplift_deciles(spark, sf_dir):
         "c_t",
         "n_c",
         "c_c",
-        (F.round(uplift, 6) + F.lit(0.0)).alias("uplift"),
-        (
-            F.round(F.sum(uplift0).over(wc), 6) + F.lit(0.0)
-        ).alias("cum_uplift"),
+        roundq(uplift).alias("uplift"),
+        roundq(F.sum(uplift0).over(wc)).alias("cum_uplift"),
     )
 
 
@@ -2102,10 +2178,15 @@ def q237_uplift_deciles(spark, sf_dir):
            CAST(quantile_cont(late_ms, 0.95) AS DOUBLE) AS p95_ms,
            CAST(quantile_cont(late_ms, 0.99) AS DOUBLE) AS p99_ms,
            CAST(max(late_ms) AS BIGINT) AS max_ms,
-           round(CAST(SUM(CASE WHEN late_ms > 60000 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS dropped_at_1m
+           {drop_rq} AS dropped_at_1m
     FROM late
-    """,
+    """.format(
+        # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
+        drop_rq=sql_roundq(
+            "CAST(SUM(CASE WHEN late_ms > 60000 THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / count(*)"
+        ),
+    ),
 )
 def q238_watermark_lateness(spark, sf_dir):
     utc(spark)
@@ -2130,11 +2211,10 @@ def q238_watermark_lateness(spark, sf_dir):
         F.expr("percentile(late_ms, 0.95)").alias("p95_ms"),
         F.expr("percentile(late_ms, 0.99)").alias("p99_ms"),
         F.max("late_ms").alias("max_ms"),
-        F.round(
+        roundq(
             F.sum(F.when(F.col("late_ms") > 60000, 1).otherwise(0)).cast(
                 "double"
             )
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("dropped_at_1m"),
     )

@@ -23,7 +23,11 @@ from airquality_data_pipeline_spark.operators.dedup import (
     word_shingles,
 )
 from airquality_data_pipeline_spark.operators.graph import connected_components
-from airquality_data_pipeline_spark.queries.common import table
+from airquality_data_pipeline_spark.queries.common import (
+    roundq,
+    sql_roundq,
+    table,
+)
 from airquality_data_pipeline_spark.queries.registry import register
 
 _NUM_HASHES = 16
@@ -458,7 +462,7 @@ _QUALITY_SQL = """
     {_QUALITY_SQL}
     SELECT (max(struct_pack(qq := quality, nid := -id))).nid * -1 AS canonical_id,
            count(*) AS n_docs,
-           round((max(struct_pack(qq := quality, nid := -id))).qq, 6)
+           {sql_roundq("(max(struct_pack(qq := quality, nid := -id))).qq")}
              AS canonical_quality
     FROM sig JOIN q ON sig.id = q.doc_id
     GROUP BY sig HAVING count(*) >= 2
@@ -488,7 +492,7 @@ def q96_canonical_docs(spark, sf_dir):
         .agg(
             (best["nid"] * F.lit(-1)).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(best["qq"], 6).alias("canonical_quality"),
+            roundq(best["qq"]).alias("canonical_quality"),
         )
         .where(F.col("n_docs") >= 2)
         .select("canonical_id", "n_docs", "canonical_quality")
@@ -538,9 +542,11 @@ def q96_canonical_docs(spark, sf_dir):
     joined AS (
       SELECT c.id_a, c.id_b,
              round(CAST(c.n_matches AS DOUBLE) / {_NUM_HASHES}.0, 6) AS est_jaccard,
-             round(coalesce(i.n_inter, 0)
-                   / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE),
-                   6) AS exact_jaccard
+             {sql_roundq(
+                 "coalesce(i.n_inter, 0)"
+                 " / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0)"
+                 " AS DOUBLE)"
+             )} AS exact_jaccard
       FROM cand c
       LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
       JOIN sizes sa ON c.id_a = sa.id
@@ -578,12 +584,14 @@ def q112_jaccard_estimate(spark, sf_dir):
     )
     sz = shingle_set_sizes(docs, text_col="text", id_col="doc_id", n=3)
     est = F.round(F.col("n_matches").cast("double") / _NUM_HASHES, 6)
-    exact = F.round(
+    # est = k/16 is dyadic (never a .5 tie on the 1e-6 grid: 62500*k is
+    # integer) so plain round is exact; the k/n exact Jaccard is the
+    # .5-tie class -> guarded floor grid (r10 q225 class)
+    exact = roundq(
         F.coalesce("n_inter", F.lit(0))
         / (F.col("sz_a") + F.col("sz_b") - F.coalesce("n_inter", F.lit(0))).cast(
             "double"
-        ),
-        6,
+        )
     )
     return (
         cand.join(inter, ["id_a", "id_b"], "left")
@@ -931,14 +939,16 @@ def q124_leakage_free_split(spark, sf_dir):
       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
       (SELECT CAST(count(*) AS BIGINT) FROM cand c
         JOIN planted p ON c.id_a = p.id_a AND c.id_b = p.id_b) AS n_hits,
-      round((SELECT count(*) FROM cand c
-             JOIN planted p ON c.id_a = p.id_a AND c.id_b = p.id_b)
-            / CAST((SELECT count(*) FROM planted) AS DOUBLE), 6)
-        AS recall,
+      {sql_roundq(
+          "(SELECT count(*) FROM cand c"
+          " JOIN planted p ON c.id_a = p.id_a AND c.id_b = p.id_b)"
+          " / CAST((SELECT count(*) FROM planted) AS DOUBLE)"
+      )} AS recall,
       (SELECT CAST(count(*) AS BIGINT) FROM verified) AS n_verified,
-      round((SELECT count(*) FROM verified)
-            / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6)
-        AS precision_proxy
+      {sql_roundq(
+          "(SELECT count(*) FROM verified)"
+          " / CAST((SELECT count(*) FROM cand) AS DOUBLE)"
+      )} AS precision_proxy
     """,
 )
 def q229_dedup_pr_harness(spark, sf_dir):
@@ -982,12 +992,12 @@ def q229_dedup_pr_harness(spark, sf_dir):
         "n_planted",
         "n_candidates",
         "n_hits",
-        F.round(
-            F.col("n_hits") / F.col("n_planted").cast("double"), 6
+        roundq(
+            F.col("n_hits") / F.col("n_planted").cast("double")
         ).alias("recall"),
         "n_verified",
-        F.round(
-            F.col("n_verified") / F.col("n_candidates").cast("double"), 6
+        roundq(
+            F.col("n_verified") / F.col("n_candidates").cast("double")
         ).alias("precision_proxy"),
     )
 
@@ -1078,14 +1088,17 @@ def q229_dedup_pr_harness(spark, sf_dir):
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
            CAST(SUM(CASE WHEN f.n_matches >= t.threshold
                     THEN f.is_planted ELSE 0 END) AS BIGINT) AS n_hits,
-           round(SUM(CASE WHEN f.n_matches >= t.threshold
-                     THEN f.is_planted ELSE 0 END)
-                 / CAST(np.n_planted AS DOUBLE), 6) AS recall,
-           round(SUM(CASE WHEN f.n_matches >= t.threshold
-                     THEN f.is_true ELSE 0 END)
-                 / CAST(SUM(CASE WHEN f.n_matches >= t.threshold
-                            THEN 1 ELSE 0 END) AS DOUBLE), 6)
-             AS precision_proxy
+           {sql_roundq(
+               "SUM(CASE WHEN f.n_matches >= t.threshold"
+               " THEN f.is_planted ELSE 0 END)"
+               " / CAST(np.n_planted AS DOUBLE)"
+           )} AS recall,
+           {sql_roundq(
+               "SUM(CASE WHEN f.n_matches >= t.threshold"
+               " THEN f.is_true ELSE 0 END)"
+               " / CAST(SUM(CASE WHEN f.n_matches >= t.threshold"
+               " THEN 1 ELSE 0 END) AS DOUBLE)"
+           )} AS precision_proxy
     FROM flagged f,
          (SELECT unnest([4, 6, 8, 10]) AS threshold) t,
          n_pl np
@@ -1139,14 +1152,12 @@ def q230_band_threshold_sweep(spark, sf_dir):
     return sweep.groupBy("threshold", "n_planted").agg(
         F.sum(inb).alias("n_candidates"),
         F.sum(inb * F.col("is_planted")).alias("n_hits"),
-        F.round(
+        roundq(
             F.sum(inb * F.col("is_planted"))
-            / F.col("n_planted").cast("double"),
-            6,
+            / F.col("n_planted").cast("double")
         ).alias("recall"),
-        F.round(
+        roundq(
             F.sum(inb * F.col("is_true"))
-            / F.sum(inb).cast("double"),
-            6,
+            / F.sum(inb).cast("double")
         ).alias("precision_proxy"),
     ).drop("n_planted")

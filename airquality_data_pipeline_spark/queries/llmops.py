@@ -25,8 +25,18 @@ from airquality_data_pipeline_spark.operators.similarity import (
     ivf_assign,
     planted_neardup_corpus,
 )
-from airquality_data_pipeline_spark.queries.common import decq, table
+from airquality_data_pipeline_spark.queries.common import (
+    decq,
+    roundq,
+    sql_roundq,
+    table,
+)
 from airquality_data_pipeline_spark.queries.registry import register
+
+# containment = k/min(sz) count rational (.5-tie class, e.g. odd/128):
+# guarded floor grid, not round() (r10 q225 class) — shared by
+# q129/q138's oracle SELECTs
+_CONTAINMENT_RQ = sql_roundq("n_inter / least(x.sz, y.sz)::DOUBLE")
 
 
 def _hash_unit(col):
@@ -213,12 +223,12 @@ def q128_unigram_crossentropy(spark, sf_dir):
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b, n_inter,
-           round(n_inter / least(x.sz, y.sz)::DOUBLE, 6) AS containment
+           {containment_rq} AS containment
     FROM inter
     JOIN sz x ON inter.id_a = x.id
     JOIN sz y ON inter.id_b = y.id
     WHERE n_inter / least(x.sz, y.sz)::DOUBLE >= 0.8
-    """,
+    """.format(containment_rq=_CONTAINMENT_RQ),
 )
 def q129_containment(spark, sf_dir):
     from airquality_data_pipeline_spark.operators.dedup import word_shingles
@@ -875,8 +885,8 @@ def q136_bigram_crossentropy(spark, sf_dir):
     )
     SELECT split_a, split_b, n_shared,
            sa.n AS n_grams_a, sb.n AS n_grams_b,
-           round(n_shared / sa.n::DOUBLE, 6) AS leak_share_a,
-           round(n_shared / sb.n::DOUBLE, 6) AS leak_share_b
+           {sql_roundq("n_shared / sa.n::DOUBLE")} AS leak_share_a,
+           {sql_roundq("n_shared / sb.n::DOUBLE")} AS leak_share_b
     FROM shared
     JOIN sizes sa ON shared.split_a = sa.split
     JOIN sizes sb ON shared.split_b = sb.split
@@ -943,10 +953,10 @@ def q137_split_ngram_leakage(spark, sf_dir):
             "n_shared",
             "n_grams_a",
             "n_grams_b",
-            F.round(F.col("n_shared") / F.col("n_grams_a").cast("double"), 6).alias(
+            roundq(F.col("n_shared") / F.col("n_grams_a").cast("double")).alias(
                 "leak_share_a"
             ),
-            F.round(F.col("n_shared") / F.col("n_grams_b").cast("double"), 6).alias(
+            roundq(F.col("n_shared") / F.col("n_grams_b").cast("double")).alias(
                 "leak_share_b"
             ),
         )
@@ -997,12 +1007,12 @@ def q137_split_ngram_leakage(spark, sf_dir):
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b, n_inter,
-           round(n_inter / least(x.sz, y.sz)::DOUBLE, 6) AS containment
+           {containment_rq} AS containment
     FROM inter
     JOIN sz x ON inter.id_a = x.id
     JOIN sz y ON inter.id_b = y.id
     WHERE n_inter / least(x.sz, y.sz)::DOUBLE >= 0.8
-    """,
+    """.format(containment_rq=_CONTAINMENT_RQ),
 )
 def q138_containment_capped(spark, sf_dir):
     from airquality_data_pipeline_spark.operators.dedup import word_shingles

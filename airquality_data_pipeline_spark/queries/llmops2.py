@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from airquality_data_pipeline_spark.queries.common import table, utc
+from airquality_data_pipeline_spark.queries.common import (
+    roundq,
+    sql_roundq,
+    table,
+    utc,
+)
 from airquality_data_pipeline_spark.queries.registry import register
 
 
@@ -77,16 +82,25 @@ from airquality_data_pipeline_spark.queries.registry import register
       FROM ranked r JOIN lam ON r.i = lam.k
     )
     SELECT r.lang, r.c AS lang_tokens, r.cap,
-           round(CASE WHEN l.lambda_ IS NULL
-                           OR (l.lambda_ IS NOT NULL AND r.i < (SELECT k FROM lam))
-                      THEN CAST(r.cap AS DOUBLE)
-                      ELSE l.lambda_ END, 3) AS alloc_tokens,
-           round(CASE WHEN l.lambda_ IS NULL
-                           OR (l.lambda_ IS NOT NULL AND r.i < (SELECT k FROM lam))
-                      THEN CAST(r.cap AS DOUBLE)
-                      ELSE l.lambda_ END / r.c, 6) AS epochs
+           {alloc_rq} AS alloc_tokens,
+           {epochs_rq} AS epochs
     FROM ranked r LEFT JOIN level l ON TRUE
-    """,
+    """.format(
+        # waterfilling levels and epoch ratios are integer rationals
+        # (.5-tie class): guarded floor grid (r10 q225 class)
+        alloc_rq=sql_roundq(
+            "CASE WHEN l.lambda_ IS NULL"
+            " OR (l.lambda_ IS NOT NULL AND r.i < (SELECT k FROM lam))"
+            " THEN CAST(r.cap AS DOUBLE)"
+            " ELSE l.lambda_ END", 3
+        ),
+        epochs_rq=sql_roundq(
+            "CASE WHEN l.lambda_ IS NULL"
+            " OR (l.lambda_ IS NOT NULL AND r.i < (SELECT k FROM lam))"
+            " THEN CAST(r.cap AS DOUBLE)"
+            " ELSE l.lambda_ END / r.c"
+        ),
+    ),
 )
 def q214_epoch_capped_mixture(spark, sf_dir):
     utc(spark)
@@ -143,8 +157,8 @@ def q214_epoch_capped_mixture(spark, sf_dir):
         "lang",
         F.col("c").alias("lang_tokens"),
         "cap",
-        F.round(alloc, 3).alias("alloc_tokens"),
-        F.round(alloc / F.col("c"), 6).alias("epochs"),
+        roundq(alloc, 3).alias("alloc_tokens"),
+        roundq(alloc / F.col("c")).alias("epochs"),
     )
 
 
@@ -227,12 +241,15 @@ def q215_template_prefix(spark, sf_dir):
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(SUM(words) AS BIGINT) AS words,
            CAST(SUM(subwords) AS BIGINT) AS subwords,
-           round(CAST(SUM(subwords) AS DOUBLE) / SUM(words), 6)
-             AS fertility,
-           round(CAST(SUM(chars) AS DOUBLE) / SUM(subwords), 6)
-             AS chars_per_subword
+           {fert_rq} AS fertility,
+           {cps_rq} AS chars_per_subword
     FROM per_doc GROUP BY lang
-    """,
+    """.format(
+        # k/n count ratios (.5-tie class): guarded floor grid (r10
+        # q225 class)
+        fert_rq=sql_roundq("CAST(SUM(subwords) AS DOUBLE) / SUM(words)"),
+        cps_rq=sql_roundq("CAST(SUM(chars) AS DOUBLE) / SUM(subwords)"),
+    ),
 )
 def q216_tokenizer_fertility(spark, sf_dir):
     utc(spark)
@@ -254,11 +271,11 @@ def q216_tokenizer_fertility(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("words").alias("words"),
         F.sum("subwords").alias("subwords"),
-        F.round(
-            F.sum("subwords").cast("double") / F.sum("words"), 6
+        roundq(
+            F.sum("subwords").cast("double") / F.sum("words")
         ).alias("fertility"),
-        F.round(
-            F.sum("chars").cast("double") / F.sum("subwords"), 6
+        roundq(
+            F.sum("chars").cast("double") / F.sum("subwords")
         ).alias("chars_per_subword"),
     )
 
@@ -500,13 +517,17 @@ def q218_matryoshka_recall(spark, sf_dir):
       GROUP BY b.dim
     )
     SELECT CAST(dim AS BIGINT) AS dim, n_classes,
-           round(between_ss / within_ss, 6) AS fisher
+           {fisher_rq} AS fisher
     FROM (
       SELECT *, ROW_NUMBER() OVER (
-        ORDER BY round(between_ss / within_ss, 6) DESC, dim) AS rk
+        ORDER BY {fisher_rq} DESC, dim) AS rk
       FROM fisher
     ) WHERE rk <= 10
-    """,
+    """.format(
+        # fisher score is a rational of decimal-exact SSes, and it
+        # ORDERS the top-10 rank (.5-tie class): guarded floor grid
+        fisher_rq=sql_roundq("between_ss / within_ss"),
+    ),
 )
 def q219_fisher_dims(spark, sf_dir):
     utc(spark)
@@ -548,7 +569,7 @@ def q219_fisher_dims(spark, sf_dir):
         F.expr("any_value(within_ss)").alias("within_ss"),
         F.expr("any_value(n_classes)").alias("n_classes"),
     )
-    score = F.round(F.col("between_ss") / F.col("within_ss"), 6)
+    score = roundq(F.col("between_ss") / F.col("within_ss"))
     rk = F.row_number().over(W.orderBy(score.desc(), F.col("dim")))
     return (
         fisher.withColumn("rk", rk)
@@ -594,12 +615,20 @@ def q219_fisher_dims(spark, sf_dir):
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(SUM(words) AS BIGINT) AS words,
            CAST(SUM(long_words) AS BIGINT) AS long_words,
-           round(CAST(SUM(CAST(lix AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_lix,
-           round(CAST(SUM(CASE WHEN lix > 44 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS hard_share
+           {lix_rq} AS mean_lix,
+           {hard_rq} AS hard_share
     FROM scored GROUP BY lang
-    """,
+    """.format(
+        # micro-unit mean and k/n share (.5-tie class): guarded floor
+        # grid (r10 q225 class)
+        lix_rq=sql_roundq(
+            "CAST(SUM(CAST(lix AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+        ),
+        hard_rq=sql_roundq(
+            "CAST(SUM(CASE WHEN lix > 44 THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / count(*)"
+        ),
+    ),
 )
 def q233_readability_lix(spark, sf_dir):
     utc(spark)
@@ -632,13 +661,12 @@ def q233_readability_lix(spark, sf_dir):
         n.alias("n_docs"),
         F.sum("words").alias("words"),
         F.sum("long_words").alias("long_words"),
-        F.round(
-            F.sum(F.col("lix").cast("decimal(18,6)")).cast("double") / n, 6
+        roundq(
+            F.sum(F.col("lix").cast("decimal(18,6)")).cast("double") / n
         ).alias("mean_lix"),
-        F.round(
+        roundq(
             F.sum(F.when(F.col("lix") > 44, 1).otherwise(0)).cast("double")
-            / n,
-            6,
+            / n
         ).alias("hard_share"),
     )
 
@@ -801,11 +829,15 @@ def q235_dp_noisy_counts(spark, sf_dir):
            CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
                 AS BIGINT) AS rows_at_risk,
            CAST(min(class_size) AS BIGINT) AS min_class,
-           round(CAST(SUM(CASE WHEN class_size < 5 THEN class_size
-                          ELSE 0 END) AS DOUBLE)
-                 / SUM(class_size), 6) AS risk_share
+           {risk_rq} AS risk_share
     FROM classes
-    """,
+    """.format(
+        # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
+        risk_rq=sql_roundq(
+            "CAST(SUM(CASE WHEN class_size < 5 THEN class_size"
+            " ELSE 0 END) AS DOUBLE) / SUM(class_size)"
+        ),
+    ),
 )
 def q236_k_anonymity(spark, sf_dir):
     utc(spark)
@@ -824,8 +856,8 @@ def q236_k_anonymity(spark, sf_dir):
         ),
         F.sum(below).alias("rows_at_risk"),
         F.min("class_size").alias("min_class"),
-        F.round(
-            F.sum(below).cast("double") / F.sum("class_size"), 6
+        roundq(
+            F.sum(below).cast("double") / F.sum("class_size")
         ).alias("risk_share"),
     )
 
@@ -872,10 +904,15 @@ def q236_k_anonymity(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_output_files,
            CAST(SUM(bin_bytes) AS BIGINT) AS total_bytes,
            CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes,
-           round(CAST(SUM(bin_bytes) AS DOUBLE)
-                 / (count(*) * 16384.0), 6) AS fill_ratio
+           {fill_rq} AS fill_ratio
     FROM bins GROUP BY source
-    """,
+    """.format(
+        # bytes/(files*16384) integer rational (.5-tie class):
+        # guarded floor grid (r10 q225 class)
+        fill_rq=sql_roundq(
+            "CAST(SUM(bin_bytes) AS DOUBLE) / (count(*) * 16384.0)"
+        ),
+    ),
 )
 def q239_compaction_plan(spark, sf_dir):
     utc(spark)
@@ -913,7 +950,7 @@ def q239_compaction_plan(spark, sf_dir):
         F.count(F.lit(1)).alias("n_output_files"),
         F.sum("bin_bytes").alias("total_bytes"),
         F.max("bin_bytes").alias("max_bin_bytes"),
-        F.round(
+        roundq(
             F.sum("bin_bytes").cast("double")
             / (F.count(F.lit(1)) * 16384.0),
             6,
@@ -967,11 +1004,15 @@ def q239_compaction_plan(spark, sf_dir):
                 AS BIGINT) AS files_skipped,
            CAST(SUM(CASE WHEN mx < 20 OR mn > 50 THEN cnt ELSE 0 END)
                 AS BIGINT) AS rows_skipped,
-           round(CAST(SUM(CASE WHEN mx < 20 OR mn > 50 THEN cnt
-                          ELSE 0 END) AS DOUBLE) / SUM(cnt), 6)
-             AS skip_ratio
+           {skip_rq} AS skip_ratio
     FROM zones GROUP BY 1
-    """,
+    """.format(
+        # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
+        skip_rq=sql_roundq(
+            "CAST(SUM(CASE WHEN mx < 20 OR mn > 50 THEN cnt"
+            " ELSE 0 END) AS DOUBLE) / SUM(cnt)"
+        ),
+    ),
 )
 def q253_zone_map_skipping(spark, sf_dir):
     utc(spark)
@@ -1037,9 +1078,8 @@ def q253_zone_map_skipping(spark, sf_dir):
         F.sum(F.when(skip, F.col("cnt")).otherwise(0)).cast("long").alias(
             "rows_skipped"
         ),
-        F.round(
+        roundq(
             F.sum(F.when(skip, F.col("cnt")).otherwise(0)).cast("double")
-            / F.sum("cnt"),
-            6,
+            / F.sum("cnt")
         ).alias("skip_ratio"),
     )

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from airquality_data_pipeline_spark.queries.common import dec, table
+from airquality_data_pipeline_spark.queries.common import (
+    dec,
+    roundq,
+    sql_roundq,
+    table,
+)
 from airquality_data_pipeline_spark.queries.registry import register
 
 # Hashed feature bucket (token -> [0, 1024)): first 8 md5 hex digits.
@@ -388,7 +393,7 @@ def _ndcg_oracle() -> str:
     SELECT d.query_id,
            CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
            d.dcg, i.idcg,
-           round(d.dcg / i.idcg, 6) AS ndcg
+           {sql_roundq("d.dcg / i.idcg")} AS ndcg
     FROM dcg d
     LEFT JOIN nrel n ON d.query_id = n.query_id
     LEFT JOIN idcg i ON d.query_id = i.query_id
@@ -456,7 +461,9 @@ def q254_ndcg_at_10(spark, sf_dir):
             F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
             "dcg",
             "idcg",
-            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+            # dcg/idcg is a ratio of 6-dp grid sums (.5-tie class):
+            # guarded floor grid (r10 q225 class)
+            roundq(F.col("dcg") / F.col("idcg")).alias("ndcg"),
         )
     )
 
@@ -650,7 +657,7 @@ def q255_rrf_fusion(spark, sf_dir):
     tot AS (SELECT sum(n_tokens) AS n FROM counts),
     shares AS (
       SELECT lang, n_tokens,
-             round(CAST(n_tokens AS DOUBLE) / n, 6) AS p
+             {p_rq} AS p
       FROM counts, tot
     ),
     alphas(alpha) AS (VALUES (0.3), (0.7), (1.0)),
@@ -666,10 +673,17 @@ def q255_rrf_fusion(spark, sf_dir):
     )
     SELECT p.lang, p.alpha, CAST(p.n_tokens AS BIGINT) AS n_tokens,
            p.p AS raw_share,
-           round(p.pa / z.zsum, 6) AS sample_weight,
-           round(p.pa / z.zsum / p.p, 6) AS resample_factor
+           {w_rq} AS sample_weight,
+           {rf_rq} AS resample_factor
     FROM powed p JOIN z ON p.alpha = z.alpha
-    """,
+    """.format(
+        # token share and grid-value ratios are rationals (.5-tie
+        # class): guarded floor grid; pa = pow(p, 0.3/0.7) is
+        # irrational (tie-free) and pow(p, 1.0) grid-exact — round ok
+        p_rq=sql_roundq("CAST(n_tokens AS DOUBLE) / n"),
+        w_rq=sql_roundq("p.pa / z.zsum"),
+        rf_rq=sql_roundq("p.pa / z.zsum / p.p"),
+    ),
 )
 def q256_temperature_sampling(spark, sf_dir):
     toks = _tokens(spark, sf_dir).select("lang")
@@ -678,7 +692,7 @@ def q256_temperature_sampling(spark, sf_dir):
     shares = counts.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("n"), 6).alias("p"),
+        roundq(F.col("n_tokens").cast("double") / F.col("n")).alias("p"),
     )
     alphas = F.explode(
         F.array(F.lit(0.3), F.lit(0.7), F.lit(1.0))
@@ -694,8 +708,8 @@ def q256_temperature_sampling(spark, sf_dir):
         "alpha",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("p").alias("raw_share"),
-        F.round(F.col("pa") / F.col("zsum"), 6).alias("sample_weight"),
-        F.round(F.col("pa") / F.col("zsum") / F.col("p"), 6).alias(
+        roundq(F.col("pa") / F.col("zsum")).alias("sample_weight"),
+        roundq(F.col("pa") / F.col("zsum") / F.col("p")).alias(
             "resample_factor"
         ),
     )
@@ -735,9 +749,10 @@ _BLOCKLIST_SQL = ", ".join(f"'{w}'" for w in _BLOCKLIST)
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_hits AS BIGINT) AS n_hits,
-           round(CASE WHEN n_tokens = 0 THEN 0.0
-                      ELSE CAST(n_hits AS DOUBLE) / n_tokens END, 6)
-             AS hit_density,
+           {sql_roundq(
+               "CASE WHEN n_tokens = 0 THEN 0.0"
+               " ELSE CAST(n_hits AS DOUBLE) / n_tokens END"
+           )} AS hit_density,
            CASE WHEN n_hits >= 2 THEN 'drop'
                 WHEN n_hits = 1 THEN 'flag'
                 ELSE 'keep' END AS verdict
@@ -763,11 +778,11 @@ def blocklist_screen(docs):
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         n_hits.cast("long").alias("n_hits"),
-        F.round(
+        # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
+        roundq(
             F.when(n_tokens == 0, F.lit(0.0)).otherwise(
                 n_hits.cast("double") / n_tokens
-            ),
-            6,
+            )
         ).alias("hit_density"),
         F.when(n_hits >= 2, "drop")
         .when(n_hits == 1, "flag")

@@ -17,7 +17,11 @@ from airquality_data_pipeline_spark.operators.similarity import (
     lsh_gated_neardup,
     planted_neardup_corpus,
 )
-from airquality_data_pipeline_spark.queries.common import table
+from airquality_data_pipeline_spark.queries.common import (
+    roundq,
+    sql_roundq,
+    table,
+)
 from airquality_data_pipeline_spark.queries.registry import register
 
 # shared oracle CTE: vectors cast to double + L2 norms. Zero-norm
@@ -237,11 +241,15 @@ def q47_vector_lsh(spark, sf_dir):
     SELECT vec_id, mn, mx,
            array_to_string(list_transform(v,
              x -> CASE WHEN mn = mx THEN 0
-                  ELSE CAST(round(((x - mn) / (mx - mn)) * 255) AS INTEGER)
+                  ELSE CAST({code_rq} AS INTEGER)
                   END
            ), ',') AS q8_csv
     FROM s
-    """,
+    """.format(
+        # the 255-scaled range ratio can sit ON integer .5 boundaries
+        # for grid-like embedding values: guarded floor grid at scale 0
+        code_rq=sql_roundq("((x - mn) / (mx - mn)) * 255", 0),
+    ),
 )
 def q66_embedding_quantize(spark, sf_dir):
     # int8 codes serialized to CSV in the output projection (int->string
@@ -267,7 +275,7 @@ def q66_embedding_quantize(spark, sf_dir):
         F.transform(
             F.col("_e.v"),
             lambda x: F.when(mn == mx, F.lit(0))
-            .otherwise(F.round(((x - mn) / (mx - mn)) * 255, 0).cast("int"))
+            .otherwise(roundq(((x - mn) / (mx - mn)) * 255, 0).cast("int"))
             .cast("string"),
         ),
         ",",

@@ -19,7 +19,11 @@ from airquality_data_pipeline_spark.operators.text import (
     tfidf_vectors,
     token_counts,
 )
-from airquality_data_pipeline_spark.queries.common import table
+from airquality_data_pipeline_spark.queries.common import (
+    roundq,
+    sql_roundq,
+    table,
+)
 from airquality_data_pipeline_spark.queries.registry import register
 
 # DuckDB regexp_count equivalent: len(regexp_extract_all(...))
@@ -377,10 +381,15 @@ def q99_decontamination(spark, sf_dir):
       FROM per_lang
     )
     SELECT lang, n_docs, n_tokens,
-           round(CAST(pw AS DOUBLE)
-                 / CAST(SUM(pw) OVER () AS DOUBLE), 6) AS sample_weight
+           {w_rq} AS sample_weight
     FROM w
-    """,
+    """.format(
+        # ratio of 6-dp grid weights is a rational (.5-tie class):
+        # guarded floor grid (r10 q225 class)
+        w_rq=sql_roundq(
+            "CAST(pw AS DOUBLE) / CAST(SUM(pw) OVER () AS DOUBLE)"
+        ),
+    ),
 )
 def q100_language_sampling(spark, sf_dir):
     from pyspark.sql import Window
@@ -408,10 +417,9 @@ def q100_language_sampling(spark, sf_dir):
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(
+        roundq(
             F.col("_pw").cast("double")
-            / F.sum("_pw").over(everything).cast("double"),
-            6,
+            / F.sum("_pw").over(everything).cast("double")
         ).alias("sample_weight"),
     )
 
@@ -516,11 +524,16 @@ def q101_pii_scrub(spark, sf_dir):
     SELECT h.doc_id AS id,
            count(*) AS n_chunks,
            CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-           round(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS shared_ratio
+           {ratio_rq} AS shared_ratio
     FROM h JOIN freq USING (chunk_hash)
     GROUP BY h.doc_id
-    """,
+    """.format(
+        # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
+        ratio_rq=sql_roundq(
+            "CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE)"
+        ),
+    ),
 )
 def q102_chunk_fingerprints(spark, sf_dir):
     from pyspark.sql import Window
@@ -541,8 +554,8 @@ def q102_chunk_fingerprints(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             agg_shared.alias("n_shared"),
-            F.round(
-                agg_shared.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            roundq(
+                agg_shared.cast("double") / F.count(F.lit(1)).cast("double")
             ).alias("shared_ratio"),
         )
     )
@@ -794,13 +807,17 @@ def q105_length_filter(spark, sf_dir):
       SELECT source,
              count(*) AS n_docs,
              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-             round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
-                   / count(*), 6) AS mean_quality
+             {sql_roundq(
+                 "CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)"
+                 " / count(*)"
+             )} AS mean_quality
       FROM q GROUP BY source
     )
     SELECT source, n_docs, n_tokens, mean_quality,
-           round(CAST(n_tokens AS DOUBLE)
-                 / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+           {sql_roundq(
+               "CAST(n_tokens AS DOUBLE)"
+               " / CAST(SUM(n_tokens) OVER () AS DOUBLE)"
+           )} AS token_share
     FROM agg
     """,
 )
@@ -816,17 +833,17 @@ def q106_source_mix(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.round(
+            # micro-unit mean and k/n share (.5-tie class): guarded
+            # floor grid (r10 q225 class)
+            roundq(
                 F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("mean_quality"),
         )
     )
-    share = F.round(
+    share = roundq(
         F.col("n_tokens").cast("double")
-        / F.sum("n_tokens").over(Window.partitionBy()).cast("double"),
-        6,
+        / F.sum("n_tokens").over(Window.partitionBy()).cast("double")
     )
     return agg.select(
         "source", "n_docs", "n_tokens", "mean_quality", share.alias("token_share")
@@ -983,12 +1000,21 @@ def q109_chunk_dedup(spark, sf_dir):
       FROM bucketed GROUP BY bucket
     )
     SELECT bucket, lo, hi, n_docs, total_tokens,
-           round(CAST(n_docs AS DOUBLE)
-                 / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
-           round(CAST(SUM(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
-                 / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS cum_doc_share
+           {share_rq} AS doc_share,
+           {cum_rq} AS cum_doc_share
     FROM agg
-    """,
+    """.format(
+        # k/n count ratios (.5-tie class): guarded floor grid (r10
+        # q225 class)
+        share_rq=sql_roundq(
+            "CAST(n_docs AS DOUBLE)"
+            " / CAST(SUM(n_docs) OVER () AS DOUBLE)"
+        ),
+        cum_rq=sql_roundq(
+            "CAST(SUM(n_docs) OVER (ORDER BY bucket) AS DOUBLE)"
+            " / CAST(SUM(n_docs) OVER () AS DOUBLE)"
+        ),
+    ),
 )
 def q111_length_histogram(spark, sf_dir):
     from pyspark.sql import Window
@@ -1028,8 +1054,8 @@ def q111_length_histogram(spark, sf_dir):
         "hi",
         "n_docs",
         "total_tokens",
-        F.round(F.col("n_docs").cast("double") / total, 6).alias("doc_share"),
-        F.round(F.sum("n_docs").over(cum).cast("double") / total, 6).alias(
+        roundq(F.col("n_docs").cast("double") / total).alias("doc_share"),
+        roundq(F.sum("n_docs").over(cum).cast("double") / total).alias(
             "cum_doc_share"
         ),
     )
@@ -1360,8 +1386,8 @@ from airquality_data_pipeline_spark.queries.dedup import (  # noqa: E402
     oracle=f"""
     WITH {_QUALITY_SQL}
     SELECT doc_id, source,
-           round(quality, 6) AS quality,
-           round(q_pct, 6) AS q_pct,
+           {sql_roundq("quality")} AS quality,
+           {sql_roundq("q_pct")} AS q_pct,
            q_pct >= 0.4 AS keep
     FROM (
       SELECT q.doc_id, d.source, q.quality,
@@ -1384,8 +1410,10 @@ def q123_source_calibration(spark, sf_dir):
     return feats.select(
         "doc_id",
         "source",
-        F.round("quality", 6).alias("quality"),
-        F.round(pct, 6).alias("q_pct"),
+        # quality (weighted ratio mix) and cume_dist (k/n) are
+        # rationals (.5-tie class): guarded floor grid (r10 q225)
+        roundq(F.col("quality")).alias("quality"),
+        roundq(pct).alias("q_pct"),
         (pct >= 0.4).alias("keep"),
     )
 
@@ -1490,15 +1518,22 @@ def q125_token_budget_selection(spark, sf_dir):
     ),
     scored AS (
       SELECT term, cnt_train, cnt_held,
-             round(cnt_train / tot_train, 6) AS rate_train,
-             round(cnt_held / tot_held, 6) AS rate_held,
-             round(abs(cnt_train / tot_train - cnt_held / tot_held), 6)
-               AS rate_diff
+             {rt_rq} AS rate_train,
+             {rh_rq} AS rate_held,
+             {rd_rq} AS rate_diff
       FROM per, tot
     )
     SELECT term, cnt_train, cnt_held, rate_train, rate_held, rate_diff
     FROM scored ORDER BY rate_diff DESC, term LIMIT 20
-    """,
+    """.format(
+        # k/n rates and their gaps are rationals (.5-tie class), and
+        # rate_diff ORDERS the top-20: guarded floor grid (r10 q225)
+        rt_rq=sql_roundq("cnt_train / tot_train"),
+        rh_rq=sql_roundq("cnt_held / tot_held"),
+        rd_rq=sql_roundq(
+            "abs(cnt_train / tot_train - cnt_held / tot_held)"
+        ),
+    ),
 )
 def q126_token_drift(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
@@ -1533,18 +1568,17 @@ def q126_token_drift(spark, sf_dir):
         "term",
         "cnt_train",
         "cnt_held",
-        F.round(
-            F.try_divide(F.col("cnt_train"), F.col("tot_train")), 6
+        roundq(
+            F.try_divide(F.col("cnt_train"), F.col("tot_train"))
         ).alias("rate_train"),
-        F.round(
-            F.try_divide(F.col("cnt_held"), F.col("tot_held")), 6
+        roundq(
+            F.try_divide(F.col("cnt_held"), F.col("tot_held"))
         ).alias("rate_held"),
-        F.round(
+        roundq(
             F.abs(
                 F.try_divide(F.col("cnt_train"), F.col("tot_train"))
                 - F.try_divide(F.col("cnt_held"), F.col("tot_held"))
-            ),
-            6,
+            )
         ).alias("rate_diff"),
     )
     return scored.orderBy(F.desc("rate_diff"), F.asc("term")).limit(20)

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    roundq,
+    sql_roundq,
     table,
     ts_ms,
     utc,
@@ -219,19 +221,25 @@ def q242_ship_delay_priority(spark, sf_dir):
            CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                               AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              AS total_revenue,
-           round(100.0
-                 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                    AS DECIMAL(18,6))
-                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR)
-                        AS DOUBLE)
-                 / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                      AS DECIMAL(18,6))) AS VARCHAR)
-                        AS DOUBLE), 6) AS promo_pct
+           {pct_rq} AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE year(l.l_shipdate) = 1996
     GROUP BY 1
-    """,
+    """.format(
+        # ratio of 6-dp decimal sums is a rational (.5-tie class):
+        # guarded floor grid, not round() (r10 q225 class)
+        pct_rq=sql_roundq(
+            "100.0"
+            " * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'"
+            " THEN CAST(l.l_extendedprice * (1 - l.l_discount)"
+            " AS DECIMAL(18,6))"
+            " ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR)"
+            " AS DOUBLE)"
+            " / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)"
+            " AS DECIMAL(18,6))) AS VARCHAR)"
+            " AS DOUBLE)"
+        ),
+    ),
 )
 def q243_promo_revenue_share(spark, sf_dir):
     utc(spark)
@@ -256,7 +264,7 @@ def q243_promo_revenue_share(spark, sf_dir):
         .agg(
             promo.alias("promo_revenue"),
             total.alias("total_revenue"),
-            F.round(100.0 * promo / total, 6).alias("promo_pct"),
+            roundq(100.0 * promo / total).alias("promo_pct"),
         )
     )
 
