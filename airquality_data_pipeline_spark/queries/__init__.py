@@ -7,14 +7,16 @@ Registration order is deliberate: the external driver checks a ~50-entry
 prefix of the catalog each round, so _PRIORITY puts the queries that
 most need a fresh CORRECTNESS row first. Since round 10 the order is
 GENERATED from the committed evidence ledger by tools/gen_priority.py
-(policy: queries modified after their latest green driver row lead,
-then never-driver-checked queries, then ascending latest-evidence
-round) and pinned by a test — the hand-maintained-count failure mode
-(r8's "backlog -> 2" drift) is extinct. Round-10 window: q149 leads
-(pagerank de-broadcast rewrite, r9 row predates the code), then the
-last 4 never-checked (q211/q212/q213/q216 — backlog hits 0), then the
-29 r3-era rows (7 rounds stale) and r4's oldest. All 263 queries are
-locally parity-green at sf0.001/0.01/0.1 under the hostile replica
+(policy: never-driver-checked queries lead — no row at all is less
+evidence than a stale one — then queries modified after their latest
+green driver row, then ascending latest-evidence round) and pinned by
+a test — the hand-maintained-count failure mode (r8's "backlog -> 2"
+drift) is extinct. Round-10 window: the last 4 never-checked
+(q211/q212/q213/q216 — backlog hits 0), then the ~79 queries whose
+final roundings moved to the guarded floor grid this round (the
+q225-class ratchet; their green rows predate the conversion), oldest
+evidence beyond the window. All 263 queries are locally parity-green
+at sf0.001/0.01/0.1 under the hostile replica
 (tests/test_oracle_parity.py); the window exists purely to convert
 local evidence into driver CORRECTNESS rows. Ledger note: the green
 q121_simhash64_neardup rows map to q117's 64-bit form since r5 (the

@@ -262,7 +262,7 @@ def q129_containment(spark, sf_dir):
         inter.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .where(c >= 0.8)
-        .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
+        .select("id_a", "id_b", "n_inter", roundq(c).alias("containment"))
     )
 
 
@@ -1056,5 +1056,5 @@ def q138_containment_capped(spark, sf_dir):
             "id_b",
         )
         .where(c >= 0.8)
-        .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
+        .select("id_a", "id_b", "n_inter", roundq(c).alias("containment"))
     )

@@ -733,10 +733,12 @@ def test_priority_list_is_generated():
 
 
 def test_compute_priority_ordering_invariants():
-    # pure-unit coverage of the rotation policy: modified head (given
-    # order), then never-green numeric order, then ascending
-    # latest-evidence round with numeric tie-break; output is always a
-    # permutation of the catalog; unknown modified names are rejected.
+    # pure-unit coverage of the rotation policy: never-green first
+    # (numeric order — no row at all beats any stale row, the mid-r10
+    # revision), then the modified head (given order, minus any name
+    # already in the never block), then ascending latest-evidence
+    # round with numeric tie-break; output is always a permutation of
+    # the catalog; unknown modified names are rejected.
     import os
     import sys
 
@@ -748,8 +750,12 @@ def test_compute_priority_ordering_invariants():
     catalog = ["q2_b", "q10_a", "q1_a", "q3_c", "q7_d"]
     ledger = {"q1_a": 4, "q10_a": 3, "q3_c": 4}
     out = compute_priority(catalog, ledger, modified=["q3_c"])
-    assert out == ["q3_c", "q2_b", "q7_d", "q10_a", "q1_a"]
+    assert out == ["q2_b", "q7_d", "q3_c", "q10_a", "q1_a"]
     assert sorted(out) == sorted(catalog)
+    # a modified name that is ALSO never-green stays in the never
+    # block (no duplicate emission)
+    out_dup = compute_priority(catalog, ledger, modified=["q7_d", "q3_c"])
+    assert out_dup == ["q2_b", "q7_d", "q3_c", "q10_a", "q1_a"]
     # without a modified head, never-green still sorts numerically
     out2 = compute_priority(catalog, ledger)
     assert out2 == ["q2_b", "q7_d", "q10_a", "q1_a", "q3_c"]

@@ -410,3 +410,51 @@ def test_catalog_wide_no_broadcast_hint_over_fact_subtree(spark, sf_dir):
         "forced broadcast hint over an unshrunk fact scan — drop the "
         f"hint and let AQE plan the join by size: {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# The r10 q225-class ratchet (PLANS.md "roundq / sql_roundq" section):
+# a FINAL F.round of a RATIONAL-valued double (count ratios, means of
+# decimal sums, medians/percentile interpolations, regression betas)
+# can land exactly on a .5 boundary of the 1e-6 grid, where Spark's
+# BigDecimal HALF_UP and DuckDB's float-space round diverge by one
+# quantum — caught live by the hot_key+all_ties x30 sweep. Every such
+# site was moved to common.roundq/sql_roundq; what remains on plain
+# F.round is the audited tie-free set (sqrt/ln/log2/exp/non-integer-
+# pow derived values, dyadic k/16-style ratios, identity re-rounds of
+# grid-exact sums), each justified by a comment at the site. This
+# ratchet pins the per-module count of plain F.round call sites so a
+# new rational-round can't slip in unreviewed: adding one either means
+# using roundq (right 99% of the time) or consciously bumping the
+# count here WITH a tie-free justification comment at the new site.
+_PLAIN_ROUND_BUDGET = {
+    "advanced2.py": 9,
+    "advanced3.py": 5,
+    "advanced4.py": 6,
+    "dedup.py": 2,
+    "llmops.py": 2,
+    "llmops2.py": 2,
+    "llmops3.py": 7,
+    "similarity.py": 2,
+    "text.py": 2,
+}
+
+
+def test_plain_round_sites_pinned_to_tie_free_budget():
+    import airquality_data_pipeline_spark.queries as qpkg
+
+    qdir = os.path.dirname(qpkg.__file__)
+    counts = {}
+    for fname in sorted(os.listdir(qdir)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(qdir, fname)) as fh:
+            n = len(re.findall(r"F\.round\(", fh.read()))
+        if n:
+            counts[fname] = n
+    assert counts == _PLAIN_ROUND_BUDGET, (
+        "plain F.round call-site counts drifted from the audited "
+        "tie-free budget — use common.roundq for any rational-valued "
+        f"final rounding (r10 q225 class). got={counts} "
+        f"expected={_PLAIN_ROUND_BUDGET}"
+    )

@@ -9,11 +9,17 @@ the committed evidence ledger (``CORRECTNESS_r*.json`` at the repo
 root) plus an explicit ``modified`` head for queries whose code changed
 after their latest green row.
 
-Policy (oldest-evidence-first, the r9 VERDICT item 7 contract):
+Policy (oldest-evidence-first, the r9 VERDICT item 7 contract; block
+order revised mid-r10 when the floor-grid ratchet modified ~79
+queries at once and would otherwise have pushed the last never-checked
+query out of the window):
 
-1. ``modified`` queries, in the given order — their latest green row
-   predates the current code, so a fresh row is worth the most.
-2. Never-green queries (no green ledger row at all), numeric order.
+1. Never-green queries (no green ledger row at all), numeric order —
+   NO driver row is strictly less evidence than a stale one, so these
+   outrank even modified queries.
+2. ``modified`` queries, in the given order — their latest green row
+   predates the current code, so a fresh row is worth more than
+   re-confirming unchanged code.
 3. Everything else ascending by latest green round, numeric order
    within a round.
 
@@ -96,17 +102,17 @@ def compute_priority(
     unknown = [n for n in modified if n not in catalog_set]
     if unknown:
         raise ValueError(f"modified names not in catalog: {unknown}")
-    seen = set(modified)
     never = sorted(
-        (n for n in catalog if n not in ledger and n not in seen),
-        key=_numeric_key,
+        (n for n in catalog if n not in ledger), key=_numeric_key
     )
-    seen.update(never)
+    seen = set(never)
+    mod_tail = [n for n in modified if n not in seen]
+    seen.update(mod_tail)
     rest = sorted(
         (n for n in catalog if n not in seen),
         key=lambda n: (ledger[n], _numeric_key(n)),
     )
-    return [*modified, *never, *rest]
+    return [*never, *mod_tail, *rest]
 
 
 def render(
