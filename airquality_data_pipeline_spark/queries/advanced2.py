@@ -3731,6 +3731,7 @@ def q184_retention_halflife(spark, sf_dir):
       SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
              CAST(count(*) AS BIGINT) AS wt
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice IS NOT NULL
       GROUP BY 1, 2, 3
     ),
     c AS (
@@ -3752,8 +3753,13 @@ def q184_retention_halflife(spark, sf_dir):
 )
 def q185_weighted_median(spark, sf_dir):
     utc(spark)
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+    # null-priced orders carry no mass for a median OF PRICE — and an
+    # unfiltered null sorts FIRST in Spark's cumw window but LAST in
+    # DuckDB's, shifting the crossing point (null_mass axis)
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
     li = table(spark, sf_dir, "lineitem").select("l_orderkey")
     w = (

@@ -50,7 +50,8 @@ from airquality_data_pipeline_spark.queries.registry import register
     WITH s AS (
       SELECT CAST({s_rq} AS BIGINT) AS s,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-      FROM events WHERE event_type IN ('purchase', 'click')
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
     ),
     g AS (
       SELECT s, CAST(SUM(pos) AS BIGINT) AS np_,
@@ -81,8 +82,12 @@ from airquality_data_pipeline_spark.queries.registry import register
 )
 def q190_roc_auc(spark, sf_dir):
     utc(spark)
+    # unscored rows can't be ranked — excluded on BOTH engines; an
+    # unfiltered NULL score group sorts first in Spark's running-sum
+    # window but last in DuckDB's, shifting `below` (null_mass axis)
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
     )
     s = ev.select(
         roundq(F.col("value") * 100, 0).cast("long").alias("s"),
@@ -557,7 +562,7 @@ def q195_activity_streaks(spark, sf_dir):
     WITH base AS (
       SELECT event_id, value,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     tot AS (
       SELECT CAST(count(*) AS BIGINT) AS n_total,
@@ -599,12 +604,20 @@ def q195_activity_streaks(spark, sf_dir):
 )
 def q196_decile_lift(spark, sf_dir):
     utc(spark)
-    base = table(spark, sf_dir, "events").select(
-        "event_id",
-        "value",
-        F.when(F.col("event_type") == "purchase", 1)
-        .otherwise(0)
-        .alias("pos"),
+    # unscored rows are excluded on BOTH engines (null_mass axis):
+    # besides the engines' opposite null sort positions, the two-phase
+    # rank's equi-join on `value` below silently drops NULL keys —
+    # the exclusion makes that explicit and oracle-identical
+    base = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
     )
     tot = base.agg(
         F.count(F.lit(1)).alias("n_total"),
@@ -1272,7 +1285,7 @@ def q258_offpolicy_eval(spark, sf_dir):
       SELECT value,
              CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref'
                   ELSE 'cur' END AS win
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     refranked AS (
       SELECT value, row_number() OVER (ORDER BY value) AS rn,
@@ -1327,10 +1340,17 @@ def q258_offpolicy_eval(spark, sf_dir):
 )
 def q259_psi_drift(spark, sf_dir):
     utc(spark)
+    # null feature values carry no drift signal and shift the decile
+    # edges oppositely on the two engines — excluded on BOTH
+    # (null_mass axis)
     cutoff = F.lit("2024-01-16").cast("timestamp")
-    ev = table(spark, sf_dir, "events").select(
-        "value",
-        F.when(F.col("ts") < cutoff, "ref").otherwise("cur").alias("win"),
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.col("ts") < cutoff, "ref").otherwise("cur").alias("win"),
+        )
     )
     from airquality_data_pipeline_spark.operators.windows import (
         exact_decile_edges,
@@ -1428,7 +1448,7 @@ def q259_psi_drift(spark, sf_dir):
              CAST(hour(ts) AS BIGINT) AS hr,
              ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
                ::BIGINT % 100 AS bucket
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     pred AS (
       SELECT event_type, hr,
@@ -1492,12 +1512,19 @@ def q260_conformal_calibration(spark, sf_dir):
         ).cast("long")
         % 100
     )
-    ev = table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        "value",
-        F.hour("ts").cast("long").alias("hr"),
-        bucket.alias("bucket"),
+    # a NULL target has no residual: its rank position (Spark nulls
+    # first, DuckDB nulls last) would move q_hat — excluded on BOTH
+    # engines (null_mass axis)
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.hour("ts").cast("long").alias("hr"),
+            bucket.alias("bucket"),
+        )
     )
     train = ev.where(F.col("bucket") < 60)
     pred = train.groupBy("event_type", "hr").agg(
@@ -1691,7 +1718,7 @@ def q261_fairness_audit(spark, sf_dir):
     WITH ev AS (
       SELECT value,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     ranked AS (
       SELECT value, row_number() OVER (ORDER BY value) AS rn,
@@ -1732,11 +1759,18 @@ def q262_woe_iv(spark, sf_dir):
     utc(spark)
     from pyspark.sql import Window as _W
 
-    ev = table(spark, sf_dir, "events").select(
-        "value",
-        F.when(F.col("event_type") == "purchase", 1)
-        .otherwise(0)
-        .alias("y"),
+    # unscored rows are excluded on BOTH engines — the decile edges
+    # otherwise shift with the engines' opposite null sort positions
+    # (null_mass axis)
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
     )
     from airquality_data_pipeline_spark.operators.windows import (
         exact_decile_edges,

@@ -218,11 +218,19 @@ def q37_percentiles(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q38_argmax",
+    # NULL prices are excluded from the arg aggregates on BOTH engines
+    # (null_mass axis): a struct with a NULL field sorts lowest in
+    # Spark but highest in DuckDB, so an unguarded struct-min/max picks
+    # a null-priced row on exactly one engine. An argmax of a missing
+    # score is meaningless anyway; groups survive (NULL args on an
+    # all-null group, like arg_max).
     oracle="""
     SELECT o_orderpriority,
-           (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_order,
+           (max(struct_pack(p := o_totalprice, k := o_orderkey))
+              FILTER (WHERE o_totalprice IS NOT NULL)).k AS top_order,
            max(o_totalprice) AS top_price,
-           (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS bottom_order
+           (min(struct_pack(p := o_totalprice, k := o_orderkey))
+              FILTER (WHERE o_totalprice IS NOT NULL)).k AS bottom_order
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -230,7 +238,11 @@ def q37_percentiles(spark, sf_dir):
 )
 def q38_argmax(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
-    pk = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    # when() yields a NULL struct for null-priced rows; min/max skip it
+    pk = F.when(
+        F.col("o_totalprice").isNotNull(),
+        F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")),
+    )
     return (
         orders.groupBy("o_orderpriority")
         .agg(
@@ -438,6 +450,12 @@ def q59_order_distribution(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q64_ranking_extras",
+    # the sort-key null position is EXPLICIT on both engines
+    # (null_mass axis): Spark's ASC default is NULLS FIRST, DuckDB's
+    # is NULLS LAST — every positional rank (ntile/percent_rank/
+    # cume_dist) over a nullable key silently diverges otherwise.
+    # NULLS LAST keeps null-priced orders ranked, deterministically
+    # after all priced ones (then by o_orderkey).
     oracle="""
     SELECT o_orderpriority, o_orderkey,
            ntile(4) OVER w AS quartile,
@@ -446,14 +464,17 @@ def q59_order_distribution(spark, sf_dir):
            dense_rank() OVER w AS drank
     FROM orders
     WHERE o_custkey <= 100
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
 )
 def q64_ranking_extras(spark, sf_dir):
     from pyspark.sql import Window as W
 
     orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice"), "o_orderkey"
+    )
     return orders.select(
         "o_orderpriority",
         "o_orderkey",

@@ -74,6 +74,17 @@ def generate(
         (ANSI Spark throws or yields NaN where DuckDB may yield
         NULL/NaN with different sign conventions) the same way
         hot_key stressed magnitude.
+      - "null_mass" (r10): a large fraction of the generic metric
+        columns is NULL — events.value 30%, c_acctbal 25%,
+        o_totalprice 20%, s_acctbal 20%. The driver fixture has zero
+        nulls, so any null-handling defect is invisible to every
+        other sweep: aggregate skip-vs-count semantics (sum/avg skip,
+        count(*) does not), null propagation through the roundq floor
+        grid and try_divide, and — the known cross-engine landmine —
+        default null ORDERING (Spark ASC = NULLS FIRST, DuckDB ASC =
+        NULLS LAST; window ranks over a nullable sort key silently
+        diverge unless the null position is explicit on both
+        engines).
 
     Axes COMBINE with "+" (r9 verdict item 5: run the scaled x10/x30
     variants on the other axes' worst combinations), e.g.
@@ -85,12 +96,25 @@ def generate(
     axes = set(axis.split("+")) if axis else set()
     unknown = axes - {
         "all_ties", "single_lang", "constant_ts", "hot_key",
-        "negative_mass",
+        "negative_mass", "null_mass",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
+
+    def nullify(values, frac: float) -> pa.Array:
+        """null_mass axis: mask ~frac of a metric column to NULL.
+
+        Applied AFTER every other axis's value choice (so
+        all_ties+null_mass means a 1-value domain with a null hole —
+        ties and nulls at once), on an independent rng draw so the
+        null positions don't correlate with the skew prefixes.
+        """
+        if "null_mass" not in axes:
+            return pa.array(values)
+        mask = rng.random(len(values)) < frac
+        return pa.array(values, mask=mask)
 
     def write(name: str, table: pa.Table) -> None:
         pq.write_table(table, os.path.join(outdir, name + ".parquet"))
@@ -122,13 +146,15 @@ def generate(
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype("int32")),
         # heavy ties: acctbal quantized to 50 distinct values
         # (all_ties axis: ONE value)
-        "c_acctbal": pa.array(
+        # null_mass: ~25% of balances NULL (applied on top of any axis)
+        "c_acctbal": nullify(
             np.full(n_cust, 1250.0)
             if "all_ties" in axes
             # negative_mass: ~90% of balances < 0
             else np.round(rng.integers(
                 *((-180, 20) if "negative_mass" in axes else (-20, 200)),
-                n_cust) * 50.0, 2)
+                n_cust) * 50.0, 2),
+            0.25,
         ),
         "c_mktsegment": pa.array(rng.choice(segs, n_cust)),
     }))
@@ -137,10 +163,11 @@ def generate(
         "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
         "s_name": pa.array([f"Supplier#{i:09d}" for i in range(1, n_supp + 1)]),
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype("int32")),
-        "s_acctbal": pa.array(np.round(
+        # null_mass: ~20% NULL
+        "s_acctbal": nullify(np.round(
             rng.uniform(-9999, -1, n_supp)
             if "negative_mass" in axes
-            else rng.uniform(-999, 9999, n_supp), 2)),
+            else rng.uniform(-999, 9999, n_supp), 2), 0.20),
     }))
 
     brands = [f"Brand#{b}" for b in (10, 11, 12, 13, 14, 15, 21, 22, 23, 24, 25, 31, 32, 33, 34, 35)]
@@ -169,13 +196,15 @@ def generate(
         "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
         "o_custkey": pa.array(ocust, pa.int64()),
         "o_orderstatus": pa.array(statuses[rng.integers(0, 3, n_ord)]),
-        "o_totalprice": pa.array(
+        # null_mass: ~20% NULL
+        "o_totalprice": nullify(
             np.full(n_ord, 5000.5)
             if "all_ties" in axes
             # negative_mass: ~30% of order totals < 0
             else np.round(rng.integers(
                 *((-120, 280) if "negative_mass" in axes else (1, 400)),
-                n_ord) * 77.0 + 0.5, 2)
+                n_ord) * 77.0 + 0.5, 2),
+            0.20,
         ),
         "o_orderdate": pa.array(odate),
         "o_orderpriority": pa.array(prios[rng.integers(0, 5, n_ord)]),
@@ -231,14 +260,17 @@ def generate(
         "ts": pa.array(np.sort(ets)),
         "user_id": pa.array(users, pa.int64()),
         "event_type": pa.array(ev_types[rng.integers(0, 5, n_ev)]),
-        "value": pa.array(
+        # null_mass: ~30% NULL (the generic metric column every stats
+        # query aggregates — the axis's main stressor)
+        "value": nullify(
             np.full(n_ev, 12.5)
             if "all_ties" in axes
             # negative_mass: ~70% of event values < 0 (the generic
             # metric column every stats query aggregates)
             else np.round(rng.integers(
                 *((-14, 6) if "negative_mass" in axes else (0, 20)),
-                n_ev) * 12.5, 2)
+                n_ev) * 12.5, 2),
+            0.30,
         ),
         "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
     }))

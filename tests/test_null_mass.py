@@ -1,0 +1,99 @@
+"""Null-mass regression: the driver fixture has ZERO nulls, so every
+null-handling defect is invisible to the standard parity suite.  The
+r10 ``null_mass`` sweep axis (tests/robustness/gen_alt_fixture.py) puts
+20-30% NULLs in the generic metric columns (events.value, c_acctbal,
+o_totalprice, s_acctbal) and caught EIGHT cross-engine defects in one
+pass, all in the rank/ordering family:
+
+- q38/q185: a struct with a NULL field sorts LOWEST in Spark's
+  struct-min/max but HIGHEST in DuckDB's, so an unguarded
+  argmax-via-struct picks a null-scored row on exactly one engine;
+- q64: Spark's default ASC null position is NULLS FIRST, DuckDB's is
+  NULLS LAST — ntile/percent_rank/cume_dist over a nullable sort key
+  silently shift (fixed with an explicit NULLS LAST on both);
+- q190/q259/q260/q262: running sums / decile edges over a nullable
+  score place the NULL group at opposite ends of the window;
+- q196: the two-phase global rank's equi-join on the score column
+  silently DROPS null keys on the Spark side only (7 deciles vs 10).
+
+Fix convention, applied to Spark and oracle as a pair: a NULL score
+carries no rank information — such rows are excluded at the source
+(q64 instead keeps them under an explicit shared NULLS LAST, since its
+output IS the ranked row set).  This suite pins the class on the exact
+sweep fixture shape so it can't regress without the sweep.
+"""
+from __future__ import annotations
+
+import pytest
+
+from airquality_data_pipeline_spark.queries import ORACLE, QUERIES
+from tests.oracle_utils import compare
+from tests.robustness.gen_alt_fixture import generate
+
+QUERY_NAMES = [
+    "q38_argmax",
+    "q64_ranking_extras",
+    "q185_weighted_median",
+    "q190_roc_auc",
+    "q196_decile_lift",
+    "q259_psi_drift",
+    "q260_conformal_calibration",
+    "q262_woe_iv",
+]
+
+
+@pytest.fixture(scope="module")
+def null_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("null_mass"))
+    generate(out, seed=13, scale=1.0, axis="null_mass")
+    return out
+
+
+@pytest.fixture(scope="module")
+def null_duck(null_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{null_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_nulls_actually_present(null_dir):
+    """The axis must put NULLs in the columns the queries rank by —
+    otherwise the parity assertions below prove nothing."""
+    import pyarrow.parquet as pq
+
+    for tab, col in [
+        ("events", "value"),
+        ("orders", "o_totalprice"),
+        ("customer", "c_acctbal"),
+    ]:
+        t = pq.read_table(f"{null_dir}/{tab}.parquet")
+        assert t.column(col).null_count > 0, (tab, col)
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_null_mass_parity(name, spark, null_dir, null_duck):
+    df = QUERIES[name](spark, null_dir)
+    problems = compare(df, null_duck, ORACLE[name])
+    assert not problems, problems
+
+
+def test_null_rows_excluded_not_binned(spark, null_dir):
+    """q196 must produce the full 10 deciles over the SCORED rows only
+    (before the fix the Spark side lost the null-key rows in its
+    rank join and topped out at 7 deciles)."""
+    rows = QUERIES["q196_decile_lift"](spark, null_dir).collect()
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{null_dir}/events.parquet")
+    scored = t.num_rows - t.column("value").null_count
+    assert sum(r.n for r in rows) == scored
