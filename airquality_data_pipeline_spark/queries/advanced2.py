@@ -1915,7 +1915,8 @@ def q164_chi_square(spark, sf_dir):
     WITH rev AS (
       SELECT o_custkey,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
-      FROM orders GROUP BY o_custkey
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY o_custkey
     ),
     ranked AS (
       SELECT o_custkey, r,
@@ -1951,7 +1952,15 @@ def q164_chi_square(spark, sf_dir):
 )
 def q165_revenue_concentration(spark, sf_dir):
     utc(spark)
-    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # null prices are excluded on BOTH engines (null_mass x10 catch):
+    # a customer whose EVERY price is NULL gets r = NULL, which the
+    # Gini rank sorts FIRST in Spark but LAST in DuckDB, shifting
+    # every other customer's rank weight i by one
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select("o_custkey", "o_totalprice")
+    )
     rev = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice", 2)).alias("r")
     )

@@ -86,6 +86,45 @@ def test_null_mass_parity(name, spark, null_dir, null_duck):
     assert not problems, problems
 
 
+@pytest.fixture(scope="module")
+def null_dir_x10(tmp_path_factory):
+    """q165's defect needs a customer whose EVERY order is null-priced
+    (revenue NULL -> Gini rank nulls-first vs nulls-last); that shape
+    only appears at x10 of the axis fixture (the sweep's catch)."""
+    out = str(tmp_path_factory.mktemp("null_mass_x10"))
+    generate(out, seed=13, scale=10.0, axis="null_mass")
+    return out
+
+
+def test_all_null_revenue_customer_present(null_dir_x10):
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM (SELECT o_custkey FROM "
+        f"'{null_dir_x10}/orders.parquet' GROUP BY o_custkey "
+        f"HAVING count(o_totalprice) = 0)"
+    ).fetchone()[0]
+    con.close()
+    assert n > 0, "fixture lost the all-null-revenue customer shape"
+
+
+def test_null_mass_gini_parity_x10(spark, null_dir_x10):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"'{null_dir_x10}/orders.parquet'"
+    )
+    name = "q165_revenue_concentration"
+    problems = compare(
+        QUERIES[name](spark, null_dir_x10), con, ORACLE[name]
+    )
+    con.close()
+    assert not problems, problems
+
+
 def test_null_rows_excluded_not_binned(spark, null_dir):
     """q196 must produce the full 10 deciles over the SCORED rows only
     (before the fix the Spark side lost the null-key rows in its
