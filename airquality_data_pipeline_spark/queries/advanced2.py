@@ -1329,6 +1329,7 @@ def q158_snowflake_rollup(spark, sf_dir):
     oracle="""
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     corpus AS (
       SELECT vec_id, v FROM base
@@ -1376,7 +1377,10 @@ def q159_semantic_decontamination(spark, sf_dir):
         planted_neardup_corpus,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    # NULL vectors excluded on BOTH engines (null_text axis)
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     corpus = planted_neardup_corpus(emb)
     assigned = ivf_assign(corpus, F.col("id") < 8)
     train = assigned.where(F.col("id") < 100000).select(
@@ -2489,6 +2493,7 @@ def q171_anova_f(spark, sf_dir):
     oracle="""
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     n AS (
       SELECT * FROM (
@@ -2497,7 +2502,8 @@ def q171_anova_f(spark, sf_dir):
     ),
     cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
               WHERE vec_id < greatest(8, CAST(floor(sqrt(
-                        (SELECT count(*) FROM embeddings))) AS BIGINT))),
+                        (SELECT count(*) FROM embeddings
+                         WHERE embedding IS NOT NULL))) AS BIGINT))),
     assigned AS (
       SELECT id, v, nrm, label, bucket FROM (
         SELECT n.vec_id AS id, n.v, n.nrm, n.label, c.cent_id AS bucket,
@@ -2551,8 +2557,12 @@ def q172_knn_label_noise(spark, sf_dir):
         sqrt_k_centroids,
     )
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label"
+    # NULL vectors excluded on BOTH engines (null_text axis); the
+    # oracle's k-formula count subquery filters identically
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding", "label")
     )
     # k = max(8, floor(sqrt(n))) inside the plan — no plan-build count
     # job (r7 verdict); oracle pins the identical formula.
@@ -2852,12 +2862,13 @@ def q174_time_travel_lookup(spark, sf_dir):
     WITH pick AS (
       SELECT source, row_number() OVER (ORDER BY count(*) DESC, source)
                AS prio
-      FROM documents GROUP BY source
+      FROM documents WHERE text IS NOT NULL GROUP BY source
     ),
     ab AS (SELECT source, prio FROM pick WHERE prio <= 2),
     docs2 AS (
       SELECT d.doc_id, ab.prio, len(d.text) AS x
       FROM documents d JOIN ab ON d.source = ab.source
+      WHERE d.text IS NOT NULL
     ),
     byx AS (
       SELECT x,
@@ -2896,8 +2907,13 @@ def q174_time_travel_lookup(spark, sf_dir):
     ),
 )
 def q175_ks_test(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.length("text").alias("x")
+    # a NULL text has no length: it belongs to neither ECDF, and its
+    # NULL x group otherwise sits at opposite ends of the cumulative
+    # walk on the two engines (null_text axis)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", F.length("text").alias("x"))
     )
     pick = (
         docs.groupBy("source")

@@ -1403,7 +1403,7 @@ def q223_cohort_ltv(spark, sf_dir):
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[],
                                    embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
           WHERE vec_id < 5),
@@ -1440,7 +1440,11 @@ def q224_negative_sampling(spark, sf_dir):
     )
 
     utc(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    # NULL vectors excluded on BOTH engines (null_text axis): they can
+    # be neither positives nor sampled negatives
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     pos = cosine_topk(emb, query_pred=F.col("id") < 5, k=3).select(
         "query_id", F.col("neighbor_id").alias("cand_id"), "rank"
     )

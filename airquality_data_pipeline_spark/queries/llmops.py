@@ -286,6 +286,7 @@ def q129_containment(spark, sf_dir):
     oracle="""
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     corpus AS (
       SELECT vec_id, v FROM base
@@ -332,7 +333,10 @@ def q130_semdedup(spark, sf_dir):
         sqrt_k_centroids,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    # NULL vectors excluded on BOTH engines (null_text axis)
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     corpus = planted_neardup_corpus(emb)
     # k = max(8, floor(sqrt(n))) derived inside the plan (r7 verdict:
     # the old math.isqrt(corpus.count()) ran a full-table count job at

@@ -310,8 +310,9 @@ def q216_tokenizer_fertility(spark, sf_dir):
       SELECT doc_id,
              CAST(row_number() OVER (ORDER BY n_chars, doc_id)
                AS BIGINT) AS r,
-             CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
-      FROM documents
+             CAST((SELECT count(*) FROM documents
+                   WHERE n_chars IS NOT NULL) AS BIGINT) AS n
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     strata AS (
       SELECT doc_id, CAST(((r - 1) * 10) // n AS BIGINT) AS stratum
@@ -336,7 +337,15 @@ def q216_tokenizer_fertility(spark, sf_dir):
 )
 def q217_curriculum_interleave(spark, sf_dir):
     utc(spark)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # docs with no difficulty proxy (NULL n_chars) can't be curriculum
+    # -ranked — excluded on BOTH engines (null_text axis; the two-phase
+    # rank's equi-join on n_chars would otherwise drop them on the
+    # Spark side only, the q196 mechanism)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
     # two-phase decile rank: distinct-length prefix counts (bounded
     # domain) + keyed within-length rank.
     byc = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
@@ -414,7 +423,7 @@ def q217_curriculum_interleave(spark, sf_dir):
              embedding[1:32]::DOUBLE[] AS tv,
              sqrt(list_dot_product(embedding[1:32]::DOUBLE[],
                                    embedding[1:32]::DOUBLE[])) AS tnrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, tv AS qtv,
                  tnrm AS qtn
@@ -452,7 +461,10 @@ def q218_matryoshka_recall(spark, sf_dir):
     )
 
     utc(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    # NULL vectors excluded on BOTH engines (null_text axis)
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     full_k = cosine_topk(emb, query_pred=F.col("id") < 10, k=5).select(
         "query_id", "neighbor_id"
     )

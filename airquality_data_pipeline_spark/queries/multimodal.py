@@ -43,7 +43,7 @@ from airquality_data_pipeline_spark.queries.registry import register
                           CAST(doc_id % 4 + 1 AS INT)) AS modality,
              hex(encode(text)) AS h,
              octet_length(encode(text)) AS n
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     f AS (
       SELECT item_id, modality, n,
@@ -62,7 +62,12 @@ from airquality_data_pipeline_spark.queries.registry import register
     """,
 )
 def q133_multimodal_frames(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # a NULL text synthesizes no payload — there is nothing to demux;
+    # excluded on BOTH engines (null_text axis: the Arrow operators
+    # drop null payloads while the oracle kept NULL-frame rows)
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     corpus = synthesize_corpus(docs)
     feats = extract_features(corpus).select("item_id", "modality", "n_bytes")
     frames = frame_sample(corpus, n_frames=4).select(

@@ -622,9 +622,14 @@ def q18_json_extract(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q19_string_funcs",
+    # DuckDB's split_part returns '' (not NULL) for NULL input, unlike
+    # every other string scalar here and unlike Spark's split/element_at
+    # — the CASE pins NULL-in -> NULL-out on both engines (null_text
+    # axis)
     oracle="""
     SELECT doc_id,
-           lower(split_part(trim(text), ' ', 1)) AS first_token,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE lower(split_part(trim(text), ' ', 1)) END AS first_token,
            substring(text, 1, 2) AS prefix2,
            length(text) AS n_chars_calc,
            regexp_replace(lower('PM2.5'), 'pm2[.,]5', 'pm25') AS norm_code,

@@ -27,12 +27,15 @@ from airquality_data_pipeline_spark.queries.registry import register
 # shared oracle CTE: vectors cast to double + L2 norms. Zero-norm
 # vectors are excluded in lockstep with _norm_projection (cosine is
 # undefined for them; ANSI division would throw on the Spark side).
+# NULL vectors are excluded explicitly on BOTH engines (null_text
+# axis): DuckDB's list_inner_product ERRORS on a NULL argument rather
+# than returning NULL, and a missing vector has no similarity anyway.
 _NORM_CTE = """
     n AS (
       SELECT * FROM (
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
       ) WHERE nrm > 0
     )
 """
@@ -65,7 +68,10 @@ _LSH_B = ", ".join(str(b) for _, b in LSH_PARAMS)
     """,
 )
 def q44_cosine_topk(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        # NULL vectors have no similarity; oracle n/base CTEs filter too
+        F.col("embedding").isNotNull()
+    )
     return cosine_topk(emb, query_pred=F.col("id") < 10, k=5)
 
 
@@ -94,6 +100,7 @@ def q44_cosine_topk(spark, sf_dir):
     oracle=f"""
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     corpus AS (
       SELECT vec_id, v FROM base
@@ -144,7 +151,10 @@ def q44_cosine_topk(spark, sf_dir):
     """,
 )
 def q45_embedding_neardup(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        # NULL vectors have no similarity; oracle n/base CTEs filter too
+        F.col("embedding").isNotNull()
+    )
     corpus = planted_neardup_corpus(emb)
     return lsh_gated_neardup(corpus, threshold=0.9, n_bits=16, band_bits=4)
 
@@ -187,7 +197,10 @@ def q45_embedding_neardup(spark, sf_dir):
     """,
 )
 def q46_ivf_topk(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        # NULL vectors have no similarity; oracle n/base CTEs filter too
+        F.col("embedding").isNotNull()
+    )
     return ivf_topk(
         emb, query_pred=F.col("id") < 10, centroid_pred=F.col("id") < 8, k=3
     )
@@ -221,7 +234,10 @@ def q46_ivf_topk(spark, sf_dir):
     """,
 )
 def q47_vector_lsh(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        # NULL vectors have no similarity; oracle n/base CTEs filter too
+        F.col("embedding").isNotNull()
+    )
     return hyperplane_lsh(emb, n_bits=16, dim=64)
 
 
@@ -349,7 +365,10 @@ from airquality_data_pipeline_spark.operators.similarity import kmeans_step  # n
     """,
 )
 def q104_kmeans_refine(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        # NULL vectors have no similarity; oracle n/base CTEs filter too
+        F.col("embedding").isNotNull()
+    )
     return kmeans_step(emb, centroid_pred=F.col("id") < 8)
 
 
@@ -406,7 +425,10 @@ from airquality_data_pipeline_spark.operators.similarity import (  # noqa: E402
     """,
 )
 def q107_ivf_multiprobe(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        # NULL vectors have no similarity; oracle n/base CTEs filter too
+        F.col("embedding").isNotNull()
+    )
     return ivf_topk_multiprobe(
         emb,
         query_pred=F.col("id") < 10,
@@ -513,7 +535,10 @@ _IVF_ASSIGN_CTE = f"""
     """,
 )
 def q115_ann_recall(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        # NULL vectors have no similarity; oracle n/base CTEs filter too
+        F.col("embedding").isNotNull()
+    )
     exact = cosine_topk(emb, query_pred=F.col("id") < 10, k=3).select(
         "query_id", "neighbor_id"
     )
@@ -588,7 +613,10 @@ def q115_ann_recall(spark, sf_dir):
     """,
 )
 def q116_product_quantization(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        # NULL vectors have no similarity; oracle n/base CTEs filter too
+        F.col("embedding").isNotNull()
+    )
     return product_quantize(
         emb, centroid_pred=F.col("id") < 4, n_sub=8, dim=64
     )

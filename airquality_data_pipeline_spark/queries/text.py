@@ -733,7 +733,7 @@ def q103_curation_pipeline(spark, sf_dir):
       SELECT doc_id, lang,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     cd AS (
       SELECT *, cume_dist() OVER (PARTITION BY lang ORDER BY n_tokens) AS c
@@ -753,7 +753,12 @@ def q103_curation_pipeline(spark, sf_dir):
 def q105_length_filter(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
+    # a NULL text has no token count — its NULL n_tokens would shift
+    # the cume_dist band edges oppositely on the two engines
+    # (null_text axis); excluded on BOTH
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     t = F.trim(F.col("text"))
     nt = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
     base = docs.select("doc_id", "lang", nt.alias("n_tokens"))
@@ -983,7 +988,7 @@ def q109_chunk_dedup(spark, sf_dir):
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     bucketed AS (
       SELECT doc_id, n_tokens,
@@ -1019,7 +1024,12 @@ def q109_chunk_dedup(spark, sf_dir):
 def q111_length_histogram(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
+    # NULL texts are unmeasurable — their NULL bucket sits at opposite
+    # ends of the cumulative-share window on the two engines
+    # (null_text axis); excluded on BOTH
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     t = F.trim(F.col("text"))
     nt = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
     bucket = F.when(nt == 0, F.lit(0)).otherwise(

@@ -85,6 +85,18 @@ def generate(
         NULLS LAST; window ranks over a nullable sort key silently
         diverge unless the null position is explicit on both
         engines).
+      - "null_text" (r10, second null wave): NULLs in the corpus
+        columns — documents.text 10% (with n_chars NULL on the same
+        rows, keeping the n_chars = len(text) invariant vacuous
+        rather than violated), documents.lang 10% (independent), and
+        embeddings.embedding 5%. Stresses the text/dedup/ANN family:
+        string functions and shingle pipelines must propagate NULL
+        identically, language mixtures must agree on the NULL lang
+        group, and vector ops must skip NULL embeddings the same way
+        on both engines. Nulls land only ABOVE the planted-structure
+        rows (text index >= 47, embedding index >= 31) so the
+        dup/near-dup/degenerate plants the dedup queries must find
+        stay intact.
 
     Axes COMBINE with "+" (r9 verdict item 5: run the scaled x10/x30
     variants on the other axes' worst combinations), e.g.
@@ -96,7 +108,7 @@ def generate(
     axes = set(axis.split("+")) if axis else set()
     unknown = axes - {
         "all_ties", "single_lang", "constant_ts", "hot_key",
-        "negative_mass", "null_mass",
+        "negative_mass", "null_mass", "null_text",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
@@ -312,12 +324,24 @@ def generate(
     src_ids = rng.integers(0, 12, n_doc)
     if "hot_key" in axes:
         src_ids[: 9 * n_doc // 10] = 0
+    if "null_text" in axes:
+        # null text (with n_chars nulled on the same rows) and an
+        # independent null-lang draw; only above the planted rows so
+        # the dup/near-dup/degenerate structure survives
+        for i in range(47, n_doc):
+            if rng.random() < 0.10:
+                texts[i] = None
+            if rng.random() < 0.10:
+                lang_col[i] = None
     write("documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
         "text": pa.array(texts),
         "lang": pa.array(lang_col),
         "source": pa.array([f"src{int(s)}" for s in src_ids]),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars": pa.array(
+            [len(t) if t is not None else None for t in texts],
+            pa.int64(),
+        ),
     }))
 
     # --- embeddings: 64-dim, clustered + exact-duplicate vectors
@@ -333,10 +357,15 @@ def generate(
         # norm/products)
         vecs[26] = 0.0
         vecs[27] = 1e-30
+    emb_col = [v.astype("float32") for v in vecs]
+    if "null_text" in axes:
+        # ~5% NULL vectors, above the dup/degenerate plants
+        for i in range(31, n_emb):
+            if rng.random() < 0.05:
+                emb_col[i] = None
     write("embeddings", pa.table({
         "vec_id": pa.array(range(n_emb), pa.int64()),
-        "embedding": pa.array([v.astype("float32") for v in vecs],
-                              pa.list_(pa.float32())),
+        "embedding": pa.array(emb_col, pa.list_(pa.float32())),
         "label": pa.array(labels.astype("int32")),
     }))
 

@@ -1,9 +1,22 @@
-"""Null-mass regression: the driver fixture has ZERO nulls, so every
-null-handling defect is invisible to the standard parity suite.  The
-r10 ``null_mass`` sweep axis (tests/robustness/gen_alt_fixture.py) puts
-20-30% NULLs in the generic metric columns (events.value, c_acctbal,
-o_totalprice, s_acctbal) and caught EIGHT cross-engine defects in one
-pass, all in the rank/ordering family:
+"""Null-axis regression: the driver fixture has ZERO nulls, so every
+null-handling defect is invisible to the standard parity suite.  Two
+r10 sweep axes (tests/robustness/gen_alt_fixture.py) close the class:
+
+``null_text`` puts NULLs in the corpus columns (documents.text/lang/
+n_chars, embeddings.embedding) and caught NINETEEN defects in one
+pass: DuckDB's list_inner_product ERRORS on a NULL vector instead of
+returning NULL (the whole ANN/IVF/PQ family — 13 queries), DuckDB's
+split_part returns '' for NULL input where Spark propagates NULL
+(q19), null length/difficulty groups sitting at opposite ends of
+cume_dist / cumulative-share / ECDF / curriculum windows (q105, q111,
+q175, q217), and the Arrow multimodal operators dropping null
+payloads the oracle kept (q133).  Convention: rows with no measurable
+payload/vector/length are excluded at the source on BOTH engines;
+q19 instead keeps rows and pins NULL-in -> NULL-out explicitly.
+
+``null_mass`` puts 20-30% NULLs in the generic metric columns
+(events.value, c_acctbal, o_totalprice, s_acctbal) and caught EIGHT
+cross-engine defects in one pass, all in the rank/ordering family:
 
 - q38/q185: a struct with a NULL field sorts LOWEST in Spark's
   struct-min/max but HIGHEST in DuckDB's, so an unguarded
@@ -83,6 +96,72 @@ def test_nulls_actually_present(null_dir):
 def test_null_mass_parity(name, spark, null_dir, null_duck):
     df = QUERIES[name](spark, null_dir)
     problems = compare(df, null_duck, ORACLE[name])
+    assert not problems, problems
+
+
+NULL_TEXT_QUERIES = [
+    # ANN / IVF / PQ family: DuckDB list_inner_product NULL-vector error
+    "q44_cosine_topk",
+    "q45_embedding_neardup",
+    "q46_ivf_topk",
+    "q47_vector_lsh",
+    "q104_kmeans_refine",
+    "q107_ivf_multiprobe",
+    "q115_ann_recall",
+    "q116_product_quantization",
+    "q130_semdedup",
+    "q159_semantic_decontamination",
+    "q172_knn_label_noise",
+    "q218_matryoshka_recall",
+    "q224_negative_sampling",
+    # text/length windows + engine-asymmetric string/null handling
+    "q19_string_funcs",
+    "q105_length_filter",
+    "q111_length_histogram",
+    "q133_multimodal_frames",
+    "q175_ks_test",
+    "q217_curriculum_interleave",
+]
+
+
+@pytest.fixture(scope="module")
+def null_text_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("null_text"))
+    generate(out, seed=13, scale=1.0, axis="null_text")
+    return out
+
+
+@pytest.fixture(scope="module")
+def null_text_duck(null_text_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{null_text_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_corpus_nulls_actually_present(null_text_dir):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{null_text_dir}/documents.parquet")
+    emb = pq.read_table(f"{null_text_dir}/embeddings.parquet")
+    for col in ("text", "lang", "n_chars"):
+        assert docs.column(col).null_count > 0, col
+    assert emb.column("embedding").null_count > 0
+
+
+@pytest.mark.parametrize("name", NULL_TEXT_QUERIES)
+def test_null_text_parity(name, spark, null_text_dir, null_text_duck):
+    df = QUERIES[name](spark, null_text_dir)
+    problems = compare(df, null_text_duck, ORACLE[name])
     assert not problems, problems
 
 
