@@ -790,7 +790,7 @@ def q211_robust_means(spark, sf_dir):
     "q212_survivorship",
     oracle="""
     SELECT o_custkey,
-           epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS order_day_ms,
+           CAST(floor(epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 1000.0) AS BIGINT) AS order_day_ms,
            CAST(count(*) AS BIGINT) AS n_dupes,
            CAST(max(o_orderkey) AS BIGINT) AS golden_key,
            max_by(o_orderstatus, o_orderkey) AS golden_status,
@@ -1321,16 +1321,21 @@ def q222_poisson_bootstrap(spark, sf_dir):
     "q223_cohort_ltv",
     oracle="""
     WITH firsts AS (
+      -- floor(days/7), NOT days // 7: DuckDB's integer // truncates
+      -- toward zero, so pre-1970 days (negative) land one week late
+      -- vs Spark's floor (ancient_ts axis)
       SELECT user_id,
-             min(date_diff('day', DATE '1970-01-01',
-                           CAST(date_trunc('day', ts) AS DATE)) // 7)
+             min(CAST(floor(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) / 7.0)
+                      AS BIGINT))
                AS cohort_wk
       FROM events GROUP BY user_id
     ),
     rev AS (
       SELECT e.user_id,
-             date_diff('day', DATE '1970-01-01',
-                       CAST(date_trunc('day', e.ts) AS DATE)) // 7
+             CAST(floor(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', e.ts) AS DATE)) / 7.0)
+                  AS BIGINT)
                - f.cohort_wk AS offset_wk,
              f.cohort_wk,
              CAST({cents_rq} AS BIGINT) AS cents
@@ -2167,8 +2172,8 @@ def q237_uplift_deciles(spark, sf_dir):
     "q238_watermark_lateness",
     oracle="""
     WITH arr AS (
-      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-             max(epoch_ms(ts)) OVER (PARTITION BY user_id
+      SELECT user_id, event_id, CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS ts_ms,
+             max(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT)) OVER (PARTITION BY user_id
                ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS hwm_ms

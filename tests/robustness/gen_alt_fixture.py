@@ -85,6 +85,15 @@ def generate(
         NULLS LAST; window ranks over a nullable sort key silently
         diverge unless the null position is explicit on both
         engines).
+      - "ancient_ts" (r10): every event timestamp moves to 1965 —
+        NEGATIVE unix epochs. Truncating integer division (Spark's
+        `div`, Java's `/`) and flooring division (DuckDB's `//`,
+        Python's) agree on positive epochs and differ by one on
+        negatives, so every epoch-bucketing expression (sessions,
+        hour bars, window alignment) is stressed where the engines'
+        operators genuinely differ. The catalog's 2024 cutoff
+        literals become vacuous (every event lands in the earliest
+        window) — parity must hold on the degenerate split too.
       - "null_text" (r10, second null wave): NULLs in the corpus
         columns — documents.text 10% (with n_chars NULL on the same
         rows, keeping the n_chars = len(text) invariant vacuous
@@ -108,7 +117,7 @@ def generate(
     axes = set(axis.split("+")) if axis else set()
     unknown = axes - {
         "all_ties", "single_lang", "constant_ts", "hot_key",
-        "negative_mass", "null_mass", "null_text",
+        "negative_mass", "null_mass", "null_text", "ancient_ts",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
@@ -261,7 +270,13 @@ def generate(
     # --- events: same Jan-2024 window (catalog cutoffs at Jan 10/15/16/20
     # must split the data non-trivially), skewed user, tied values
     ev_types = np.array(["view", "click", "purchase", "signup", "error"])
-    ebase = np.datetime64("2024-01-01T00:00:00", "us")
+    # ancient_ts axis: 1965 base — every epoch is NEGATIVE, where
+    # truncating (Spark div) and flooring (DuckDB //) division differ
+    ebase = np.datetime64(
+        "1965-06-15T00:00:00" if "ancient_ts" in axes
+        else "2024-01-01T00:00:00",
+        "us",
+    )
     ets = ebase + rng.integers(0, 30 * 86400 * 10**6, n_ev).astype("timedelta64[us]")
     if "constant_ts" in axes:
         ets = np.full(n_ev, ebase + np.timedelta64(12 * 86400 * 10**6, "us"))
