@@ -35,11 +35,28 @@ WORDS = ("the fast key order sort table scan merge part window small hash join "
          "big cache disk spill plan code push prune broad shuffle skew salt range "
          "bucket delta state event click view error signup purchase").split()
 
+# unicode_text axis vocabulary: multi-script, multi-byte, combining
+# marks, ZWJ emoji, full-width digits. NO special-casing code points
+# (ss-sharp, dotted-I, fi/fl ligatures, word-final capital sigma) —
+# see the axis docstring for why.
+UWORDS = (
+    "数据 处理 引擎 查询 合并 分区 排序 哈希 "            # CJC ideographs
+    "данные поток запрос таблица ключ сдвиг "           # Cyrillic
+    "δεδομένα μηχανή ερώτημα κλειδί "                   # Greek (no final-Σ risk: lowercase)
+    "데이터 엔진 쿼리 파티션 "                            # Hangul
+    "café naïve résumé Zürich façade coöperate "        # accented Latin (precomposed)
+    "français Müller "                      # combining cedilla / diaeresis
+    "🚀 🛰️ 👨‍👩‍👧 ✨ "                      # emoji incl. ZWJ family
+    "１２３ ４５６ "                                      # full-width digits
+    "العربية نص محرك "                                   # Arabic (RTL)
+    "हिन्दी इंजन "                                        # Devanagari w/ conjuncts
+).split()
+
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
 
-def _sentence(rng: np.random.Generator, n: int) -> str:
-    return " ".join(rng.choice(WORDS, size=n))
+def _sentence(rng: np.random.Generator, n: int, vocab=WORDS) -> str:
+    return " ".join(rng.choice(vocab, size=n))
 
 
 def generate(
@@ -94,6 +111,21 @@ def generate(
         operators genuinely differ. The catalog's 2024 cutoff
         literals become vacuous (every event lands in the earliest
         window) — parity must hold on the degenerate split too.
+      - "unicode_text" (r10): the corpus vocabulary becomes
+        aggressively multilingual — CJK, Cyrillic, Greek, Korean,
+        accented Latin (precomposed AND combining forms), emoji with
+        ZWJ sequences, full-width digits — so every tokenizer,
+        shingle, regexp, length, and md5 path runs on multi-byte,
+        multi-script text. DELIBERATE EXCLUSION, probed r10: Unicode
+        SPECIAL-CASING code points (ß, İ, ligatures fi/fl, Greek
+        capital sigma in word-final position) are kept OUT of the
+        vocabulary because Spark implements Java full case mappings
+        (upper('ß')='SS', contextual final sigma) while DuckDB
+        implements simple 1:1 mappings (upper('ß')='ẞ') — an
+        engine-level casing boundary no shared SQL expression can
+        bridge; tests/test_unicode_envelope.py pins the four known
+        divergences so a behavior change in either engine is
+        noticed.
       - "null_text" (r10, second null wave): NULLs in the corpus
         columns — documents.text 10% (with n_chars NULL on the same
         rows, keeping the n_chars = len(text) invariant vacuous
@@ -118,6 +150,7 @@ def generate(
     unknown = axes - {
         "all_ties", "single_lang", "constant_ts", "hot_key",
         "negative_mass", "null_mass", "null_text", "ancient_ts",
+        "unicode_text",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
@@ -310,7 +343,14 @@ def generate(
     texts, lang_col = [], []
     for i in range(n_doc):
         lang = str(rng.choice(langs, p=lang_p))
-        t = _sentence(rng, int(rng.integers(20, 120)))
+        # unicode_text axis: ~half the vocabulary turns multi-script
+        # (the English half keeps stop-gram / blocklist / langid
+        # queries non-vacuous)
+        t = _sentence(
+            rng,
+            int(rng.integers(20, 120)),
+            vocab=(WORDS + UWORDS) if "unicode_text" in axes else WORDS,
+        )
         texts.append(t)
         lang_col.append(lang)
     # exact duplicates: docs 10..19 copy docs 0..9 (clamped so tiny
