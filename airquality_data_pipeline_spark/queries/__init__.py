@@ -12,10 +12,12 @@ evidence than a stale one — then queries modified after their latest
 green driver row, then ascending latest-evidence round) and pinned by
 a test — the hand-maintained-count failure mode (r8's "backlog -> 2"
 drift) is extinct. Round-10 window: the last 4 never-checked
-(q211/q212/q213/q216 — backlog hits 0), then the ~79 queries whose
-final roundings moved to the guarded floor grid this round (the
-q225-class ratchet; their green rows predate the conversion), oldest
-evidence beyond the window. All 263 queries are locally parity-green
+(q211/q212/q213/q216 — backlog hits 0), then the modified block
+newest-change-first — the 15 ancient_ts epoch-floor fixes, the ~20
+further queries whose oracles moved off DuckDB's truncating
+epoch_ms, the 19 null_text fixes, q165 + the 8 null_mass fixes, and
+the ~79 floor-grid conversions (each class's green rows predate its
+change; see ROADMAP r10) — oldest evidence beyond the window. All 263 queries are locally parity-green
 at sf0.001/0.01/0.1 under the hostile replica
 (tests/test_oracle_parity.py); the window exists purely to convert
 local evidence into driver CORRECTNESS rows. Ledger note: the green
