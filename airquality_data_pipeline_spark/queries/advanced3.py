@@ -106,10 +106,15 @@ def q190_roc_auc(spark, sf_dir):
     return c.agg(
         F.sum("np_").alias("n_pos"),
         F.sum("nn_").alias("n_neg"),
+        # try_divide: zero positives or zero negatives (no_purchases
+        # axis) make AUC undefined -> NULL, like the oracle's /0
         roundq(
-            F.sum(F.col("np_") * (2 * F.col("below") + F.col("nn_")))
-            .cast("double")
-            / (2.0 * F.sum("np_") * F.sum("nn_"))
+            F.try_divide(
+                F.sum(
+                    F.col("np_") * (2 * F.col("below") + F.col("nn_"))
+                ).cast("double"),
+                2.0 * F.sum("np_") * F.sum("nn_"),
+            )
         ).alias("auc"),
     )
 
@@ -652,16 +657,23 @@ def q196_decile_lift(spark, sf_dir):
         F.sum("pos").alias("n_pos"),
     )
     wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    # try_divide: pos_total = 0 (no_purchases axis) makes capture and
+    # lift undefined -> NULL, like the oracle's /0
     return g.select(
         "decile",
         "n",
         "n_pos",
         roundq(
-            F.sum("n_pos").over(wc).cast("double") / F.col("pos_total")
+            F.try_divide(
+                F.sum("n_pos").over(wc).cast("double"),
+                F.col("pos_total"),
+            )
         ).alias("capture"),
         roundq(
-            (F.col("n_pos") * F.col("n_total")).cast("double")
-            / (F.col("n") * F.col("pos_total"))
+            F.try_divide(
+                (F.col("n_pos") * F.col("n_total")).cast("double"),
+                F.col("n") * F.col("pos_total"),
+            )
         ).alias("lift"),
     )
 
@@ -1791,15 +1803,19 @@ def q262_woe_iv(spark, sf_dir):
     tot = cnt.agg(
         F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
     )
+    # try_divide: tp = 0 (no_purchases axis) -> NULL, and BOTH engines'
+    # greatest() skip NULLs, so the 0.0001 floor takes over identically
     shares = cnt.crossJoin(F.broadcast(tot)).select(
         "bin",
         "n_pos",
         "n_neg",
         F.greatest(
-            F.col("n_pos").cast("double") / F.col("tp"), F.lit(0.0001)
+            F.try_divide(F.col("n_pos").cast("double"), F.col("tp")),
+            F.lit(0.0001),
         ).alias("p"),
         F.greatest(
-            F.col("n_neg").cast("double") / F.col("tn"), F.lit(0.0001)
+            F.try_divide(F.col("n_neg").cast("double"), F.col("tn")),
+            F.lit(0.0001),
         ).alias("q"),
     )
     woe = F.log(F.col("p") / F.col("q"))

@@ -111,6 +111,13 @@ def generate(
         operators genuinely differ. The catalog's 2024 cutoff
         literals become vacuous (every event lands in the earliest
         window) — parity must hold on the degenerate split too.
+      - "no_purchases" (r10): the 'purchase' event type never occurs.
+        Every conversion / funnel / label-based query (AUC, lift,
+        WOE, attribution, A/B, uplift) hits an n_pos = 0 regime:
+        zero-denominator ratios, empty positive splits, and
+        log(0)-floor paths must NULL/empty identically on both
+        engines — the whole-class-absent sibling of all_ties'
+        zero-variance catches (r8: four DIVIDE_BY_ZERO defects).
       - "unicode_text" (r10): the corpus vocabulary becomes
         aggressively multilingual — CJK, Cyrillic, Greek, Korean,
         accented Latin (precomposed AND combining forms), emoji with
@@ -150,7 +157,7 @@ def generate(
     unknown = axes - {
         "all_ties", "single_lang", "constant_ts", "hot_key",
         "negative_mass", "null_mass", "null_text", "ancient_ts",
-        "unicode_text",
+        "unicode_text", "no_purchases",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
@@ -302,7 +309,11 @@ def generate(
 
     # --- events: same Jan-2024 window (catalog cutoffs at Jan 10/15/16/20
     # must split the data non-trivially), skewed user, tied values
-    ev_types = np.array(["view", "click", "purchase", "signup", "error"])
+    ev_types = np.array(
+        ["view", "click", "view", "signup", "error"]
+        if "no_purchases" in axes
+        else ["view", "click", "purchase", "signup", "error"]
+    )
     # ancient_ts axis: 1965 base — every epoch is NEGATIVE, where
     # truncating (Spark div) and flooring (DuckDB //) division differ
     ebase = np.datetime64(

@@ -246,3 +246,56 @@ def test_q220_high_magnitude_product_parity(spark, tmp_path):
         ORACLE["q220_cuped"],
     )
     assert probs == []
+
+
+NO_PURCHASES_QUERIES = ["q190_roc_auc", "q196_decile_lift", "q262_woe_iv"]
+
+
+@pytest.fixture(scope="module")
+def no_purchases_dir(tmp_path_factory):
+    """The no_purchases robustness axis (r10): the 'purchase' event
+    type never occurs, so every label-based ratio hits n_pos = 0.
+    Caught three ANSI DIVIDE_BY_ZERO crashes: q190's AUC denominator
+    2*a*b, q196's pos_total capture/lift denominators, and q262's
+    class-share totals — all now try_divide, NULL like the oracle's
+    /0 (and q262's 0.0001 floor takes over identically because BOTH
+    engines' greatest() skip NULLs)."""
+    from tests.robustness.gen_alt_fixture import generate
+
+    out = str(tmp_path_factory.mktemp("no_purchases"))
+    generate(out, seed=13, scale=1.0, axis="no_purchases")
+    return out
+
+
+@pytest.fixture(scope="module")
+def no_purchases_duck(no_purchases_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{no_purchases_dir}/events.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def test_no_purchases_fixture_shape(no_purchases_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{no_purchases_dir}/events.parquet' "
+        f"WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    con.close()
+    assert n == 0
+
+
+@pytest.mark.parametrize("name", NO_PURCHASES_QUERIES)
+def test_zero_positives_parity(name, spark, no_purchases_dir, no_purchases_duck):
+    df = QUERIES[name](spark, no_purchases_dir)
+    rows = df.collect()  # raised DIVIDE_BY_ZERO before the fix
+    assert rows, f"{name} returned no rows on the zero-positive fixture"
+    probs = compare(df, no_purchases_duck, ORACLE[name])
+    assert not probs, probs
