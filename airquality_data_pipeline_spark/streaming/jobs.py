@@ -103,8 +103,14 @@ def corpus_curation_stream(docs: DataFrame) -> DataFrame:
     stateless projections, so the plan is identical to the batch one."""
     from airquality_data_pipeline_spark.operators.text import quality_features
 
-    deduped = docs.withColumn("digest", F.md5("text")).dropDuplicates(
-        ["digest"]
+    # NULL-text docs carry no content to curate (r10 null_text axis
+    # convention, matching q133/q105): without the filter they all
+    # collapse onto one NULL digest and emit a single spurious 'kept'
+    # row with NULL features
+    deduped = (
+        docs.where(F.col("text").isNotNull())
+        .withColumn("digest", F.md5("text"))
+        .dropDuplicates(["digest"])
     )
     feats = quality_features(deduped, text_col="text", id_col="doc_id")
     verdict = (
@@ -404,8 +410,12 @@ def neardup_suppression_stream(docs: DataFrame) -> DataFrame:
     sig = F.when(raw != "EMPTY", raw).otherwise(
         F.concat(F.lit("EMPTY:"), F.md5(F.col("text")))
     )
+    # NULL-text docs have no signature to dedup on (their sig would be
+    # NULL and state would collapse them all) — excluded at the source
+    # (r10 null_text axis convention)
     return (
-        docs.withColumn("sig", sig)
+        docs.where(F.col("text").isNotNull())
+        .withColumn("sig", sig)
         .dropDuplicates(["sig"])
         .select("doc_id", "sig", "n_chars")
     )

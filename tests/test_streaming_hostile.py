@@ -1,0 +1,157 @@
+"""Streaming surface on hostile fixtures (r10): the DuckDB oracle
+cannot referee streaming queries, so the robustness axes are driven
+through real availableNow streaming runs against batch twins instead.
+
+Two findings pinned here:
+
+1. PRE-1970 EVENT TIME IS A WATERMARK ENVELOPE: Spark's WatermarkTracker
+   initializes the global watermark to epoch 0, so every pre-1970
+   event-time row is "late" from the FIRST micro-batch and silently
+   dropped by any watermarked operator (windowed aggregation,
+   dropDuplicatesWithinWatermark).  The batch plans handle 1965 data
+   exactly (the ancient_ts sweep is ALL MATCH); the streaming twins
+   emit ZERO rows.  A pipeline ingesting historical archives must
+   process them in batch mode or shift event time — documented here so
+   the silent-drop behavior is a pinned fact, not a surprise.  If a
+   Spark release ever starts the watermark at -infinity these
+   assertions flip and the envelope note must be revisited.
+
+2. NULL-text documents are excluded at the source by both document
+   streams (corpus_curation_stream, neardup_suppression_stream) — the
+   r10 null_text convention: without the filter every NULL text
+   collapses onto one NULL digest/signature state row and the curation
+   stream emits a spurious 'kept' row with NULL features.
+"""
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from airquality_data_pipeline_spark.queries.common import table, utc
+from airquality_data_pipeline_spark.streaming import jobs
+from tests.robustness.gen_alt_fixture import generate
+
+
+def _drain(spark, df, mode="append"):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    jobs.run_to_memory(df, name, output_mode=mode)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture(scope="module")
+def ancient_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ancient_stream"))
+    generate(out, seed=13, scale=1.0, axis="ancient_ts")
+    return out
+
+
+@pytest.fixture(scope="module")
+def null_text_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("nulltext_stream"))
+    generate(out, seed=13, scale=1.0, axis="null_text")
+    return out
+
+
+def test_pre1970_watermark_envelope_tumbling(spark, ancient_dir):
+    utc(spark)
+    got = _drain(spark, jobs.tumbling_counts(
+        jobs.read_events_stream(spark, ancient_dir)
+    ))
+    batch = (
+        table(spark, ancient_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # batch handles 1965 data exactly; the watermarked stream drops
+    # everything as late (initial watermark = epoch 0)
+    assert batch.count() > 0
+    assert got.count() == 0
+
+
+def test_pre1970_watermark_envelope_dedup(spark, ancient_dir):
+    utc(spark)
+    got = _drain(spark, jobs.watermark_dedup(
+        jobs.read_events_stream(spark, ancient_dir)
+    ))
+    assert got.count() == 0
+
+
+def test_curation_stream_excludes_null_text(spark, null_text_dir):
+    utc(spark)
+    from airquality_data_pipeline_spark.operators.text import (
+        quality_features,
+    )
+
+    got = _drain(spark, jobs.corpus_curation_stream(
+        jobs.read_documents_stream(spark, null_text_dir, copies=2)
+    ))
+    docs = table(spark, null_text_dir, "documents")
+    assert docs.where(F.col("text").isNull()).count() > 0  # axis shape
+    batch = quality_features(
+        docs.where(F.col("text").isNotNull())
+        .withColumn("digest", F.md5("text"))
+        .dropDuplicates(["digest"]),
+        text_col="text",
+        id_col="doc_id",
+    )
+    assert got.count() == batch.count()
+    assert got.where(F.col("n_tokens").isNull()).count() == 0
+
+
+def test_neardup_stream_excludes_null_text(spark, null_text_dir):
+    utc(spark)
+    from airquality_data_pipeline_spark.operators.dedup import (
+        minhash_sig_expr,
+    )
+
+    got = _drain(spark, jobs.neardup_suppression_stream(
+        jobs.read_documents_stream(spark, null_text_dir, copies=2)
+    ))
+    sigs = [r.sig for r in got.collect()]
+    assert None not in sigs
+    assert len(sigs) == len(set(sigs))
+    raw = minhash_sig_expr(F.col("text"))
+    key = F.when(raw != "EMPTY", raw).otherwise(
+        F.concat(F.lit("EMPTY:"), F.md5(F.col("text")))
+    )
+    n_distinct = (
+        table(spark, null_text_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(key.alias("sig"))
+        .distinct()
+        .count()
+    )
+    assert len(sigs) == n_distinct
+
+
+def test_post1970_streams_unaffected_by_null_mass(spark, tmp_path_factory):
+    """null_mass (NULL metric values, 2024 timestamps) must flow
+    through the watermarked aggregations: sum skips NULLs identically
+    to batch, counts include the null-value rows."""
+    utc(spark)
+    d = str(tmp_path_factory.mktemp("nullmass_stream"))
+    generate(d, seed=13, scale=1.0, axis="null_mass")
+    got = _drain(spark, jobs.tumbling_counts(
+        jobs.read_events_stream(spark, d)
+    ))
+    batch = (
+        table(spark, d, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    got_rows = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r.w.start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got_rows  # closed windows exist
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
