@@ -122,10 +122,10 @@ def q86_hash_split(spark, sf_dir):
     "q87_time_weighted_avg",
     oracle="""
     WITH d AS (
-      SELECT user_id, CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS t, value,
-             lead(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT)) OVER (
-               PARTITION BY user_id ORDER BY CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT), event_id
-             ) - CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS dur
+      SELECT user_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS t, value,
+             lead(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT), event_id
+             ) - CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS dur
       FROM events
     )
     SELECT user_id,
@@ -193,7 +193,7 @@ def q87_time_weighted_avg(spark, sf_dir):
                AS observed
       FROM ev GROUP BY user_id, h
     )
-    SELECT s.user_id, CAST(floor(epoch_us(s.h) / 1000.0) AS BIGINT) AS hour_ms, o.observed,
+    SELECT s.user_id, CAST(epoch_us(s.h) // 1000 + CASE WHEN epoch_us(s.h) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS hour_ms, o.observed,
            last_value(o.observed IGNORE NULLS) OVER (
              PARTITION BY s.user_id ORDER BY s.h
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -595,7 +595,7 @@ def q139_funnel(spark, sf_dir):
     cohorts AS (
       SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id
     )
-    SELECT CAST(floor(epoch_us(c.cohort_wk) / 1000.0) AS BIGINT) AS cohort_week_ms,
+    SELECT CAST(epoch_us(c.cohort_wk) // 1000 + CASE WHEN epoch_us(c.cohort_wk) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS cohort_week_ms,
            CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS INT)
              AS week_offset,
            count(*) AS n_active_users

@@ -973,7 +973,7 @@ def q154_winsorized_scaling(spark, sf_dir):
     "q155_ohlc_bars",
     oracle="""
     SELECT event_type,
-           CAST(floor(epoch_us(date_trunc('hour', ts)) / 1000.0) AS BIGINT) AS bar_ms,
+           CAST(epoch_us(date_trunc('hour', ts)) // 1000 + CASE WHEN epoch_us(date_trunc('hour', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS bar_ms,
            CAST(count(*) AS BIGINT) AS n,
            (min(struct_pack(t := ts, e := event_id, v := value))).v
              AS open,
@@ -1039,9 +1039,10 @@ def q155_ohlc_bars(spark, sf_dir):
       WHERE prev_state IS NULL OR state <> prev_state
     )
     SELECT user_id, state,
-           CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS valid_from_ms,
-           CAST(floor(epoch_us(lead(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id)) / 1000.0) AS BIGINT) AS valid_to_ms,
+           CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS valid_from_ms,
+           CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) // 1000 + CASE WHEN epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS valid_to_ms,
            CAST(row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS BIGINT)
              AS version
@@ -1754,7 +1755,7 @@ def q162_incremental_agg_merge(spark, sf_dir):
     WITH anchor AS (SELECT min(ts) AS t0 FROM events),
     pts AS (
       SELECT event_type,
-             CAST(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) - CAST(floor(epoch_us(t0) / 1000.0) AS BIGINT) AS DOUBLE) / 3600000 AS x,
+             CAST(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - CAST(epoch_us(t0) // 1000 + CASE WHEN epoch_us(t0) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS DOUBLE) / 3600000 AS x,
              value AS y
       FROM events CROSS JOIN anchor
     ),
@@ -2247,8 +2248,8 @@ def q168_fulfillment_latency(spark, sf_dir):
     oracle="""
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN lag(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT)) OVER w IS NULL
-                       OR CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) - lag(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT)) OVER w
+             CASE WHEN lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER w IS NULL
+                       OR CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER w
                           > 1800000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
@@ -2320,7 +2321,7 @@ def q169_bounce_rate(spark, sf_dir):
     oracle="""
     WITH rev AS (
       SELECT r.r_name,
-             CAST(floor(epoch_us(date_trunc('month', o.o_orderdate)) / 1000.0) AS BIGINT) AS month_ms,
+             CAST(epoch_us(date_trunc('month', o.o_orderdate)) // 1000 + CASE WHEN epoch_us(date_trunc('month', o.o_orderdate)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS month_ms,
              SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS m
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2765,8 +2766,8 @@ def q173_grid_nn_join(spark, sf_dir):
     "q174_time_travel_lookup",
     oracle="""
     WITH anchor AS (
-      SELECT CAST(floor(epoch_us(min(ts)) / 1000.0) AS BIGINT)
-             + (CAST(floor(epoch_us(max(ts)) / 1000.0) AS BIGINT) - CAST(floor(epoch_us(min(ts)) / 1000.0) AS BIGINT)) // 2 AS t_ms
+      SELECT CAST(epoch_us(min(ts)) // 1000 + CASE WHEN epoch_us(min(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)
+             + (CAST(epoch_us(max(ts)) // 1000 + CASE WHEN epoch_us(max(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - CAST(epoch_us(min(ts)) // 1000 + CASE WHEN epoch_us(min(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) // 2 AS t_ms
       FROM events
     ),
     o AS (
@@ -2786,10 +2787,10 @@ def q173_grid_nn_join(spark, sf_dir):
       FROM changes
     )
     SELECT iv.user_id, iv.state,
-           CAST(floor(epoch_us(iv.valid_from) / 1000.0) AS BIGINT) AS since_ms
+           CAST(epoch_us(iv.valid_from) // 1000 + CASE WHEN epoch_us(iv.valid_from) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS since_ms
     FROM iv CROSS JOIN anchor a
-    WHERE CAST(floor(epoch_us(iv.valid_from) / 1000.0) AS BIGINT) <= a.t_ms
-      AND (iv.valid_to IS NULL OR CAST(floor(epoch_us(iv.valid_to) / 1000.0) AS BIGINT) > a.t_ms)
+    WHERE CAST(epoch_us(iv.valid_from) // 1000 + CASE WHEN epoch_us(iv.valid_from) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) <= a.t_ms
+      AND (iv.valid_to IS NULL OR CAST(epoch_us(iv.valid_to) // 1000 + CASE WHEN epoch_us(iv.valid_to) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) > a.t_ms)
     """,
 )
 def q174_time_travel_lookup(spark, sf_dir):
@@ -3020,8 +3021,8 @@ def q176_quantile_normalization(spark, sf_dir):
     oracle="""
     WITH gaps AS (
       SELECT event_type,
-             CAST(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT)
-                  - lag(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT)) OVER (PARTITION BY event_type
+             CAST(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)
+                  - lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER (PARTITION BY event_type
                                             ORDER BY ts, event_id)
                   AS DOUBLE) / 1000 AS gap_s
       FROM events
@@ -3371,7 +3372,7 @@ def q180_join_cardinality(spark, sf_dir):
     oracle="""
     WITH hourly AS (
       SELECT event_type,
-             CAST(CAST(floor(epoch_us(date_trunc('hour', ts)) / 1000.0) AS BIGINT) / 3600000 AS BIGINT)
+             CAST(CAST(epoch_us(date_trunc('hour', ts)) // 1000 + CASE WHEN epoch_us(date_trunc('hour', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) / 3600000 AS BIGINT)
                AS hx,
              CAST(count(*) AS BIGINT) AS y
       FROM events GROUP BY 1, 2
@@ -3848,12 +3849,12 @@ def q185_weighted_median(spark, sf_dir):
     ),
     lat AS (
       SELECT 'view_to_click' AS step,
-             CAST(CAST(floor(epoch_us(t2s.t2) / 1000.0) AS BIGINT) - CAST(floor(epoch_us(t1s.t1) / 1000.0) AS BIGINT) AS DOUBLE) / 1000
+             CAST(CAST(epoch_us(t2s.t2) // 1000 + CASE WHEN epoch_us(t2s.t2) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - CAST(epoch_us(t1s.t1) // 1000 + CASE WHEN epoch_us(t1s.t1) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS DOUBLE) / 1000
                AS secs
       FROM t2s JOIN t1s USING (user_id)
       UNION ALL
       SELECT 'click_to_purchase',
-             CAST(CAST(floor(epoch_us(t3s.t3) / 1000.0) AS BIGINT) - CAST(floor(epoch_us(t2s.t2) / 1000.0) AS BIGINT) AS DOUBLE) / 1000
+             CAST(CAST(epoch_us(t3s.t3) // 1000 + CASE WHEN epoch_us(t3s.t3) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - CAST(epoch_us(t2s.t2) // 1000 + CASE WHEN epoch_us(t2s.t2) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS DOUBLE) / 1000
       FROM t3s JOIN t2s USING (user_id)
     )
     SELECT step, CAST(count(*) AS BIGINT) AS n_users,
@@ -4092,7 +4093,7 @@ def q188_invoice_reconciliation(spark, sf_dir):
       FROM orders WHERE o_orderkey % 503 = 0
     )
     SELECT o_custkey, o_totalprice,
-           CAST(floor(epoch_us(o_orderdate) / 1000.0) AS BIGINT) AS orderdate_ms,
+           CAST(epoch_us(o_orderdate) // 1000 + CASE WHEN epoch_us(o_orderdate) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS orderdate_ms,
            CAST(count(*) AS BIGINT) AS n_payments,
            CAST(min(o_orderkey) AS BIGINT) AS first_key,
            CAST(max(o_orderkey) AS BIGINT) AS last_key

@@ -2238,10 +2238,10 @@ def q267_variant_rollup(spark, sf_dir):
       FROM events GROUP BY 1
     ),
     win AS (
-      SELECT CAST(floor(epoch_us(h) / 1000.0) AS BIGINT) AS hour_ms, n, n_bad,
+      SELECT CAST(epoch_us(h) // 1000 + CASE WHEN epoch_us(h) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS hour_ms, n, n_bad,
              SUM(n) OVER w1 AS n_1h, SUM(n_bad) OVER w1 AS bad_1h,
              SUM(n) OVER w6 AS n_6h, SUM(n_bad) OVER w6 AS bad_6h
-      FROM (SELECT h, n, n_bad, CAST(floor(epoch_us(h) / 1000.0) AS BIGINT) // 3600000 AS hr
+      FROM (SELECT h, n, n_bad, CAST(epoch_us(h) // 1000 + CASE WHEN epoch_us(h) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) // 3600000 AS hr
             FROM hourly)
       WINDOW w1 AS (ORDER BY hr ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
              w6 AS (ORDER BY hr RANGE BETWEEN 5 PRECEDING

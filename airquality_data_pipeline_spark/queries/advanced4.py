@@ -790,7 +790,7 @@ def q211_robust_means(spark, sf_dir):
     "q212_survivorship",
     oracle="""
     SELECT o_custkey,
-           CAST(floor(epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 1000.0) AS BIGINT) AS order_day_ms,
+           CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(o_orderdate AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS order_day_ms,
            CAST(count(*) AS BIGINT) AS n_dupes,
            CAST(max(o_orderkey) AS BIGINT) AS golden_key,
            max_by(o_orderstatus, o_orderkey) AS golden_status,
@@ -2172,8 +2172,8 @@ def q237_uplift_deciles(spark, sf_dir):
     "q238_watermark_lateness",
     oracle="""
     WITH arr AS (
-      SELECT user_id, event_id, CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS ts_ms,
-             max(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT)) OVER (PARTITION BY user_id
+      SELECT user_id, event_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
+             max(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER (PARTITION BY user_id
                ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS hwm_ms

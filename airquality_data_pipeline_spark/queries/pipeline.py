@@ -77,9 +77,9 @@ _Q23_CTE = """
     "q23_cursor_incremental_filter",
     oracle=_Q23_CTE
     + """
-    SELECT event_id, user_id, event_type, CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS ts_ms FROM well
+    SELECT event_id, user_id, event_type, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms FROM well
     UNION ALL
-    SELECT event_id, user_id, event_type, CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS ts_ms
+    SELECT event_id, user_id, event_type, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms
     FROM batch WHERE user_id IS NULL OR ts IS NULL
     """,
 )
@@ -102,7 +102,7 @@ def q23_cursor_incremental_filter(spark, sf_dir):
     "q24_pending_cursor_updates",
     oracle=_Q23_CTE
     + """
-    SELECT user_id, event_type, CAST(floor(epoch_us(max(ts)) / 1000.0) AS BIGINT) AS last_observed_ms
+    SELECT user_id, event_type, CAST(epoch_us(max(ts)) // 1000 + CASE WHEN epoch_us(max(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS last_observed_ms
     FROM well GROUP BY user_id, event_type
     """,
 )
@@ -126,7 +126,7 @@ def q24_pending_cursor_updates(spark, sf_dir):
 @register(
     "q25_first_wins_dedup",
     oracle="""
-    SELECT event_id, user_id, event_type, CAST(floor(epoch_us(minute) / 1000.0) AS BIGINT) AS minute_ms
+    SELECT event_id, user_id, event_type, CAST(epoch_us(minute) // 1000 + CASE WHEN epoch_us(minute) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS minute_ms
     FROM (
       SELECT event_id, user_id, event_type, date_trunc('minute', ts) AS minute,
              ROW_NUMBER() OVER (
@@ -168,9 +168,11 @@ def q25_first_wins_dedup(spark, sf_dir):
     )
     SELECT COALESCE(o.user_id, n.user_id) AS user_id,
            COALESCE(o.event_type, n.event_type) AS event_type,
-           CAST(floor(epoch_us(CASE WHEN o.ts IS NULL THEN n.ts
+           CAST(epoch_us(CASE WHEN o.ts IS NULL THEN n.ts
                          WHEN n.ts IS NULL THEN o.ts
-                         WHEN o.ts >= n.ts THEN o.ts ELSE n.ts END) / 1000.0) AS BIGINT) AS last_observed_ms
+                         WHEN o.ts >= n.ts THEN o.ts ELSE n.ts END) // 1000 + CASE WHEN epoch_us(CASE WHEN o.ts IS NULL THEN n.ts
+                         WHEN n.ts IS NULL THEN o.ts
+                         WHEN o.ts >= n.ts THEN o.ts ELSE n.ts END) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS last_observed_ms
     FROM old o FULL OUTER JOIN new n
       ON o.user_id = n.user_id AND o.event_type = n.event_type
     """,
@@ -247,7 +249,7 @@ def q27_coalesce_merge(spark, sf_dir):
 @register(
     "q28_retention_filter",
     oracle="""
-    SELECT event_id, CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS ts_ms
+    SELECT event_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms
     FROM events
     WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
     """,
@@ -270,7 +272,7 @@ def q28_retention_filter(spark, sf_dir):
     SELECT event_id, user_id, value, 'web' AS src, NULL AS event_type, NULL AS ts_ms
     FROM events WHERE event_type = 'view'
     UNION ALL BY NAME
-    SELECT event_id, event_type, 'backfill' AS src, CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS ts_ms
+    SELECT event_id, event_type, 'backfill' AS src, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms
     FROM events WHERE event_type = 'purchase'
     """,
 )
@@ -295,8 +297,8 @@ def q29_ragged_union(spark, sf_dir):
     oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
-             CASE WHEN lag(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT)) OVER w IS NULL
-                       OR CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) - lag(CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT)) OVER w > 1800000
+             CASE WHEN lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER w IS NULL
+                       OR CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER w > 1800000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -308,8 +310,8 @@ def q29_ragged_union(spark, sf_dir):
       FROM flagged
     )
     SELECT user_id, session_id,
-           CAST(floor(epoch_us(min(ts)) / 1000.0) AS BIGINT) AS session_start_ms,
-           CAST(floor(epoch_us(max(ts)) / 1000.0) AS BIGINT) AS session_end_ms,
+           CAST(epoch_us(min(ts)) // 1000 + CASE WHEN epoch_us(min(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS session_start_ms,
+           CAST(epoch_us(max(ts)) // 1000 + CASE WHEN epoch_us(max(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS session_end_ms,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
     FROM numbered
@@ -336,7 +338,7 @@ def q30_sessionization(spark, sf_dir):
 @register(
     "q31_tumbling_window",
     oracle=f"""
-    SELECT CAST(floor(epoch_us(date_trunc('hour', ts)) / 1000.0) AS BIGINT) AS window_start_ms,
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000 + CASE WHEN epoch_us(date_trunc('hour', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS window_start_ms,
            event_type,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
@@ -387,7 +389,7 @@ def q55_salted_agg(spark, sf_dir):
 @register(
     "q32_sliding_window",
     oracle=f"""
-    SELECT CAST(floor(epoch_us(ws) / 1000.0) AS BIGINT) AS window_start_ms,
+    SELECT CAST(epoch_us(ws) // 1000 + CASE WHEN epoch_us(ws) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS window_start_ms,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
     FROM (

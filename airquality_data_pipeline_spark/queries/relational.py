@@ -105,7 +105,7 @@ def q02_filter_project(spark, sf_dir):
     oracle=f"""
     SELECT l_orderkey,
            {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
-           CAST(floor(epoch_us(o_orderdate) / 1000.0) AS BIGINT) AS o_orderdate_ms,
+           CAST(epoch_us(o_orderdate) // 1000 + CASE WHEN epoch_us(o_orderdate) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS o_orderdate_ms,
            o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -379,7 +379,7 @@ def q10_topk_per_group(spark, sf_dir):
     "q11_window_running",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(floor(epoch_us(o_orderdate) / 1000.0) AS BIGINT) AS o_orderdate_ms,
+           CAST(epoch_us(o_orderdate) // 1000 + CASE WHEN epoch_us(o_orderdate) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS o_orderdate_ms,
            o_totalprice,
            ROW_NUMBER() OVER w AS rn,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
@@ -555,11 +555,11 @@ def q16_conditional_agg(spark, sf_dir):
     "q17_datetime_tz",
     oracle="""
     SELECT event_id,
-           CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS ts_ms,
-           CAST(floor(epoch_us(timezone('Europe/Berlin', ts)) / 1000.0) AS BIGINT) AS berlin_utc_ms,
-           CAST(floor(epoch_us(timezone('Europe/Warsaw', ts)) / 1000.0) AS BIGINT) AS warsaw_utc_ms,
+           CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
+           CAST(epoch_us(timezone('Europe/Berlin', ts)) // 1000 + CASE WHEN epoch_us(timezone('Europe/Berlin', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS berlin_utc_ms,
+           CAST(epoch_us(timezone('Europe/Warsaw', ts)) // 1000 + CASE WHEN epoch_us(timezone('Europe/Warsaw', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS warsaw_utc_ms,
            hour(ts) AS hour_utc,
-           CAST(floor(epoch_us(date_trunc('day', ts)) / 1000.0) AS BIGINT) AS day_ms
+           CAST(epoch_us(date_trunc('day', ts)) // 1000 + CASE WHEN epoch_us(date_trunc('day', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS day_ms
     FROM events
     WHERE event_id % 7 = 0
     """,

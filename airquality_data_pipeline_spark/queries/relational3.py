@@ -134,7 +134,7 @@ def q79_stat_aggs(spark, sf_dir):
     "q80_ignore_nulls",
     oracle="""
     WITH g AS (
-      SELECT event_id, user_id, CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS ts_ms,
+      SELECT event_id, user_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
              CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
       FROM events WHERE user_id < 20
     )
@@ -399,9 +399,9 @@ def q90_nulls_order_pagination(spark, sf_dir):
 @register(
     "q91_running_distinct",
     oracle="""
-    SELECT event_id, user_id, CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS ts_ms,
+    SELECT event_id, user_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
            count(DISTINCT event_type) OVER (
-             PARTITION BY user_id ORDER BY CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT), event_id
+             PARTITION BY user_id ORDER BY CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT), event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS n_types_so_far
     FROM events WHERE user_id < 25

@@ -398,7 +398,7 @@ def q245_brand_supplier_counts(spark, sf_dir):
       HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250
     )
     SELECT c.c_name AS cust_name, o.o_orderkey AS orderkey,
-           CAST(floor(epoch_us(o.o_orderdate) / 1000.0) AS BIGINT) AS order_date_ms,
+           CAST(epoch_us(o.o_orderdate) // 1000 + CASE WHEN epoch_us(o.o_orderdate) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS order_date_ms,
            o.o_totalprice AS total_price, b.sum_qty
     FROM big b
     JOIN orders o ON b.l_orderkey = o.o_orderkey

@@ -111,6 +111,12 @@ def generate(
         operators genuinely differ. The catalog's 2024 cutoff
         literals become vacuous (every event lands in the earliest
         window) — parity must hold on the degenerate split too.
+      - "far_future" (r10): every event timestamp moves to 2260 —
+        epoch MICROSECONDS exceed 2^53, where any float detour in an
+        epoch conversion silently misrounds (probed: floor(us/1000.0)
+        drifts on 0.1% of microsecond offsets at this magnitude).
+        The oracle epoch emissions use pure-integer floor division
+        for exactly this reason.
       - "no_purchases" (r10): the 'purchase' event type never occurs.
         Every conversion / funnel / label-based query (AUC, lift,
         WOE, attribution, A/B, uplift) hits an n_pos = 0 regime:
@@ -157,7 +163,7 @@ def generate(
     unknown = axes - {
         "all_ties", "single_lang", "constant_ts", "hot_key",
         "negative_mass", "null_mass", "null_text", "ancient_ts",
-        "unicode_text", "no_purchases",
+        "unicode_text", "no_purchases", "far_future",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
@@ -315,9 +321,12 @@ def generate(
         else ["view", "click", "purchase", "signup", "error"]
     )
     # ancient_ts axis: 1965 base — every epoch is NEGATIVE, where
-    # truncating (Spark div) and flooring (DuckDB //) division differ
+    # truncating (Spark div) and flooring (DuckDB //) division differ.
+    # far_future axis: 2260 base — epoch_us > 2^53, where any float
+    # detour in epoch math misrounds.
     ebase = np.datetime64(
         "1965-06-15T00:00:00" if "ancient_ts" in axes
+        else "2260-06-15T00:00:00" if "far_future" in axes
         else "2024-01-01T00:00:00",
         "us",
     )

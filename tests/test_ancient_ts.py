@@ -13,17 +13,21 @@ differ by one unit.
   (15 queries: q17, q23, q26, q28, q29, q30, q33, q34, q77, q80, q87,
   q91, q156, q174, and the drift propagated into session/as-of/range
   join keys and time-weighted durations).  Fixed catalog-wide by a
-  mechanical conversion of oracle ``epoch_ms(x)`` to
-  ``CAST(floor(epoch_us(x) / 1000.0) AS BIGINT)`` (66 sites) — exact
-  for |epoch_us| < 2^53 because a microsecond count's /1000 fraction
-  is >= 1e-3 while the double rounding error is ~1e-5.
+  mechanical conversion of oracle ``epoch_ms(x)`` to PURE-INTEGER
+  floor division (``epoch_us(x) // 1000`` with a ``CASE``-correction
+  of -1 when the remainder is negative, 66 sites).  The first fix
+  attempt used ``floor(epoch_us(x) / 1000.0)`` — exact below 2^53 µs
+  but probed WRONG on ~0.1% of microsecond offsets past it (year
+  ~2255+, where one double ulp exceeds the /1000 fraction); the
+  ``far_future`` axis (events in 2260) exists to keep that regime
+  covered, and this module pins the same 15 queries on BOTH eras.
 - q223's cohort week used DuckDB ``days // 7`` (truncation) against
   Spark ``floor(days / 7)``: pre-1970 days land one week late on
   exactly one engine.
 
 Convention: FLOOR is the bucket semantic everywhere ("the unit
 containing this instant"), matching Spark's built-ins; oracles state
-it explicitly.  This suite pins the class on the exact sweep fixture.
+it explicitly.  This suite pins the class on the exact sweep fixtures.
 """
 from __future__ import annotations
 
@@ -97,4 +101,49 @@ def test_epochs_actually_negative_with_sub_ms(ancient_dir):
 def test_ancient_ts_parity(name, spark, ancient_dir, ancient_duck):
     df = QUERIES[name](spark, ancient_dir)
     problems = compare(df, ancient_duck, ORACLE[name])
+    assert not problems, problems
+
+
+@pytest.fixture(scope="module")
+def future_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("far_future"))
+    generate(out, seed=13, scale=1.0, axis="far_future")
+    return out
+
+
+@pytest.fixture(scope="module")
+def future_duck(future_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{future_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_epochs_actually_past_2_53(future_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT SUM(CASE WHEN epoch_us(ts) > 9007199254740992 THEN 1 "
+        f"END) FROM '{future_dir}/events.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert n and n > 0
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_far_future_parity(name, spark, future_dir, future_duck):
+    """Past 2^53 µs a float detour in the oracle's epoch math drifts
+    on ~0.1% of offsets — the integer floor-div form must not."""
+    df = QUERIES[name](spark, future_dir)
+    problems = compare(df, future_duck, ORACLE[name])
     assert not problems, problems
