@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from airquality_data_pipeline_spark.queries.common import (
     dec,
     roundq,
+    sql_floor_ms,
     sql_roundq,
     table,
     ts_ms,
@@ -120,12 +121,12 @@ def q86_hash_split(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q87_time_weighted_avg",
-    oracle="""
+    oracle=f"""
     WITH d AS (
-      SELECT user_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS t, value,
-             lead(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER (
-               PARTITION BY user_id ORDER BY CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT), event_id
-             ) - CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS dur
+      SELECT user_id, {sql_floor_ms("ts")} AS t, value,
+             lead({sql_floor_ms("ts")}) OVER (
+               PARTITION BY user_id ORDER BY {sql_floor_ms("ts")}, event_id
+             ) - {sql_floor_ms("ts")} AS dur
       FROM events
     )
     SELECT user_id,
@@ -176,7 +177,7 @@ def q87_time_weighted_avg(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q88_gapfill_locf",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT user_id, date_trunc('hour', ts) AS h, value
       FROM events WHERE user_id < 8
@@ -193,7 +194,7 @@ def q87_time_weighted_avg(spark, sf_dir):
                AS observed
       FROM ev GROUP BY user_id, h
     )
-    SELECT s.user_id, CAST(epoch_us(s.h) // 1000 + CASE WHEN epoch_us(s.h) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS hour_ms, o.observed,
+    SELECT s.user_id, {sql_floor_ms("s.h")} AS hour_ms, o.observed,
            last_value(o.observed IGNORE NULLS) OVER (
              PARTITION BY s.user_id ORDER BY s.h
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -588,14 +589,14 @@ def q139_funnel(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q140_cohort_retention",
-    oracle="""
+    oracle=f"""
     WITH activity AS (
       SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
     ),
     cohorts AS (
       SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id
     )
-    SELECT CAST(epoch_us(c.cohort_wk) // 1000 + CASE WHEN epoch_us(c.cohort_wk) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS cohort_week_ms,
+    SELECT {sql_floor_ms("c.cohort_wk")} AS cohort_week_ms,
            CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS INT)
              AS week_offset,
            count(*) AS n_active_users

@@ -25,6 +25,7 @@ from airquality_data_pipeline_spark.queries.common import (
     dec,
     decq,
     roundq,
+    sql_floor_ms,
     sql_roundq,
     table,
     utc,
@@ -971,9 +972,9 @@ def q154_winsorized_scaling(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q155_ohlc_bars",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           CAST(epoch_us(date_trunc('hour', ts)) // 1000 + CASE WHEN epoch_us(date_trunc('hour', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS bar_ms,
+           {sql_floor_ms("date_trunc('hour', ts)")} AS bar_ms,
            CAST(count(*) AS BIGINT) AS n,
            (min(struct_pack(t := ts, e := event_id, v := value))).v
              AS open,
@@ -1027,7 +1028,7 @@ def q155_ohlc_bars(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q156_scd2_intervals",
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT user_id, event_type AS state, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
@@ -1037,16 +1038,21 @@ def q155_ohlc_bars(spark, sf_dir):
     changes AS (
       SELECT user_id, state, ts, event_id FROM o
       WHERE prev_state IS NULL OR state <> prev_state
+    ),
+    iv AS (
+      SELECT user_id, state, ts, event_id,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version
+      FROM changes
     )
     SELECT user_id, state,
-           CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS valid_from_ms,
-           CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id)) // 1000 + CASE WHEN epoch_us(lead(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS valid_to_ms,
-           CAST(row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS BIGINT)
-             AS version
-    FROM changes
+           {sql_floor_ms("ts")} AS valid_from_ms,
+           {sql_floor_ms("next_ts")} AS valid_to_ms,
+           version
+    FROM iv
     """,
 )
 def q156_scd2_intervals(spark, sf_dir):
@@ -1751,11 +1757,11 @@ def q162_incremental_agg_merge(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q163_grouped_linear_trend",
-    oracle="""
+    oracle=f"""
     WITH anchor AS (SELECT min(ts) AS t0 FROM events),
     pts AS (
       SELECT event_type,
-             CAST(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - CAST(epoch_us(t0) // 1000 + CASE WHEN epoch_us(t0) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS DOUBLE) / 3600000 AS x,
+             CAST({sql_floor_ms("ts")} - {sql_floor_ms("t0")} AS DOUBLE) / 3600000 AS x,
              value AS y
       FROM events CROSS JOIN anchor
     ),
@@ -1775,8 +1781,8 @@ def q162_incremental_agg_merge(spark, sf_dir):
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
-           {slope_rq} AS slope,
-           {intercept_rq} AS intercept
+           {{slope_rq}} AS slope,
+           {{intercept_rq}} AS intercept
     FROM s
     """.format(
         # normal-equation ratios of micro-unit sums are rationals
@@ -2245,11 +2251,11 @@ def q168_fulfillment_latency(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q169_bounce_rate",
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER w IS NULL
-                       OR CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER w
+             CASE WHEN lag({sql_floor_ms("ts")}) OVER w IS NULL
+                       OR {sql_floor_ms("ts")} - lag({sql_floor_ms("ts")}) OVER w
                           > 1800000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
@@ -2273,7 +2279,7 @@ def q168_fulfillment_latency(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_bounces,
-           {bounce_rq} AS bounce_rate
+           {{bounce_rq}} AS bounce_rate
     FROM agg GROUP BY entry_type
     """.format(
         # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
@@ -2318,10 +2324,10 @@ def q169_bounce_rate(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q170_mom_growth",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
       SELECT r.r_name,
-             CAST(epoch_us(date_trunc('month', o.o_orderdate)) // 1000 + CASE WHEN epoch_us(date_trunc('month', o.o_orderdate)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS month_ms,
+             {sql_floor_ms("date_trunc('month', o.o_orderdate)")} AS month_ms,
              SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS m
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2331,7 +2337,7 @@ def q169_bounce_rate(spark, sf_dir):
     )
     SELECT r_name, month_ms,
            CAST(CAST(m AS VARCHAR) AS DOUBLE) AS revenue,
-           {mom_rq} AS mom_growth
+           {{mom_rq}} AS mom_growth
     FROM rev
     WINDOW w AS (PARTITION BY r_name ORDER BY month_ms)
     """.format(
@@ -2764,10 +2770,10 @@ def q173_grid_nn_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q174_time_travel_lookup",
-    oracle="""
+    oracle=f"""
     WITH anchor AS (
-      SELECT CAST(epoch_us(min(ts)) // 1000 + CASE WHEN epoch_us(min(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)
-             + (CAST(epoch_us(max(ts)) // 1000 + CASE WHEN epoch_us(max(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - CAST(epoch_us(min(ts)) // 1000 + CASE WHEN epoch_us(min(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) // 2 AS t_ms
+      SELECT {sql_floor_ms("min(ts)")}
+             + ({sql_floor_ms("max(ts)")} - {sql_floor_ms("min(ts)")}) // 2 AS t_ms
       FROM events
     ),
     o AS (
@@ -2787,10 +2793,10 @@ def q173_grid_nn_join(spark, sf_dir):
       FROM changes
     )
     SELECT iv.user_id, iv.state,
-           CAST(epoch_us(iv.valid_from) // 1000 + CASE WHEN epoch_us(iv.valid_from) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS since_ms
+           {sql_floor_ms("iv.valid_from")} AS since_ms
     FROM iv CROSS JOIN anchor a
-    WHERE CAST(epoch_us(iv.valid_from) // 1000 + CASE WHEN epoch_us(iv.valid_from) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) <= a.t_ms
-      AND (iv.valid_to IS NULL OR CAST(epoch_us(iv.valid_to) // 1000 + CASE WHEN epoch_us(iv.valid_to) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) > a.t_ms)
+    WHERE {sql_floor_ms("iv.valid_from")} <= a.t_ms
+      AND (iv.valid_to IS NULL OR {sql_floor_ms("iv.valid_to")} > a.t_ms)
     """,
 )
 def q174_time_travel_lookup(spark, sf_dir):
@@ -3018,11 +3024,11 @@ def q176_quantile_normalization(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q177_interevent_fit",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
       SELECT event_type,
-             CAST(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)
-                  - lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER (PARTITION BY event_type
+             CAST({sql_floor_ms("ts")}
+                  - lag({sql_floor_ms("ts")}) OVER (PARTITION BY event_type
                                             ORDER BY ts, event_id)
                   AS DOUBLE) / 1000 AS gap_s
       FROM events
@@ -3041,9 +3047,9 @@ def q176_quantile_normalization(spark, sf_dir):
       FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, n,
-           {mean_rq} AS mean_gap_s,
-           {lambda_rq} AS lambda_per_s,
-           {cv2_rq} AS cv_squared,
+           {{mean_rq}} AS mean_gap_s,
+           {{lambda_rq}} AS lambda_per_s,
+           {{cv2_rq}} AS cv_squared,
            ((sgg - sg * sg / n) / (n - 1)) / ((sg / n) * (sg / n))
              < 1.5 AS poisson_like
     FROM s
@@ -3369,10 +3375,10 @@ def q180_join_cardinality(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q181_theil_sen",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT event_type,
-             CAST(CAST(epoch_us(date_trunc('hour', ts)) // 1000 + CASE WHEN epoch_us(date_trunc('hour', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) / 3600000 AS BIGINT)
+             CAST({sql_floor_ms("date_trunc('hour', ts)")} / 3600000 AS BIGINT)
                AS hx,
              CAST(count(*) AS BIGINT) AS y
       FROM events GROUP BY 1, 2
@@ -3385,8 +3391,8 @@ def q180_join_cardinality(spark, sf_dir):
     )
     SELECT s.event_type,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           {sph_rq} AS slope_per_hour,
-           {spd_rq} AS slope_per_day
+           {{sph_rq}} AS slope_per_hour,
+           {{spd_rq}} AS slope_per_day
     FROM slopes s GROUP BY s.event_type
     """.format(
         # median of k/d slope rationals is itself a rational (or a
@@ -3829,7 +3835,7 @@ def q185_weighted_median(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q186_funnel_latency",
-    oracle="""
+    oracle=f"""
     WITH t1s AS (
       SELECT user_id, min(ts) FILTER (event_type = 'view') AS t1
       FROM events GROUP BY user_id
@@ -3849,17 +3855,17 @@ def q185_weighted_median(spark, sf_dir):
     ),
     lat AS (
       SELECT 'view_to_click' AS step,
-             CAST(CAST(epoch_us(t2s.t2) // 1000 + CASE WHEN epoch_us(t2s.t2) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - CAST(epoch_us(t1s.t1) // 1000 + CASE WHEN epoch_us(t1s.t1) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS DOUBLE) / 1000
+             CAST({sql_floor_ms("t2s.t2")} - {sql_floor_ms("t1s.t1")} AS DOUBLE) / 1000
                AS secs
       FROM t2s JOIN t1s USING (user_id)
       UNION ALL
       SELECT 'click_to_purchase',
-             CAST(CAST(epoch_us(t3s.t3) // 1000 + CASE WHEN epoch_us(t3s.t3) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - CAST(epoch_us(t2s.t2) // 1000 + CASE WHEN epoch_us(t2s.t2) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS DOUBLE) / 1000
+             CAST({sql_floor_ms("t3s.t3")} - {sql_floor_ms("t2s.t2")} AS DOUBLE) / 1000
       FROM t3s JOIN t2s USING (user_id)
     )
     SELECT step, CAST(count(*) AS BIGINT) AS n_users,
-           {med_rq} AS median_secs,
-           {p90_rq} AS p90_secs
+           {{med_rq}} AS median_secs,
+           {{p90_rq}} AS p90_secs
     FROM lat GROUP BY step
     """.format(
         # interpolated percentiles of millisecond-grid latencies are
@@ -4085,7 +4091,7 @@ def q188_invoice_reconciliation(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q189_duplicate_payments",
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
       SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
       UNION ALL
@@ -4093,7 +4099,7 @@ def q188_invoice_reconciliation(spark, sf_dir):
       FROM orders WHERE o_orderkey % 503 = 0
     )
     SELECT o_custkey, o_totalprice,
-           CAST(epoch_us(o_orderdate) // 1000 + CASE WHEN epoch_us(o_orderdate) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS orderdate_ms,
+           {sql_floor_ms("o_orderdate")} AS orderdate_ms,
            CAST(count(*) AS BIGINT) AS n_payments,
            CAST(min(o_orderkey) AS BIGINT) AS first_key,
            CAST(max(o_orderkey) AS BIGINT) AS last_key

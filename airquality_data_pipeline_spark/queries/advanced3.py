@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from airquality_data_pipeline_spark.queries.common import (
     dec,
     roundq,
+    sql_floor_ms,
     sql_roundq,
     table,
     utc,
@@ -2229,7 +2230,7 @@ def q267_variant_rollup(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q268_slo_burn_rate",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
              CAST(count(*) AS BIGINT) AS n,
@@ -2238,18 +2239,18 @@ def q267_variant_rollup(spark, sf_dir):
       FROM events GROUP BY 1
     ),
     win AS (
-      SELECT CAST(epoch_us(h) // 1000 + CASE WHEN epoch_us(h) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS hour_ms, n, n_bad,
+      SELECT {sql_floor_ms("h")} AS hour_ms, n, n_bad,
              SUM(n) OVER w1 AS n_1h, SUM(n_bad) OVER w1 AS bad_1h,
              SUM(n) OVER w6 AS n_6h, SUM(n_bad) OVER w6 AS bad_6h
-      FROM (SELECT h, n, n_bad, CAST(epoch_us(h) // 1000 + CASE WHEN epoch_us(h) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) // 3600000 AS hr
+      FROM (SELECT h, n, n_bad, {sql_floor_ms("h")} // 3600000 AS hr
             FROM hourly)
       WINDOW w1 AS (ORDER BY hr ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
              w6 AS (ORDER BY hr RANGE BETWEEN 5 PRECEDING
                     AND CURRENT ROW)
     )
     SELECT hour_ms, n, n_bad,
-           {b1_rq} AS burn_1h,
-           {b6_rq} AS burn_6h,
+           {{b1_rq}} AS burn_1h,
+           {{b6_rq}} AS burn_6h,
            (CAST(bad_1h AS DOUBLE) / n_1h / 0.01 > 14.4
             AND CAST(bad_6h AS DOUBLE) / n_6h / 0.01 > 14.4) AS page,
            (CAST(bad_1h AS DOUBLE) / n_1h / 0.01 > 6

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from airquality_data_pipeline_spark.queries.common import (
     dec,
     roundq,
+    sql_floor_ms,
     sql_roundq,
     table,
     utc,
@@ -788,9 +789,9 @@ def q211_robust_means(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q212_survivorship",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey,
-           CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(o_orderdate AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS order_day_ms,
+           {sql_floor_ms("CAST(o_orderdate AS TIMESTAMP)")} AS order_day_ms,
            CAST(count(*) AS BIGINT) AS n_dupes,
            CAST(max(o_orderkey) AS BIGINT) AS golden_key,
            max_by(o_orderstatus, o_orderkey) AS golden_status,
@@ -2170,10 +2171,10 @@ def q237_uplift_deciles(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q238_watermark_lateness",
-    oracle="""
+    oracle=f"""
     WITH arr AS (
-      SELECT user_id, event_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
-             max(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER (PARTITION BY user_id
+      SELECT user_id, event_id, {sql_floor_ms("ts")} AS ts_ms,
+             max({sql_floor_ms("ts")}) OVER (PARTITION BY user_id
                ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS hwm_ms
@@ -2187,7 +2188,7 @@ def q237_uplift_deciles(spark, sf_dir):
            CAST(quantile_cont(late_ms, 0.95) AS DOUBLE) AS p95_ms,
            CAST(quantile_cont(late_ms, 0.99) AS DOUBLE) AS p99_ms,
            CAST(max(late_ms) AS BIGINT) AS max_ms,
-           {drop_rq} AS dropped_at_1m
+           {{drop_rq}} AS dropped_at_1m
     FROM late
     """.format(
         # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)

@@ -226,6 +226,23 @@ def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
     )
 
 
+def sql_floor_ms(expr: str) -> str:
+    """DuckDB twin of ts_ms()/unix_millis: epoch microseconds floored
+    to millis in pure integer arithmetic. DuckDB's ``//`` truncates
+    toward zero and ``%`` is C-style (sign follows the dividend), so
+    subtracting 1 on a negative remainder yields floor — matching
+    Spark's unix_millis exactly for pre-1970 epochs (ancient_ts axis)
+    and past 2^53 µs (far_future axis), where any float-form /1000.0
+    detour loses integer precision. The floor convention lives HERE;
+    oracle SQL interpolates this helper instead of hand-expanding it
+    (r10 ADVICE: 66 hand-expanded copies were a drift hazard)."""
+    e = f"epoch_us({expr})"
+    return (
+        f"CAST({e} // 1000 + CASE WHEN {e} % 1000 < 0 "
+        f"THEN -1 ELSE 0 END AS BIGINT)"
+    )
+
+
 def ts_ms(col: Column | str, alias: str) -> Column:
     """Timestamp -> epoch millis bigint (instant-based, engine-agnostic).
 

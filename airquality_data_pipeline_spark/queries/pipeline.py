@@ -22,6 +22,7 @@ from airquality_data_pipeline_spark.operators.windows import sessionize
 from airquality_data_pipeline_spark.queries.common import (
     dsum,
     sql_dsum,
+    sql_floor_ms,
     table,
     ts_ms,
     utc,
@@ -76,10 +77,10 @@ _Q23_CTE = """
 @register(
     "q23_cursor_incremental_filter",
     oracle=_Q23_CTE
-    + """
-    SELECT event_id, user_id, event_type, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms FROM well
+    + f"""
+    SELECT event_id, user_id, event_type, {sql_floor_ms("ts")} AS ts_ms FROM well
     UNION ALL
-    SELECT event_id, user_id, event_type, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms
+    SELECT event_id, user_id, event_type, {sql_floor_ms("ts")} AS ts_ms
     FROM batch WHERE user_id IS NULL OR ts IS NULL
     """,
 )
@@ -101,8 +102,8 @@ def q23_cursor_incremental_filter(spark, sf_dir):
 @register(
     "q24_pending_cursor_updates",
     oracle=_Q23_CTE
-    + """
-    SELECT user_id, event_type, CAST(epoch_us(max(ts)) // 1000 + CASE WHEN epoch_us(max(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS last_observed_ms
+    + f"""
+    SELECT user_id, event_type, {sql_floor_ms("max(ts)")} AS last_observed_ms
     FROM well GROUP BY user_id, event_type
     """,
 )
@@ -125,8 +126,8 @@ def q24_pending_cursor_updates(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q25_first_wins_dedup",
-    oracle="""
-    SELECT event_id, user_id, event_type, CAST(epoch_us(minute) // 1000 + CASE WHEN epoch_us(minute) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS minute_ms
+    oracle=f"""
+    SELECT event_id, user_id, event_type, {sql_floor_ms("minute")} AS minute_ms
     FROM (
       SELECT event_id, user_id, event_type, date_trunc('minute', ts) AS minute,
              ROW_NUMBER() OVER (
@@ -156,7 +157,7 @@ def q25_first_wins_dedup(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q26_greatest_merge",
-    oracle="""
+    oracle=f"""
     WITH old AS (
       SELECT user_id, event_type, max(ts) AS ts FROM events
       WHERE ts < TIMESTAMP '2024-01-10 00:00:00' GROUP BY user_id, event_type
@@ -168,11 +169,7 @@ def q25_first_wins_dedup(spark, sf_dir):
     )
     SELECT COALESCE(o.user_id, n.user_id) AS user_id,
            COALESCE(o.event_type, n.event_type) AS event_type,
-           CAST(epoch_us(CASE WHEN o.ts IS NULL THEN n.ts
-                         WHEN n.ts IS NULL THEN o.ts
-                         WHEN o.ts >= n.ts THEN o.ts ELSE n.ts END) // 1000 + CASE WHEN epoch_us(CASE WHEN o.ts IS NULL THEN n.ts
-                         WHEN n.ts IS NULL THEN o.ts
-                         WHEN o.ts >= n.ts THEN o.ts ELSE n.ts END) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS last_observed_ms
+           {sql_floor_ms("CASE WHEN o.ts IS NULL THEN n.ts WHEN n.ts IS NULL THEN o.ts WHEN o.ts >= n.ts THEN o.ts ELSE n.ts END")} AS last_observed_ms
     FROM old o FULL OUTER JOIN new n
       ON o.user_id = n.user_id AND o.event_type = n.event_type
     """,
@@ -248,8 +245,8 @@ def q27_coalesce_merge(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q28_retention_filter",
-    oracle="""
-    SELECT event_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms
+    oracle=f"""
+    SELECT event_id, {sql_floor_ms("ts")} AS ts_ms
     FROM events
     WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
     """,
@@ -268,11 +265,11 @@ def q28_retention_filter(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q29_ragged_union",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, value, 'web' AS src, NULL AS event_type, NULL AS ts_ms
     FROM events WHERE event_type = 'view'
     UNION ALL BY NAME
-    SELECT event_id, event_type, 'backfill' AS src, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms
+    SELECT event_id, event_type, 'backfill' AS src, {sql_floor_ms("ts")} AS ts_ms
     FROM events WHERE event_type = 'purchase'
     """,
 )
@@ -297,8 +294,8 @@ def q29_ragged_union(spark, sf_dir):
     oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
-             CASE WHEN lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER w IS NULL
-                       OR CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) - lag(CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)) OVER w > 1800000
+             CASE WHEN lag({sql_floor_ms("ts")}) OVER w IS NULL
+                       OR {sql_floor_ms("ts")} - lag({sql_floor_ms("ts")}) OVER w > 1800000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -310,8 +307,8 @@ def q29_ragged_union(spark, sf_dir):
       FROM flagged
     )
     SELECT user_id, session_id,
-           CAST(epoch_us(min(ts)) // 1000 + CASE WHEN epoch_us(min(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS session_start_ms,
-           CAST(epoch_us(max(ts)) // 1000 + CASE WHEN epoch_us(max(ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS session_end_ms,
+           {sql_floor_ms("min(ts)")} AS session_start_ms,
+           {sql_floor_ms("max(ts)")} AS session_end_ms,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
     FROM numbered
@@ -338,7 +335,7 @@ def q30_sessionization(spark, sf_dir):
 @register(
     "q31_tumbling_window",
     oracle=f"""
-    SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000 + CASE WHEN epoch_us(date_trunc('hour', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS window_start_ms,
+    SELECT {sql_floor_ms("date_trunc('hour', ts)")} AS window_start_ms,
            event_type,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
@@ -389,7 +386,7 @@ def q55_salted_agg(spark, sf_dir):
 @register(
     "q32_sliding_window",
     oracle=f"""
-    SELECT CAST(epoch_us(ws) // 1000 + CASE WHEN epoch_us(ws) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS window_start_ms,
+    SELECT {sql_floor_ms("ws")} AS window_start_ms,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
     FROM (

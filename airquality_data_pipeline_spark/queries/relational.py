@@ -19,6 +19,7 @@ from airquality_data_pipeline_spark.queries.common import (
     dsum,
     sql_davg,
     sql_dsum,
+    sql_floor_ms,
     table,
     ts_ms,
     utc,
@@ -105,7 +106,7 @@ def q02_filter_project(spark, sf_dir):
     oracle=f"""
     SELECT l_orderkey,
            {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
-           CAST(epoch_us(o_orderdate) // 1000 + CASE WHEN epoch_us(o_orderdate) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS o_orderdate_ms,
+           {sql_floor_ms("o_orderdate")} AS o_orderdate_ms,
            o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -377,9 +378,9 @@ def q10_topk_per_group(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q11_window_running",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(epoch_us(o_orderdate) // 1000 + CASE WHEN epoch_us(o_orderdate) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS o_orderdate_ms,
+           {sql_floor_ms("o_orderdate")} AS o_orderdate_ms,
            o_totalprice,
            ROW_NUMBER() OVER w AS rn,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
@@ -553,13 +554,13 @@ def q16_conditional_agg(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q17_datetime_tz",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
-           CAST(epoch_us(timezone('Europe/Berlin', ts)) // 1000 + CASE WHEN epoch_us(timezone('Europe/Berlin', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS berlin_utc_ms,
-           CAST(epoch_us(timezone('Europe/Warsaw', ts)) // 1000 + CASE WHEN epoch_us(timezone('Europe/Warsaw', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS warsaw_utc_ms,
+           {sql_floor_ms("ts")} AS ts_ms,
+           {sql_floor_ms("timezone('Europe/Berlin', ts)")} AS berlin_utc_ms,
+           {sql_floor_ms("timezone('Europe/Warsaw', ts)")} AS warsaw_utc_ms,
            hour(ts) AS hour_utc,
-           CAST(epoch_us(date_trunc('day', ts)) // 1000 + CASE WHEN epoch_us(date_trunc('day', ts)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS day_ms
+           {sql_floor_ms("date_trunc('day', ts)")} AS day_ms
     FROM events
     WHERE event_id % 7 = 0
     """,

@@ -17,6 +17,7 @@ from airquality_data_pipeline_spark.queries.common import (
     dsum,
     sql_davg,
     sql_dsum,
+    sql_floor_ms,
     table,
     ts_ms,
     utc,
@@ -31,15 +32,15 @@ from airquality_data_pipeline_spark.queries.registry import register
 # --------------------------------------------------------------------------
 @register(
     "q33_asof_join",
-    oracle="""
+    oracle=f"""
     WITH views AS (
       SELECT user_id, ts, max(event_id) AS view_event_id
       FROM events WHERE event_type = 'view'
       GROUP BY user_id, ts
     ),
     purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
-    SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) // 1000 + CASE WHEN epoch_us(p.ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
-           v.view_event_id, CAST(epoch_us(v.ts) // 1000 + CASE WHEN epoch_us(v.ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS view_ts_ms
+    SELECT p.event_id, p.user_id, {sql_floor_ms("p.ts")} AS ts_ms,
+           v.view_event_id, {sql_floor_ms("v.ts")} AS view_ts_ms
     FROM purchases p
     ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
@@ -80,9 +81,9 @@ def q33_asof_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q34_range_join",
-    oracle="""
+    oracle=f"""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
-           CAST(epoch_us(c.ts) // 1000 + CASE WHEN epoch_us(c.ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS click_ms, CAST(epoch_us(p.ts) // 1000 + CASE WHEN epoch_us(p.ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS purchase_ms
+           {sql_floor_ms("c.ts")} AS click_ms, {sql_floor_ms("p.ts")} AS purchase_ms
     FROM (SELECT * FROM events WHERE event_type = 'click') c
     JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON c.user_id = p.user_id
@@ -526,14 +527,14 @@ def q65_nullsafe_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q77_range_frame",
-    oracle="""
-    SELECT event_id, user_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
+    oracle=f"""
+    SELECT event_id, user_id, {sql_floor_ms("ts")} AS ts_ms,
            COUNT(*) OVER w AS n_last_hour,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
     FROM events
     WHERE user_id < 30
     WINDOW w AS (
-      PARTITION BY user_id ORDER BY CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT)
+      PARTITION BY user_id ORDER BY {sql_floor_ms("ts")}
       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
     )
     """,
@@ -648,11 +649,11 @@ def q75_edit_distance(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q74_date_arithmetic",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            date_diff('day', o_orderdate, l_shipdate) AS ship_lag_days,
-           CAST(epoch_us(o_orderdate + INTERVAL 30 DAY) // 1000 + CASE WHEN epoch_us(o_orderdate + INTERVAL 30 DAY) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS due_ms,
-           CAST(epoch_us(date_trunc('week', l_shipdate)) // 1000 + CASE WHEN epoch_us(date_trunc('week', l_shipdate)) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ship_week_ms,
+           {sql_floor_ms("o_orderdate + INTERVAL 30 DAY")} AS due_ms,
+           {sql_floor_ms("date_trunc('week', l_shipdate)")} AS ship_week_ms,
            year(l_shipdate) AS ship_year,
            month(l_shipdate) AS ship_month,
            dayofweek(l_shipdate) + 1 AS ship_dow

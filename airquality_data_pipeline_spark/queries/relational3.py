@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     sql_dsum,
+    sql_floor_ms,
     table,
     ts_ms,
     utc,
@@ -132,9 +133,9 @@ def q79_stat_aggs(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q80_ignore_nulls",
-    oracle="""
+    oracle=f"""
     WITH g AS (
-      SELECT event_id, user_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
+      SELECT event_id, user_id, {sql_floor_ms("ts")} AS ts_ms,
              CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
       FROM events WHERE user_id < 20
     )
@@ -398,10 +399,10 @@ def q90_nulls_order_pagination(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q91_running_distinct",
-    oracle="""
-    SELECT event_id, user_id, CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS ts_ms,
+    oracle=f"""
+    SELECT event_id, user_id, {sql_floor_ms("ts")} AS ts_ms,
            count(DISTINCT event_type) OVER (
-             PARTITION BY user_id ORDER BY CAST(epoch_us(ts) // 1000 + CASE WHEN epoch_us(ts) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT), event_id
+             PARTITION BY user_id ORDER BY {sql_floor_ms("ts")}, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS n_types_so_far
     FROM events WHERE user_id < 25

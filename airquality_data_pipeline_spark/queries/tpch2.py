@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from airquality_data_pipeline_spark.queries.common import (
     dec,
     roundq,
+    sql_floor_ms,
     sql_roundq,
     table,
     ts_ms,
@@ -389,7 +390,7 @@ def q245_brand_supplier_counts(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q246_large_volume_customers",
-    oracle="""
+    oracle=f"""
     WITH big AS (
       SELECT l_orderkey,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -398,7 +399,7 @@ def q245_brand_supplier_counts(spark, sf_dir):
       HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250
     )
     SELECT c.c_name AS cust_name, o.o_orderkey AS orderkey,
-           CAST(epoch_us(o.o_orderdate) // 1000 + CASE WHEN epoch_us(o.o_orderdate) % 1000 < 0 THEN -1 ELSE 0 END AS BIGINT) AS order_date_ms,
+           {sql_floor_ms("o.o_orderdate")} AS order_date_ms,
            o.o_totalprice AS total_price, b.sum_qty
     FROM big b
     JOIN orders o ON b.l_orderkey = o.o_orderkey

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pytest
 
 CASES = [
-    # (input, spark_upper/lower fn, spark expected, duck sql, duck expected)
+    # (fn, input, spark expected, duck expected)
     ("upper", "ß", "SS", "ẞ"),          # full 1->2 mapping vs simple
     ("lower", "İ", "i̇", "i"),          # dotted capital I: i+combining dot vs plain i
     ("upper", "ﬁle", "FILE", "ﬁLE"),    # ligature decomposition vs passthrough
