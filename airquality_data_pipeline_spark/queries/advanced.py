@@ -555,10 +555,20 @@ def q139_funnel(spark, sf_dir):
     # and the denominator in a single scalar aggregate, then unpivoted
     # to the 3-row report (re-filtering per stage would recompute the
     # window subtree once per row)
+    # coalesce: SUM over zero users is NULL on Spark, while the
+    # oracle's per-stage COUNT(*) over empty stages is 0
+    # (empty_relation axis); try_divide below matches DuckDB's
+    # NULL on the 0/0 share.
     report = staged.agg(
-        F.sum((F.col("stage") >= 1).cast("long")).alias("n1"),
-        F.sum((F.col("stage") >= 2).cast("long")).alias("n2"),
-        F.sum((F.col("stage") >= 3).cast("long")).alias("n3"),
+        F.coalesce(
+            F.sum((F.col("stage") >= 1).cast("long")), F.lit(0)
+        ).alias("n1"),
+        F.coalesce(
+            F.sum((F.col("stage") >= 2).cast("long")), F.lit(0)
+        ).alias("n2"),
+        F.coalesce(
+            F.sum((F.col("stage") >= 3).cast("long")), F.lit(0)
+        ).alias("n3"),
         F.count(F.lit(1)).alias("n"),
     )
     return report.select(
@@ -570,9 +580,9 @@ def q139_funnel(spark, sf_dir):
     ).select(
         "stage_name",
         "n_users",
-        roundq(F.col("n_users") / F.col("n").cast("double")).alias(
-            "share_of_users"
-        ),
+        roundq(
+            F.try_divide(F.col("n_users"), F.col("n").cast("double"))
+        ).alias("share_of_users"),
     )
 
 

@@ -2422,7 +2422,12 @@ def q170_mom_growth(spark, sf_dir):
                - CAST(CAST(SUM(CAST(floor(g.s * g.s / g.n * 1000000.0 + 0.5)
                                     AS HUGEINT)) AS VARCHAR) AS DOUBLE)
                  / 1000000 AS ssw
-      FROM g CROSS JOIN tot t
+      -- LEFT JOIN ON TRUE (identical to the cross join when g is
+      -- non-empty) so k survives as 0 on empty events
+      -- (empty_relation axis): g CROSS JOIN tot over empty g fed the
+      -- aggregate zero rows, collapsing k to NULL where Spark's
+      -- global agg keeps count(*) = 0.
+      FROM tot t LEFT JOIN g ON TRUE
     )
     SELECT nn, k,
            {ssb_rq} AS ss_between,

@@ -1231,7 +1231,11 @@ def q221_diff_in_diff(spark, sf_dir):
     SELECT e.n_users, CAST(20 AS BIGINT) AS n_reps, e.estimate,
            {lo_rq} AS ci_lo,
            {hi_rq} AS ci_hi
-    FROM rep_means r, est e
+    -- LEFT JOIN ON TRUE (identical to the comma join when rep_means
+    -- is non-empty) so the single est row survives empty events
+    -- (empty_relation axis) with NULL quantiles, matching Spark's
+    -- crossJoin of the always-1-row aggregates.
+    FROM est e LEFT JOIN rep_means r ON TRUE
     GROUP BY e.n_users, e.estimate
     """.format(
         # the mean estimate and the interpolated percentiles of

@@ -992,12 +992,16 @@ def q229_dedup_pr_harness(spark, sf_dir):
         "n_planted",
         "n_candidates",
         "n_hits",
+        # try_divide: zero planted pairs / zero candidates on empty
+        # documents (empty_relation axis) — DuckDB x/0.0 yields NULL
         roundq(
-            F.col("n_hits") / F.col("n_planted").cast("double")
+            F.try_divide(F.col("n_hits"), F.col("n_planted").cast("double"))
         ).alias("recall"),
         "n_verified",
         roundq(
-            F.col("n_verified") / F.col("n_candidates").cast("double")
+            F.try_divide(
+                F.col("n_verified"), F.col("n_candidates").cast("double")
+            )
         ).alias("precision_proxy"),
     )
 

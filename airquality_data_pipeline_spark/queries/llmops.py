@@ -621,8 +621,15 @@ def q134_hll_shard_union(spark, sf_dir):
         F.countDistinct("tok").alias("exact_distinct"),
         F.hll_sketch_agg("tok").alias("sk"),
     )
+    # multiplication form, not abs/exact <= 0.05: identical for
+    # exact > 0, and on empty documents (empty_relation axis) the
+    # global row has exact = 0 where the division form ANSI-crashes;
+    # est coalesces to 0 there (hll over zero rows yields NULL), so
+    # abs(0-0) <= 0 keeps in_bound = true, matching the oracle's
+    # literal true.
     bound = lambda est, exact: (  # noqa: E731
-        F.abs(est - exact) / exact <= 0.05
+        F.abs(F.coalesce(est, F.lit(0.0)) - exact)
+        <= F.lit(0.05) * exact
     )
     per_out = per.select(
         "source",

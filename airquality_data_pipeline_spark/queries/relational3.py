@@ -40,6 +40,8 @@ from airquality_data_pipeline_spark.queries.registry import register
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY GROUPING SETS ((n.n_name, o.o_orderpriority), (n.n_name), ())
+    -- empty-input grouping-sets envelope guard, see q12_rollup
+    HAVING COUNT(*) > 0
     """,
 )
 def q78_grouping_sets(spark, sf_dir):

@@ -139,6 +139,18 @@ def generate(
         bridge; tests/test_unicode_envelope.py pins the four known
         divergences so a behavior change in either engine is
         noticed.
+      - "empty_relation" (r11 verdict item 5): the fact/corpus tables
+        (lineitem, events, documents, embeddings) have ZERO rows while
+        every dimension stays populated — the harsher sibling of
+        no_purchases' whole-class absence. Stresses empty global
+        aggregates (count-0 rows with NULL sums on BOTH engines),
+        empty join probe sides against non-empty builds, first/last/
+        min/max over nothing, quantiles of the empty set, window
+        functions over zero partitions, and every ratio whose
+        denominator is an empty-input count. Tables are built
+        normally then sliced to 0 rows, so schemas stay byte-
+        identical to the populated fixture (no empty-array type
+        inference hazards).
       - "null_text" (r10, second null wave): NULLs in the corpus
         columns — documents.text 10% (with n_chars NULL on the same
         rows, keeping the n_chars = len(text) invariant vacuous
@@ -163,7 +175,7 @@ def generate(
     unknown = axes - {
         "all_ties", "single_lang", "constant_ts", "hot_key",
         "negative_mass", "null_mass", "null_text", "ancient_ts",
-        "unicode_text", "no_purchases", "far_future",
+        "unicode_text", "no_purchases", "far_future", "empty_relation",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
@@ -183,7 +195,14 @@ def generate(
         mask = rng.random(len(values)) < frac
         return pa.array(values, mask=mask)
 
+    # empty_relation axis: facts/corpus zero-row, dims populated; the
+    # slice AFTER construction keeps the schema identical (direct
+    # empty pa.array construction would infer null types).
+    _EMPTY = {"lineitem", "events", "documents", "embeddings"}
+
     def write(name: str, table: pa.Table) -> None:
+        if "empty_relation" in axes and name in _EMPTY:
+            table = table.slice(0, 0)
         pq.write_table(table, os.path.join(outdir, name + ".parquet"))
 
     # --- region / nation (fixed shape, same key domains as TPC-H-ish)

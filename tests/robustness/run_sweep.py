@@ -31,6 +31,61 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Queries whose pair mass is quadratic in the hostile fixture's tight
+# clusters (~1e8 true near-dup pairs at scale 100): full-fixture
+# verification exceeds one box on the REFEREE (q229's exact-Jaccard
+# ground truth spills 80+ GB) or on BOTH engines (q45's array-carrying
+# exact-verify join). r10 reported these as count-only ENVELOPEs; the
+# r10 VERDICT asked for measured parity instead. Mechanism: a
+# deterministic 1-in-SAMPLE_MOD id sample of the blow-up table (the
+# planted structure survives — variants/replicas are derived in-query
+# from the sampled base ids), both engines run the UNCHANGED query on
+# the sampled universe, and the strict comparator checks full values.
+# Pair mass shrinks ~SAMPLE_MOD^2 (1e8 -> 1e6 at scale 100) while the
+# degenerate shape distribution is preserved, so this is measured
+# value parity at the hostile shape, not a count heuristic.
+SAMPLED_LARGE = {
+    "q45_embedding_neardup": ("embeddings", "vec_id"),
+    "q229_dedup_pr_harness": ("documents", "doc_id"),
+}
+SAMPLE_MOD = 10
+# scale at which SAMPLED_LARGE switches to sampled parity; env
+# override exists so the mechanics are testable at x1 without
+# generating a 50x fixture.
+SAMPLE_SCALE = float(os.environ.get("SWEEP_SAMPLE_SCALE", "50"))
+
+
+def build_sample_dir(sfdir: str) -> str:
+    """Materialize <sfdir>_sample: blow-up tables filtered to
+    id % SAMPLE_MOD = 0 (rewritten parquet), everything else
+    symlinked, so both engines see one consistent sampled universe."""
+    sdir = sfdir + "_sample"
+    done = os.path.join(sdir, "_DONE")
+    if os.path.exists(done):
+        return sdir
+    os.makedirs(sdir, exist_ok=True)
+    import duckdb
+
+    c = duckdb.connect()
+    sampled_tables = {t: idc for t, idc in SAMPLED_LARGE.values()}
+    for t in TABLES:
+        src = os.path.join(sfdir, f"{t}.parquet")
+        dst = os.path.join(sdir, f"{t}.parquet")
+        if os.path.lexists(dst):
+            os.unlink(dst)
+        if t in sampled_tables:
+            c.execute(
+                f"COPY (SELECT * FROM '{src}' "
+                f"WHERE {sampled_tables[t]} % {SAMPLE_MOD} = 0 "
+                f"ORDER BY {sampled_tables[t]}) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+        else:
+            os.symlink(src, dst)
+    c.close()
+    open(done, "w").close()
+    return sdir
+
 
 def main(
     seed: int = 7,
@@ -88,17 +143,32 @@ def main(
         )
 
     qs, osql = mod.queries(), mod.oracle_sql()
-    # Above ~50x the hostile fixture's DEGENERATE shapes (10 tight
-    # embedding clusters) make true near-dup mass quadratic — q45's
-    # result alone is ~1e8 pairs, and the strict comparator's
-    # driver-side Counter + pandas copies OOM on it. Those queries
-    # switch to oracle_utils.compare_bounded (streamed count +
-    # order-insensitive md5-sum, O(1) driver memory) instead of being
-    # skipped, so every scale reports all 263 queries.
-    bounded_large = {"q45_embedding_neardup", "q229_dedup_pr_harness"}
-    from tests.oracle_utils import compare_bounded
 
-    fails, empties = 0, []
+    # Lazily-built sampled universe for SAMPLED_LARGE at
+    # scale >= SAMPLE_SCALE
+    # (see the module-level comment). con_s mirrors con over the
+    # sampled dir.
+    sample_state: dict[str, object] = {}
+
+    def sampled_compare(name: str):
+        if "con" not in sample_state:
+            sdir = build_sample_dir(sfdir)
+            cs = duckdb.connect()
+            cs.execute(
+                f"SET temp_directory='{tempfile.gettempdir()}/duckdb_spill'"
+            )
+            cs.execute("SET memory_limit='48GB'")
+            cs.execute("SET preserve_insertion_order=false")
+            for t in TABLES:
+                cs.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sdir}/{t}.parquet'"
+                )
+            sample_state["con"] = cs
+            sample_state["dir"] = sdir
+        df = qs[name](spark, sample_state["dir"])
+        return compare(df, sample_state["con"], osql[name])
+
+    fails, empties, sampled = 0, [], []
     # ENVELOPE = value-parity NOT verified this sweep (referee or both
     # engines exceeded the box). Tracked explicitly so rounds can't
     # quietly accumulate permanently-unverified queries (r9 ADVICE):
@@ -109,11 +179,33 @@ def main(
     for name in sorted(qs):
         if only and name not in only:
             continue
-        cmp_fn = (
-            compare_bounded
-            if scale >= 50 and name in bounded_large
-            else compare
-        )
+        if scale >= SAMPLE_SCALE and name in SAMPLED_LARGE:
+            # Full-fixture execution is out of one box's envelope BY
+            # DESIGN of the degenerate fixture (measured r9/r10:
+            # 80-100 GB spills, then resource death); go straight to
+            # measured sampled parity instead of burning the disk to
+            # rediscover that.
+            try:
+                probs = sampled_compare(name)
+            except Exception as exc:  # noqa: BLE001
+                fails += 1
+                print(
+                    f"ERROR {name} (sampled): "
+                    f"{type(exc).__name__}: {str(exc)[:300]}"
+                )
+                continue
+            fails += bool(probs)
+            if probs:
+                print(f"FAIL {name} (sampled)", *probs, sep="\n  ")
+            else:
+                sampled.append(name)
+            print(
+                f"SAMPLED {name}: strict full-value parity on the "
+                f"1/{SAMPLE_MOD} id-sample "
+                f"({'ok' if not probs else 'MISMATCH'})"
+            )
+            continue
+        cmp_fn = compare
         try:
             df = qs[name](spark, sfdir)
             if name in osql:
@@ -175,9 +267,6 @@ def main(
                 fails += bool(probs)
                 if probs:
                     print(f"FAIL {name}", *probs, sep="\n  ")
-                if cmp_fn is compare_bounded:
-                    print(f"BOUNDED {name}: count+hash comparison "
-                          f"({'ok' if not probs else 'MISMATCH'})")
             elif df.count() == 0:
                 empties.append(name)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
@@ -186,6 +275,10 @@ def main(
     if empties:
         print("ROWS-ONLY EMPTIES:", empties)
     verdict = "ALL MATCH" if fails == 0 else f"{fails} FAILURES"
+    if sampled:
+        verdict += (
+            f" + {len(sampled)} SAMPLED(1/{SAMPLE_MOD}) {sorted(sampled)}"
+        )
     if envelopes:
         verdict += f" + {len(envelopes)} ENVELOPE {sorted(envelopes)}"
         import json

@@ -1,0 +1,123 @@
+"""empty_relation robustness axis (r11): the fact/corpus tables
+(lineitem, events, documents, embeddings) have ZERO rows while every
+dimension stays populated — the harsher sibling of the no_purchases
+whole-class-absence axis.
+
+First x1 sweep caught six real cross-engine defects, pinned here:
+
+- q134_hll_shard_union / q229_dedup_pr_harness: ANSI DIVIDE_BY_ZERO
+  crashes on the zero-denominator global row (exact_distinct = 0 /
+  n_planted = 0) — fixed with the multiplication-form bound and
+  try_divide respectively (DuckDB's x/0.0 is NULL).
+- q139_funnel: Spark's SUM over zero users is NULL where the oracle's
+  per-stage COUNT(*) is 0 (plus the float64-vs-int64 pandas dtype
+  drift that follows) — coalesced to 0, share via try_divide.
+- q171_anova_f / q222_poisson_bootstrap: the oracle's CROSS JOIN of an
+  always-1-row aggregate with an EMPTY per-group CTE fed the outer
+  aggregate zero rows (k collapsed to NULL / the row vanished), where
+  Spark's crossJoin of two 1-row aggregates keeps count() = 0 —
+  rewritten as LEFT JOIN ON TRUE, identical on non-empty input.
+- q12_rollup (class fix also applied to q13_cube, q78_grouping_sets):
+  ENGINE ENVELOPE — Spark's grouping sets over EMPTY input emit 0
+  rows (Expand + hash aggregate on the expanded keys finds no
+  groups), while DuckDB and the SQL standard emit the () grand-total
+  row (a global aggregate over zero rows is one row). Bridged with a
+  HAVING COUNT(*) > 0 guard on the ORACLE side — identity on
+  non-empty input since every real group has count >= 1. The
+  envelope test below is flip-detecting: if either engine changes
+  behavior, it fails loudly and the guards must be revisited.
+"""
+from __future__ import annotations
+
+import pytest
+
+from airquality_data_pipeline_spark.queries import ORACLE, QUERIES
+from tests.oracle_utils import compare
+
+FIXED_QUERIES = [
+    "q12_rollup",
+    "q13_cube",
+    "q78_grouping_sets",
+    "q134_hll_shard_union",
+    "q139_funnel",
+    "q171_anova_f",
+    "q222_poisson_bootstrap",
+    "q229_dedup_pr_harness",
+]
+
+EMPTY_TABLES = ("lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    from tests.robustness.gen_alt_fixture import generate
+
+    out = str(tmp_path_factory.mktemp("empty_relation"))
+    generate(out, seed=13, scale=1.0, axis="empty_relation")
+    return out
+
+
+@pytest.fixture(scope="module")
+def empty_duck(empty_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_empty_fixture_shape(empty_dir, empty_duck):
+    """Facts/corpus 0 rows with intact schemas; dims populated."""
+    for t in EMPTY_TABLES:
+        n, ncols = empty_duck.execute(
+            f"SELECT count(*), (SELECT count(*) FROM "
+            f"information_schema.columns WHERE table_name = '{t}') "
+            f"FROM {t}"
+        ).fetchone()
+        assert n == 0 and ncols >= 3, (t, n, ncols)
+    for t in ("customer", "orders", "nation"):
+        assert empty_duck.execute(
+            f"SELECT count(*) FROM {t}"
+        ).fetchone()[0] > 0, t
+
+
+@pytest.mark.parametrize("name", FIXED_QUERIES)
+def test_empty_relation_parity(name, spark, empty_dir, empty_duck):
+    df = QUERIES[name](spark, empty_dir)
+    df.collect()  # q134/q229 raised DIVIDE_BY_ZERO before the fix
+    probs = compare(df, empty_duck, ORACLE[name])
+    assert not probs, probs
+
+
+def test_grouping_sets_empty_input_envelope(spark):
+    """Flip detector for the engine envelope the q12/q13/q78 HAVING
+    guards bridge: Spark grouping-sets over empty input emit 0 rows,
+    DuckDB emits the () grand-total row. If either side changes,
+    revisit the guards."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([], "a string, b string")
+    spark_rows = (
+        df.rollup("a", "b").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert spark_rows == [], (
+        "Spark now emits rows for grouping sets over empty input — "
+        "drop the HAVING COUNT(*) > 0 oracle guards (q12/q13/q78)"
+    )
+    duck_rows = duckdb.connect().execute(
+        "SELECT a, b, count(*) FROM (SELECT 'x' a, 'y' b WHERE 1=0) "
+        "GROUP BY ROLLUP(a, b)"
+    ).fetchall()
+    assert duck_rows == [(None, None, 0)], (
+        "DuckDB no longer emits the grand-total row over empty input — "
+        "the HAVING guards are now vacuous; re-probe the envelope"
+    )
