@@ -197,6 +197,46 @@ def session_aggregation(
     )
 
 
+def time_shifted(
+    events: DataFrame,
+    job,
+    time_cols,
+    days: int = 36525,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Shift-ingest / unshift-emit adapter for PRE-1970 event time.
+
+    Spark's WatermarkTracker initializes the global watermark at epoch
+    0, so every pre-1970 event-time row is "late" from the first
+    micro-batch and silently dropped by any watermarked operator (the
+    pinned engine envelope, tests/test_streaming_hostile.py). This
+    wrapper makes historical archives streamable: add a constant
+    ``days`` interval to ``ts_col`` before the job, run the watermarked
+    job on post-1970 time, then subtract the same interval from every
+    emitted timestamp column in ``time_cols``.
+
+    Correctness constraints (the caller's contract):
+    - ``days`` must push the whole archive past 1970 (the default
+      ~100 years covers 1870+; epochs are microsecond-exact under
+      interval arithmetic, no calendar drift since the shift is in
+      exact 86400 s days on a UTC-pinned session).
+    - Window ALIGNMENT: tumbling/sliding windows align to epoch
+      multiples of their size/slide, so the unshifted windows equal
+      the batch windows iff 86400 s is a multiple of every window
+      size/slide/dedup-truncation used by ``job`` (true for the
+      repo's 1 h / 30 min / 1 min jobs; a 7-minute window would NOT
+      round-trip — validate before reusing).
+    - Relative semantics (watermark delay, session gaps, inter-event
+      deltas) are shift-invariant, so lateness/eviction behave as if
+      the archive were contemporary.
+    """
+    itv = F.expr(f"INTERVAL {int(days)} DAYS")
+    out = job(events.withColumn(ts_col, F.col(ts_col) + itv))
+    for c in time_cols:
+        out = out.withColumn(c, F.col(c) - itv)
+    return out
+
+
 def kafka_shaped(df: DataFrame) -> DataFrame:
     """K1 sink projection: key/value JSON exactly as the reference emits
     (app/main.py:285). Point .writeStream.format('kafka') at it in a
