@@ -96,6 +96,29 @@ def test_empty_relation_parity(name, spark, empty_dir, empty_duck):
     assert not probs, probs
 
 
+def test_streaming_jobs_survive_empty_sources(spark, empty_dir):
+    """Zero-row file sources must drain cleanly through every
+    stateful job (watermark init, dedup state, session merge) and
+    emit zero rows — no NPE/state-init crash class."""
+    import uuid
+
+    from airquality_data_pipeline_spark.streaming import jobs
+
+    def drain(df):
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        jobs.run_to_memory(df, name)
+        return spark.sql(f"SELECT * FROM {name}").count()
+
+    ev = lambda: jobs.read_events_stream(spark, empty_dir)  # noqa: E731
+    assert drain(jobs.tumbling_counts(ev())) == 0
+    assert drain(jobs.watermark_dedup(ev())) == 0
+    assert drain(jobs.session_aggregation(ev())) == 0
+    docs = jobs.read_documents_stream(spark, empty_dir, copies=2)
+    assert drain(jobs.corpus_curation_stream(docs)) == 0
+    docs2 = jobs.read_documents_stream(spark, empty_dir, copies=2)
+    assert drain(jobs.neardup_suppression_stream(docs2)) == 0
+
+
 def test_grouping_sets_empty_input_envelope(spark):
     """Flip detector for the engine envelope the q12/q13/q78 HAVING
     guards bridge: Spark grouping-sets over empty input emit 0 rows,
