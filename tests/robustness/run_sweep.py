@@ -279,12 +279,17 @@ def main(
         verdict += (
             f" + {len(sampled)} SAMPLED(1/{SAMPLE_MOD}) {sorted(sampled)}"
         )
+    env_path = os.path.join(sfdir, "envelopes.json")
     if envelopes:
         verdict += f" + {len(envelopes)} ENVELOPE {sorted(envelopes)}"
         import json
 
-        with open(os.path.join(sfdir, "envelopes.json"), "w") as fh:
+        with open(env_path, "w") as fh:
             json.dump({"tag": tag, "envelopes": sorted(envelopes)}, fh)
+    elif os.path.exists(env_path) and not only:
+        # a clean full sweep supersedes a stale sidecar from an
+        # earlier run against the same persisted fixture dir
+        os.remove(env_path)
     print(
         f"RESULT seed={seed} scale={scale:g} axis={axis}: {verdict} "
         f"({time.time() - t0:.0f}s, {len(qs)} queries)"
