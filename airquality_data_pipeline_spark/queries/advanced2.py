@@ -2959,13 +2959,17 @@ def q175_ks_test(spark, sf_dir):
         F.sum("bx").cast("long").alias("nb"),
     )
     j = walk.crossJoin(F.broadcast(tot))
+    # try_divide: a one-source corpus (single_row axis) has no second
+    # sample (nb = 0) — DuckDB's /0 is NULL, ANSI / throws
     diff = F.abs(
-        F.col("ca").cast("double") / F.col("na")
-        - F.col("cb").cast("double") / F.col("nb")
+        F.try_divide(F.col("ca").cast("double"), F.col("na"))
+        - F.try_divide(F.col("cb").cast("double"), F.col("nb"))
     )
     thresh = 1.63 * F.sqrt(
-        (F.col("na") + F.col("nb")).cast("double")
-        / (F.col("na") * F.col("nb"))
+        F.try_divide(
+            (F.col("na") + F.col("nb")).cast("double"),
+            F.col("na") * F.col("nb"),
+        )
     )
     return j.groupBy("na", "nb").agg(
         roundq(F.max(diff)).alias("ks_stat"),
@@ -3189,9 +3193,13 @@ def q178_embedding_dim_stats(spark, sf_dir):
         ).alias("sxx"),
     )
     mean = F.col("sx") / F.col("n")
+    # try_divide: a single-vector corpus (single_row axis) has n = 1
+    # per dim — the sample-variance denominator is 0; DuckDB /0 = NULL
     std = F.sqrt(
-        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-        / (F.col("n") - 1)
+        F.try_divide(
+            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+            (F.col("n") - 1).cast("double"),
+        )
     )
     return s.select(
         "dim",

@@ -1000,11 +1000,13 @@ def q200_ols_two_feature(spark, sf_dir):
         - s1 * (s1 * s2y - s1y * s2)
         + sy * (s1 * s12 - s11 * s2)
     )
+    # try_divide: one observation (single_row axis) makes the normal
+    # equations singular (det = 0); DuckDB's /0 is NULL, ANSI / throws
     return m.select(
         n.cast("long").alias("n"),
-        roundq(d0 / det).alias("beta0"),
-        roundq(d1 / det).alias("beta1"),
-        roundq(d2 / det).alias("beta2"),
+        roundq(F.try_divide(d0, det)).alias("beta0"),
+        roundq(F.try_divide(d1, det)).alias("beta1"),
+        roundq(F.try_divide(d2, det)).alias("beta2"),
     )
 
 

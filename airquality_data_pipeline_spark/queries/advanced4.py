@@ -1288,10 +1288,13 @@ def q222_poisson_bootstrap(spark, sf_dir):
         .otherwise(6)
     )
     weighted = reps.select("rep", "y", w.alias("w"))
+    # try_divide: with one user (single_row axis) a replicate whose
+    # only Poisson weight is 0 has sum(w) = 0 — its mean is NULL on
+    # both engines (and both percentile implementations skip NULLs)
     rep_means = weighted.groupBy("rep").agg(
-        (
-            F.sum(dec(F.col("w") * F.col("y"), 6)).cast("double")
-            / F.sum("w")
+        F.try_divide(
+            F.sum(dec(F.col("w") * F.col("y"), 6)).cast("double"),
+            F.sum("w"),
         ).alias("m")
     )
     est = per_user.agg(

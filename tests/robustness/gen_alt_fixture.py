@@ -151,6 +151,13 @@ def generate(
         normally then sliced to 0 rows, so schemas stay byte-
         identical to the populated fixture (no empty-array type
         inference hazards).
+      - "single_row" (r11): each fact/corpus table has exactly ONE
+        row — the boundary sibling of empty_relation. Stresses n = 1
+        statistics (stddev_samp/var_samp/corr/regr over one sample
+        must NULL identically), lag/lead/first/last over a single
+        row, self-joins that find no partner, windows containing one
+        event, and every (n - 1)-style denominator. Same
+        schema-preserving slice mechanism as empty_relation.
       - "null_text" (r10, second null wave): NULLs in the corpus
         columns — documents.text 10% (with n_chars NULL on the same
         rows, keeping the n_chars = len(text) invariant vacuous
@@ -176,6 +183,7 @@ def generate(
         "all_ties", "single_lang", "constant_ts", "hot_key",
         "negative_mass", "null_mass", "null_text", "ancient_ts",
         "unicode_text", "no_purchases", "far_future", "empty_relation",
+        "single_row",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
@@ -203,6 +211,8 @@ def generate(
     def write(name: str, table: pa.Table) -> None:
         if "empty_relation" in axes and name in _EMPTY:
             table = table.slice(0, 0)
+        elif "single_row" in axes and name in _EMPTY:
+            table = table.slice(0, 1)
         pq.write_table(table, os.path.join(outdir, name + ".parquet"))
 
     # --- region / nation (fixed shape, same key domains as TPC-H-ish)

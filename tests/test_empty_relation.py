@@ -119,6 +119,60 @@ def test_streaming_jobs_survive_empty_sources(spark, empty_dir):
     assert drain(jobs.neardup_suppression_stream(docs2)) == 0
 
 
+SINGLE_ROW_QUERIES = [
+    # n = 1 ANSI DIVIDE_BY_ZERO crashes caught by the single_row axis
+    # (r11): q175 one-sample KS (nb = 0), q178 sample variance over
+    # one vector (n - 1 = 0), q200 singular normal equations
+    # (det = 0), q222 zero-weight Poisson replicate (sum(w) = 0) —
+    # all try_divide now, NULL like the oracle's /0.
+    "q175_ks_test",
+    "q178_embedding_dim_stats",
+    "q200_ols_two_feature",
+    "q222_poisson_bootstrap",
+]
+
+
+@pytest.fixture(scope="module")
+def single_row_dir(tmp_path_factory):
+    from tests.robustness.gen_alt_fixture import generate
+
+    out = str(tmp_path_factory.mktemp("single_row"))
+    generate(out, seed=13, scale=1.0, axis="single_row")
+    return out
+
+
+@pytest.fixture(scope="module")
+def single_row_duck(single_row_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{single_row_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_single_row_fixture_shape(single_row_duck):
+    for t in EMPTY_TABLES:
+        assert single_row_duck.execute(
+            f"SELECT count(*) FROM {t}"
+        ).fetchone()[0] == 1, t
+
+
+@pytest.mark.parametrize("name", SINGLE_ROW_QUERIES)
+def test_single_row_parity(name, spark, single_row_dir, single_row_duck):
+    df = QUERIES[name](spark, single_row_dir)
+    df.collect()  # raised DIVIDE_BY_ZERO before the fix
+    probs = compare(df, single_row_duck, ORACLE[name])
+    assert not probs, probs
+
+
 def test_grouping_sets_empty_input_envelope(spark):
     """Flip detector for the engine envelope the q12/q13/q78 HAVING
     guards bridge: Spark grouping-sets over empty input emit 0 rows,
