@@ -192,6 +192,49 @@ def test_neardup_stream_excludes_null_text(spark, null_text_dir):
     assert len(sigs) == n_distinct
 
 
+def test_pre1970_shifted_sessions_match_batch(spark, ancient_dir):
+    """Session windows under time_shifted: gap-merge is relative (no
+    epoch alignment), so the unshifted session bounds must equal the
+    batch session_window twin exactly — except sessions still open at
+    the final watermark (append mode), which the batch side filters
+    the same way the tumbling test filters unclosed windows."""
+    import datetime
+
+    utc(spark)
+    got = _drain(spark, jobs.time_shifted(
+        jobs.read_events_stream(spark, ancient_dir),
+        jobs.session_aggregation,
+        time_cols=["session_start", "session_end"],
+    ))
+    batch = (
+        table(spark, ancient_dir, "events")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    max_ts = table(spark, ancient_dir, "events").agg(
+        F.max("ts")
+    ).collect()[0][0]
+    wm = max_ts - datetime.timedelta(minutes=30)
+    got_rows = {
+        (r.session_start, r.session_end, r.user_id):
+        (r.n_events, r.sum_value)
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r.w.start, r.w.end, r.user_id): (r.n_events, r.sum_value)
+        for r in batch.collect()
+        if r.w.end <= wm
+    }
+    assert got_rows == batch_rows
+    assert got_rows
+    assert all(k[0].year < 1970 for k in got_rows)
+
+
 def test_post1970_streams_unaffected_by_null_mass(spark, tmp_path_factory):
     """null_mass (NULL metric values, 2024 timestamps) must flow
     through the watermarked aggregations: sum skips NULLs identically
