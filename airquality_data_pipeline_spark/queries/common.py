@@ -105,8 +105,54 @@ def utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+_INF = float("inf")
+
+
+def finite(col: Column | str) -> Column:
+    """NULL out non-finite doubles (NaN, ±inf) before an exact
+    accumulation grid. At 100 TB NaN/inf WILL appear in metric
+    columns, and the two engines' exact-decimal paths diverge on them
+    (probed r11, converted r12): Spark floor(NaN*1e6+0.5)->BIGINT
+    silently yields 0 and ±inf clamps to ±Long.MAX, while DuckDB's
+    DECIMAL/HUGEINT casts raise. The repo convention is NON-FINITE =
+    NULL at every grid entry point: aggregates skip them like NULLs,
+    identically on both engines.
+
+    Spark's own double->DECIMAL cast already returns NULL for
+    non-finite input (pinned in tests/test_nonfinite.py), so dec()
+    needs no wrap; this helper exists for the floor-grid path (decq)
+    and for hand-built expressions feeding exact accumulations.
+
+    The cast-to-double inside the probe is detection-only (the
+    original column value is what passes through), so non-double
+    inputs (DECIMAL, BIGINT) are safe: they can never probe true.
+
+    SQL twin: sql_finite(); oracle SQL gets the wrap mechanically via
+    registry-time rewriting (nonfinite_null_sql)."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("double")
+    return F.when(
+        F.isnan(d) | (F.abs(d) == F.lit(_INF)), F.lit(None)
+    ).otherwise(c)
+
+
+def sql_finite(expr: str) -> str:
+    """DuckDB twin of finite(): CASE-NULL on non-finite. isfinite(NULL)
+    is NULL, so NULL input falls through to NULL output like Spark's
+    when/otherwise. The spelling is the marker nonfinite_null_sql()
+    uses to stay idempotent — keep them in sync."""
+    return (
+        f"CASE WHEN isfinite(CAST(({expr}) AS DOUBLE)) "
+        f"THEN ({expr}) END"
+    )
+
+
 def dec(col: Column | str, scale: int = 6) -> Column:
-    """Per-value decimal quantization before an order-dependent aggregate."""
+    """Per-value decimal quantization before an order-dependent
+    aggregate. Non-finite input yields NULL (Spark's native
+    double->DECIMAL cast semantics, even under ANSI — pinned in
+    tests/test_nonfinite.py), matching the finite()/sql_finite()
+    convention without a per-row probe in the hottest path."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal(18,{scale})")
 
@@ -129,9 +175,14 @@ def decq(col: Column | str, scale: int = 6) -> Column:
 
     SQL twin: sql_decq(). Callers divide the summed integer by
     10^scale at the end (one shared float op; VARCHAR-hop the decimal
-    sum on the DuckDB side per the >17-digit rule)."""
+    sum on the DuckDB side per the >17-digit rule).
+
+    Non-finite input is NULLed first (finite()): unguarded, Spark's
+    floor would silently emit 0 for NaN and clamp ±inf to ±Long.MAX
+    while DuckDB's HUGEINT cast raises — the r12 non-finite
+    conversion."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast(
+    return F.floor(finite(c) * F.lit(float(10**scale)) + F.lit(0.5)).cast(
         "decimal(38,0)"
     )
 
@@ -207,23 +258,173 @@ def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
 
 
 def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
-    """Order-independent double AVG: decimal sum -> double, / count."""
+    """Order-independent double AVG: decimal sum -> double, / count.
+
+    The denominator counts the DECIMAL-cast value, not the raw column:
+    non-finite input becomes NULL under the grid convention (finite()),
+    and an average whose sum skips NaN but whose count includes it
+    would be a silent lie. All-non-finite groups yield NULL/0 -> NULL
+    identically on both engines (probed: no ANSI divide error — the
+    NULL numerator short-circuits)."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(dec(c, scale)).cast("double") / F.count(c)
+        F.sum(dec(c, scale)).cast("double") / F.count(dec(c, scale))
     ).alias(alias)
 
 
-# SQL-side twins (DuckDB): keep these in sync with the column helpers above.
+# SQL-side twins (DuckDB): keep these in sync with the column helpers
+# above. The DECIMAL casts rendered here are finite-wrapped MECHANICALLY
+# at registration (registry.py applies nonfinite_null_sql to every
+# oracle), so these stay readable and cannot drift from the convention.
 def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    # COUNT of the DECIMAL-cast value: finite-consistent with the sum
+    # (see davg) once registration wraps both casts.
     return (
         f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f" / COUNT(CAST({expr} AS DECIMAL(18,{scale}))) AS {alias}"
     )
+
+
+_FINITE_MARK = "CASE WHEN ISFINITE("
+
+
+def _already_finite(expr: str) -> bool:
+    return expr.lstrip().upper().startswith(_FINITE_MARK)
+
+
+def _scan_cast_span(sql: str, start: int) -> int:
+    """Index just past the ')' closing the '(' at sql[start], skipping
+    single-quoted strings ('' = escaped quote) and -- comments."""
+    depth = 0
+    i = start
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parens in SQL cast at {start}: {sql[start:start+80]!r}")
+
+
+def _top_level_as(content: str) -> int:
+    """Offset of the last top-level ' AS ' keyword in a CAST body."""
+    depth = 0
+    i = 0
+    n = len(content)
+    last = -1
+    while i < n:
+        ch = content[i]
+        if ch == "'":
+            i += 1
+            while i < n and content[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and content[i : i + 2].upper() == "AS"
+            and (i == 0 or not (content[i - 1].isalnum() or content[i - 1] == "_"))
+            and (
+                i + 2 >= n
+                or not (content[i + 2].isalnum() or content[i + 2] == "_")
+            )
+        ):
+            last = i
+        i += 1
+    return last
+
+
+def nonfinite_null_sql(sql: str) -> str:
+    """Mechanically enforce the non-finite-as-NULL grid convention on
+    oracle SQL: every ``CAST(<e> AS DECIMAL...)`` becomes
+    ``CAST(<sql_finite(e)> AS DECIMAL...)`` and every floor-grid
+    ``CAST(floor(<e>) AS HUGEINT)`` wraps floor's argument — DuckDB
+    RAISES on casting NaN/±inf to DECIMAL/HUGEINT where Spark's twin
+    paths yield NULL under the same convention (finite()/dec()/decq()).
+
+    Applied ONCE, centrally, at registration (registry.register), so
+    the ~150 hand-written decimal-cast oracle sites cannot drift from
+    the convention and future queries inherit it for free — the same
+    one-place principle as sql_floor_ms (r10 ADVICE). Idempotent:
+    already-wrapped expressions (the sql_finite spelling) are left
+    alone, pinned by tools/audit_nonfinite.py and
+    tests/test_nonfinite.py."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(sql[i:j])
+            i = j
+            continue
+        if (
+            sql[i : i + 4].upper() == "CAST"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+        ):
+            j = i + 4
+            while j < n and sql[j].isspace():
+                j += 1
+            if j < n and sql[j] == "(":
+                end = _scan_cast_span(sql, j)
+                content = sql[j + 1 : end - 1]
+                as_pos = _top_level_as(content)
+                if as_pos >= 0:
+                    expr = nonfinite_null_sql(content[:as_pos].rstrip())
+                    target = content[as_pos + 2 :].strip()
+                    tgt_u = target.upper()
+                    if tgt_u.startswith("DECIMAL") and not _already_finite(expr):
+                        expr = sql_finite(expr)
+                    elif tgt_u.startswith("HUGEINT"):
+                        es = expr.strip()
+                        if es[:6].lower() == "floor(" and _scan_cast_span(
+                            es, 5
+                        ) == len(es):
+                            arg = es[6:-1]
+                            if not _already_finite(arg):
+                                expr = f"floor({sql_finite(arg)})"
+                    out.append(f"CAST({expr} AS {target})")
+                    i = end
+                    continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def sql_floor_ms(expr: str) -> str:

@@ -18,12 +18,23 @@ ORACLE: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a builder (and optionally its oracle SQL) to the
-    catalog. oracle=None => driver runs the weaker rows-only check."""
+    catalog. oracle=None => driver runs the weaker rows-only check.
+
+    Oracle SQL is passed through nonfinite_null_sql() here — ONCE,
+    centrally — so every DECIMAL/floor-grid cast in every oracle
+    (hand-written or helper-rendered) enforces the non-finite-as-NULL
+    grid convention (queries/common.py docstring). DuckDB raises on
+    CAST(NaN AS DECIMAL) where Spark's twin paths yield NULL; wrapping
+    at registration means the ~150 hand sites cannot drift and new
+    queries inherit the convention for free."""
+    from airquality_data_pipeline_spark.queries.common import (
+        nonfinite_null_sql,
+    )
 
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLE[name] = oracle
+            ORACLE[name] = nonfinite_null_sql(oracle)
         return fn
 
     return deco

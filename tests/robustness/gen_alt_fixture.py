@@ -158,6 +158,22 @@ def generate(
         row, self-joins that find no partner, windows containing one
         event, and every (n - 1)-style denominator. Same
         schema-preserving slice mechanism as empty_relation.
+      - "nonfinite_values" (r12, lands with the non-finite-as-NULL
+        grid conversion): NaN/±inf planted in the generic metric
+        columns — events.value, c_acctbal, s_acctbal, o_totalprice,
+        l_extendedprice get ~10% NaN + 3% +inf + 3% -inf each
+        (independent draw, applied after every other axis's value
+        choice and before null_mass's mask, so the axes compose).
+        At 100 TB non-finite doubles WILL appear; the engines'
+        exact-decimal grids diverge on them (Spark floor(NaN*1e6+.5)
+        silently yields 0 and ±inf clamps to ±Long.MAX; DuckDB
+        RAISES casting non-finite to DECIMAL/HUGEINT). The repo
+        convention is non-finite = NULL at every grid entry point
+        (queries/common.py finite()/nonfinite_null_sql); this axis
+        is its catalog-wide enforcement. Comparison semantics that
+        already AGREE cross-engine (NaN==NaN in grouping, NaN sorts
+        last, NaN > any literal in predicates) are deliberately left
+        native.
       - "null_text" (r10, second null wave): NULLs in the corpus
         columns — documents.text 10% (with n_chars NULL on the same
         rows, keeping the n_chars = len(text) invariant vacuous
@@ -183,10 +199,14 @@ def generate(
         "all_ties", "single_lang", "constant_ts", "hot_key",
         "negative_mass", "null_mass", "null_text", "ancient_ts",
         "unicode_text", "no_purchases", "far_future", "empty_relation",
-        "single_row",
+        "single_row", "nonfinite_values",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
+    if {"empty_relation", "single_row"} <= axes:
+        # contradictory: a table cannot be both 0 and 1 rows; raising
+        # (like unknown axes) beats silently privileging one (r11 ADVICE)
+        raise ValueError("contradictory axes: empty_relation+single_row")
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
 
@@ -202,6 +222,21 @@ def generate(
             return pa.array(values)
         mask = rng.random(len(values)) < frac
         return pa.array(values, mask=mask)
+
+    def maybe_nonfinite(values):
+        """nonfinite_values axis: plant NaN/±inf in ~16% of a metric
+        column (10% NaN, 3% +inf, 3% -inf). Runs AFTER the other
+        axes' value choice and BEFORE nullify's mask, so
+        nonfinite_values+null_mass yields columns with nulls AND
+        non-finite values at once."""
+        if "nonfinite_values" not in axes:
+            return values
+        v = np.asarray(values, dtype="float64").copy()
+        r = rng.random(len(v))
+        v[r < 0.10] = np.nan
+        v[(r >= 0.10) & (r < 0.13)] = np.inf
+        v[(r >= 0.13) & (r < 0.16)] = -np.inf
+        return v
 
     # empty_relation axis: facts/corpus zero-row, dims populated; the
     # slice AFTER construction keeps the schema identical (direct
@@ -244,12 +279,14 @@ def generate(
         # (all_ties axis: ONE value)
         # null_mass: ~25% of balances NULL (applied on top of any axis)
         "c_acctbal": nullify(
-            np.full(n_cust, 1250.0)
-            if "all_ties" in axes
-            # negative_mass: ~90% of balances < 0
-            else np.round(rng.integers(
-                *((-180, 20) if "negative_mass" in axes else (-20, 200)),
-                n_cust) * 50.0, 2),
+            maybe_nonfinite(
+                np.full(n_cust, 1250.0)
+                if "all_ties" in axes
+                # negative_mass: ~90% of balances < 0
+                else np.round(rng.integers(
+                    *((-180, 20) if "negative_mass" in axes else (-20, 200)),
+                    n_cust) * 50.0, 2)
+            ),
             0.25,
         ),
         "c_mktsegment": pa.array(rng.choice(segs, n_cust)),
@@ -260,10 +297,10 @@ def generate(
         "s_name": pa.array([f"Supplier#{i:09d}" for i in range(1, n_supp + 1)]),
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype("int32")),
         # null_mass: ~20% NULL
-        "s_acctbal": nullify(np.round(
+        "s_acctbal": nullify(maybe_nonfinite(np.round(
             rng.uniform(-9999, -1, n_supp)
             if "negative_mass" in axes
-            else rng.uniform(-999, 9999, n_supp), 2), 0.20),
+            else rng.uniform(-999, 9999, n_supp), 2)), 0.20),
     }))
 
     brands = [f"Brand#{b}" for b in (10, 11, 12, 13, 14, 15, 21, 22, 23, 24, 25, 31, 32, 33, 34, 35)]
@@ -294,12 +331,14 @@ def generate(
         "o_orderstatus": pa.array(statuses[rng.integers(0, 3, n_ord)]),
         # null_mass: ~20% NULL
         "o_totalprice": nullify(
-            np.full(n_ord, 5000.5)
-            if "all_ties" in axes
-            # negative_mass: ~30% of order totals < 0
-            else np.round(rng.integers(
-                *((-120, 280) if "negative_mass" in axes else (1, 400)),
-                n_ord) * 77.0 + 0.5, 2),
+            maybe_nonfinite(
+                np.full(n_ord, 5000.5)
+                if "all_ties" in axes
+                # negative_mass: ~30% of order totals < 0
+                else np.round(rng.integers(
+                    *((-120, 280) if "negative_mass" in axes else (1, 400)),
+                    n_ord) * 77.0 + 0.5, 2)
+            ),
             0.20,
         ),
         "o_orderdate": pa.array(odate),
@@ -331,9 +370,11 @@ def generate(
             else rng.integers(1, 11, n_li).astype("float64")
         ),
         "l_extendedprice": pa.array(
-            np.full(n_li, 1100.0)
-            if "all_ties" in axes
-            else np.round(rng.integers(10, 1000, n_li) * 11.0, 2)
+            maybe_nonfinite(
+                np.full(n_li, 1100.0)
+                if "all_ties" in axes
+                else np.round(rng.integers(10, 1000, n_li) * 11.0, 2)
+            )
         ),
         "l_discount": pa.array(rng.integers(0, 11, n_li) / 100.0),
         "l_tax": pa.array(rng.integers(0, 9, n_li) / 100.0),
@@ -372,13 +413,15 @@ def generate(
         # null_mass: ~30% NULL (the generic metric column every stats
         # query aggregates — the axis's main stressor)
         "value": nullify(
-            np.full(n_ev, 12.5)
-            if "all_ties" in axes
-            # negative_mass: ~70% of event values < 0 (the generic
-            # metric column every stats query aggregates)
-            else np.round(rng.integers(
-                *((-14, 6) if "negative_mass" in axes else (0, 20)),
-                n_ev) * 12.5, 2),
+            maybe_nonfinite(
+                np.full(n_ev, 12.5)
+                if "all_ties" in axes
+                # negative_mass: ~70% of event values < 0 (the generic
+                # metric column every stats query aggregates)
+                else np.round(rng.integers(
+                    *((-14, 6) if "negative_mass" in axes else (0, 20)),
+                    n_ev) * 12.5, 2)
+            ),
             0.30,
         ),
         "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
