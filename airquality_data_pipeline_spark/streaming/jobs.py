@@ -197,12 +197,60 @@ def session_aggregation(
     )
 
 
+_DURATION_UNIT_S = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def duration_seconds(duration: str) -> int:
+    """Parse a Spark window/slide duration ("1 hour", "30 minutes") or a
+    bare date_trunc unit ("minute") to whole seconds. Sub-second units
+    are rejected: no day-multiple shift can align to them anyway."""
+    parts = duration.strip().lower().split()
+    if len(parts) == 1:
+        count, unit = 1, parts[0]
+    elif len(parts) == 2:
+        count, unit = int(parts[0]), parts[1]
+    else:
+        raise ValueError(f"unparseable duration {duration!r}")
+    if unit not in _DURATION_UNIT_S:
+        raise ValueError(f"unsupported duration unit in {duration!r}")
+    return count * _DURATION_UNIT_S[unit]
+
+
+def validate_alignment(days: int, durations) -> None:
+    """Enforce time_shifted's window-alignment contract at runtime.
+
+    Tumbling/sliding windows and date_trunc buckets align to epoch
+    multiples of their size/slide, so shift-then-unshift round-trips
+    iff the shift interval (``days`` exact 86400 s days) is a multiple
+    of every window size, slide, and truncation unit the wrapped job
+    uses. A violation would silently emit WRONG window bounds; raising
+    here turns it into an error (r11 verdict item 4).
+    """
+    shift_s = int(days) * 86400
+    for d in durations:
+        secs = duration_seconds(d)
+        if shift_s % secs:
+            raise ValueError(
+                f"time_shifted misalignment: shift of {days} days "
+                f"({shift_s} s) is not a multiple of window duration "
+                f"{d!r} ({secs} s); unshifted window bounds would not "
+                f"equal batch window bounds"
+            )
+
+
 def time_shifted(
     events: DataFrame,
     job,
     time_cols,
     days: int = 36525,
     ts_col: str = "ts",
+    window_durations=None,
 ) -> DataFrame:
     """Shift-ingest / unshift-emit adapter for PRE-1970 event time.
 
@@ -225,11 +273,17 @@ def time_shifted(
       the batch windows iff 86400 s is a multiple of every window
       size/slide/dedup-truncation used by ``job`` (true for the
       repo's 1 h / 30 min / 1 min jobs; a 7-minute window would NOT
-      round-trip — validate before reusing).
+      round-trip). Pass the job's window sizes/slides/truncation
+      units as ``window_durations`` (e.g. ``["1 hour", "minute"]``)
+      to have the contract checked at runtime via
+      ``validate_alignment`` — a misaligned call then raises instead
+      of silently emitting wrong window bounds.
     - Relative semantics (watermark delay, session gaps, inter-event
       deltas) are shift-invariant, so lateness/eviction behave as if
       the archive were contemporary.
     """
+    if window_durations is not None:
+        validate_alignment(days, window_durations)
     itv = F.expr(f"INTERVAL {int(days)} DAYS")
     out = job(events.withColumn(ts_col, F.col(ts_col) + itv))
     for c in time_cols:

@@ -37,10 +37,14 @@ TABLES = [
 # ground truth spills 80+ GB) or on BOTH engines (q45's array-carrying
 # exact-verify join). r10 reported these as count-only ENVELOPEs; the
 # r10 VERDICT asked for measured parity instead. Mechanism: a
-# deterministic 1-in-SAMPLE_MOD id sample of the blow-up table (the
-# planted structure survives — variants/replicas are derived in-query
-# from the sampled base ids), both engines run the UNCHANGED query on
-# the sampled universe, and the strict comparator checks full values.
+# deterministic 1-in-SAMPLE_MOD id sample of the blow-up table; both
+# engines run the UNCHANGED query on the sampled universe, and the
+# strict comparator checks full values. The planted structure survives
+# the sample for different reasons per query: q229 derives its
+# dup/variant replicas IN-QUERY from the sampled base ids, while q45's
+# near-dup clusters are fixture rows whose cluster assignment is
+# independent of vec_id — a generator change that ties cluster labels
+# to vec_id would invalidate q45's sample and must update this harness.
 # Pair mass shrinks ~SAMPLE_MOD^2 (1e8 -> 1e6 at scale 100) while the
 # degenerate shape distribution is preserved, so this is measured
 # value parity at the hostile shape, not a count heuristic.
@@ -61,13 +65,22 @@ def build_sample_dir(sfdir: str) -> str:
     symlinked, so both engines see one consistent sampled universe."""
     sdir = sfdir + "_sample"
     done = os.path.join(sdir, "_DONE")
-    if os.path.exists(done):
+    sampled_tables = {t: idc for t, idc in SAMPLED_LARGE.values()}
+    # generate() rewrites the base fixture on every sweep; a _DONE
+    # marker older than any source parquet is stale (a generator change
+    # would otherwise silently pair fresh symlinked tables with old
+    # sampled ones — r11 ADVICE). Rebuild unless _DONE postdates every
+    # source table.
+    if os.path.exists(done) and all(
+        os.path.getmtime(os.path.join(sfdir, f"{t}.parquet"))
+        <= os.path.getmtime(done)
+        for t in TABLES
+    ):
         return sdir
     os.makedirs(sdir, exist_ok=True)
     import duckdb
 
     c = duckdb.connect()
-    sampled_tables = {t: idc for t, idc in SAMPLED_LARGE.values()}
     for t in TABLES:
         src = os.path.join(sfdir, f"{t}.parquet")
         dst = os.path.join(sdir, f"{t}.parquet")
@@ -175,103 +188,112 @@ def main(
     # the list lands in the RESULT line and a JSON sidecar next to the
     # fixture; record it in ROADMAP with every sweep.
     envelopes: list[str] = []
+    # per-query wall time (r11 verdict item 3): parity sweeps prove
+    # correctness but a super-linear plan completes green — record
+    # timings at every scale so an xN sweep can report growth ratios
+    # against the x1 baseline of the same seed/axis.
+    timings: dict[str, float] = {}
     t0 = time.time()
     for name in sorted(qs):
         if only and name not in only:
             continue
-        if scale >= SAMPLE_SCALE and name in SAMPLED_LARGE:
-            # Full-fixture execution is out of one box's envelope BY
-            # DESIGN of the degenerate fixture (measured r9/r10:
-            # 80-100 GB spills, then resource death); go straight to
-            # measured sampled parity instead of burning the disk to
-            # rediscover that.
-            try:
-                probs = sampled_compare(name)
-            except Exception as exc:  # noqa: BLE001
-                fails += 1
-                print(
-                    f"ERROR {name} (sampled): "
-                    f"{type(exc).__name__}: {str(exc)[:300]}"
-                )
-                continue
-            fails += bool(probs)
-            if probs:
-                print(f"FAIL {name} (sampled)", *probs, sep="\n  ")
-            else:
-                sampled.append(name)
-            print(
-                f"SAMPLED {name}: strict full-value parity on the "
-                f"1/{SAMPLE_MOD} id-sample "
-                f"({'ok' if not probs else 'MISMATCH'})"
-            )
-            continue
-        cmp_fn = compare
+        t_q = time.time()
         try:
-            df = qs[name](spark, sfdir)
-            if name in osql:
+            if scale >= SAMPLE_SCALE and name in SAMPLED_LARGE:
+                # Full-fixture execution is out of one box's envelope BY
+                # DESIGN of the degenerate fixture (measured r9/r10:
+                # 80-100 GB spills, then resource death); go straight to
+                # measured sampled parity instead of burning the disk to
+                # rediscover that.
                 try:
-                    probs = cmp_fn(df, con, osql[name])
-                except Exception as oexc:  # noqa: BLE001
-                    # Oracle-envelope: the DuckDB REFEREE exhausting
-                    # machine resources (q229's exact-Jaccard ground
-                    # truth spills ~80+ GB on the degenerate 100x
-                    # fixture) is a limit of the single-node oracle,
-                    # not an engine defect — but only if the ENGINE
-                    # side actually completes. Prove that with a
-                    # count, report loudly, and don't count a fail;
-                    # any other referee exception stays a failure.
-                    msg = str(oexc)
-                    resource = isinstance(oexc, MemoryError) or any(
-                        s in msg
-                        for s in ("No space left", "OutOfMemory",
-                                  "out of memory", "Could not allocate")
-                    )
-                    if not resource:
-                        raise
-                    # prove the engine side completes — but a
-                    # deliberately degenerate harness fixture (10
-                    # tight clusters -> ~1e8 true near-dup pairs at
-                    # scale 100) can exceed one box's disk on BOTH
-                    # engines (q45's exact-verify join spills ~100 GB
-                    # of array-carrying pair rows). Report that
-                    # honestly as an envelope too: it is a
-                    # single-machine capacity limit, not a wrong
-                    # answer, and the query has full-value parity at
-                    # every scale where either engine fits the box.
-                    try:
-                        n_engine = df.count()
-                    except Exception as eexc:  # noqa: BLE001
-                        emsg = str(eexc)
-                        if not any(
-                            s in emsg
-                            for s in ("No space left", "OutOfMemory",
-                                      "SPILL_OUT_OF_MEMORY",
-                                      "out of memory")
-                        ):
-                            raise
-                        print(
-                            f"ENVELOPE {name}: BOTH engines exceeded "
-                            f"single-box resources on the degenerate "
-                            f"fixture (duck: {msg[:120]} | spark: "
-                            f"{emsg[:120]})"
-                        )
-                        envelopes.append(name)
-                        continue
+                    probs = sampled_compare(name)
+                except Exception as exc:  # noqa: BLE001
+                    fails += 1
                     print(
-                        f"ENVELOPE {name}: engine completed "
-                        f"({n_engine} rows); DuckDB referee exceeded "
-                        f"machine resources: {msg[:200]}"
+                        f"ERROR {name} (sampled): "
+                        f"{type(exc).__name__}: {str(exc)[:300]}"
                     )
-                    envelopes.append(name)
                     continue
                 fails += bool(probs)
                 if probs:
-                    print(f"FAIL {name}", *probs, sep="\n  ")
-            elif df.count() == 0:
-                empties.append(name)
-        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
-            fails += 1
-            print(f"ERROR {name}: {type(exc).__name__}: {str(exc)[:300]}")
+                    print(f"FAIL {name} (sampled)", *probs, sep="\n  ")
+                else:
+                    sampled.append(name)
+                print(
+                    f"SAMPLED {name}: strict full-value parity on the "
+                    f"1/{SAMPLE_MOD} id-sample "
+                    f"({'ok' if not probs else 'MISMATCH'})"
+                )
+                continue
+            cmp_fn = compare
+            try:
+                df = qs[name](spark, sfdir)
+                if name in osql:
+                    try:
+                        probs = cmp_fn(df, con, osql[name])
+                    except Exception as oexc:  # noqa: BLE001
+                        # Oracle-envelope: the DuckDB REFEREE exhausting
+                        # machine resources (q229's exact-Jaccard ground
+                        # truth spills ~80+ GB on the degenerate 100x
+                        # fixture) is a limit of the single-node oracle,
+                        # not an engine defect — but only if the ENGINE
+                        # side actually completes. Prove that with a
+                        # count, report loudly, and don't count a fail;
+                        # any other referee exception stays a failure.
+                        msg = str(oexc)
+                        resource = isinstance(oexc, MemoryError) or any(
+                            s in msg
+                            for s in ("No space left", "OutOfMemory",
+                                      "out of memory", "Could not allocate")
+                        )
+                        if not resource:
+                            raise
+                        # prove the engine side completes — but a
+                        # deliberately degenerate harness fixture (10
+                        # tight clusters -> ~1e8 true near-dup pairs at
+                        # scale 100) can exceed one box's disk on BOTH
+                        # engines (q45's exact-verify join spills ~100 GB
+                        # of array-carrying pair rows). Report that
+                        # honestly as an envelope too: it is a
+                        # single-machine capacity limit, not a wrong
+                        # answer, and the query has full-value parity at
+                        # every scale where either engine fits the box.
+                        try:
+                            n_engine = df.count()
+                        except Exception as eexc:  # noqa: BLE001
+                            emsg = str(eexc)
+                            if not any(
+                                s in emsg
+                                for s in ("No space left", "OutOfMemory",
+                                          "SPILL_OUT_OF_MEMORY",
+                                          "out of memory")
+                            ):
+                                raise
+                            print(
+                                f"ENVELOPE {name}: BOTH engines exceeded "
+                                f"single-box resources on the degenerate "
+                                f"fixture (duck: {msg[:120]} | spark: "
+                                f"{emsg[:120]})"
+                            )
+                            envelopes.append(name)
+                            continue
+                        print(
+                            f"ENVELOPE {name}: engine completed "
+                            f"({n_engine} rows); DuckDB referee exceeded "
+                            f"machine resources: {msg[:200]}"
+                        )
+                        envelopes.append(name)
+                        continue
+                    fails += bool(probs)
+                    if probs:
+                        print(f"FAIL {name}", *probs, sep="\n  ")
+                elif df.count() == 0:
+                    empties.append(name)
+            except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+                fails += 1
+                print(f"ERROR {name}: {type(exc).__name__}: {str(exc)[:300]}")
+        finally:
+            timings[name] = round(time.time() - t_q, 3)
     if empties:
         print("ROWS-ONLY EMPTIES:", empties)
     verdict = "ALL MATCH" if fails == 0 else f"{fails} FAILURES"
@@ -286,15 +308,76 @@ def main(
 
         with open(env_path, "w") as fh:
             json.dump({"tag": tag, "envelopes": sorted(envelopes)}, fh)
-    elif os.path.exists(env_path) and not only:
-        # a clean full sweep supersedes a stale sidecar from an
+    elif os.path.exists(env_path) and not only and fails == 0:
+        # a CLEAN full sweep (no envelopes AND no failures — a query
+        # erroring before the envelope path proves nothing about its
+        # envelope, r11 ADVICE) supersedes a stale sidecar from an
         # earlier run against the same persisted fixture dir
         os.remove(env_path)
+    if not only:
+        # persist the full-sweep timings so scaled sweeps of the same
+        # seed/axis can report growth (partial --only runs would desync
+        # the baseline, so they don't overwrite it)
+        import json
+
+        with open(os.path.join(sfdir, "timings.json"), "w") as fh:
+            json.dump({"tag": tag, "scale": scale, "timings": timings}, fh)
+    report = scaling_report(timings, set(sampled), seed, scale, axis)
+    if report is not None:
+        verdict += (
+            f" | SCALING vs x1: median={report['median']:.2f}x "
+            f"flagged(> {report['threshold']:.2f}x)={report['flagged']}"
+        )
+        print(
+            "SCALING top-10 growth ratios (xN wall / x1 wall, "
+            "sampled-path queries excluded):"
+        )
+        for n, r in report["top10"]:
+            print(f"  {r:6.2f}x  {n}")
     print(
         f"RESULT seed={seed} scale={scale:g} axis={axis}: {verdict} "
         f"({time.time() - t0:.0f}s, {len(qs)} queries)"
     )
     return fails
+
+
+def scaling_report(timings, sampled, seed, scale, axis):
+    """Per-query wall-time growth vs the x1 baseline sweep (r11 verdict
+    item 3): the scaled sweeps prove PARITY, but a super-linear plan
+    completes green and goes unnoticed. When an x1 timings.json exists
+    for the same seed/axis, normalize each query's wall time to its x1
+    baseline and flag anything growing faster than 1.5x the median
+    ratio. Queries on the sampled-parity path are excluded (they ran on
+    a 1/SAMPLE_MOD universe, so their ratio is not comparable), as are
+    queries under 0.1 s at x1 (fixed-overhead noise amplifies)."""
+    if scale <= 1:
+        return None
+    base_tag = f"seed{seed}_x1" + (f"_{axis}" if axis else "")
+    base_path = os.path.join(
+        tempfile.gettempdir(), "testdata_alt", base_tag, "timings.json"
+    )
+    if not os.path.exists(base_path):
+        return None
+    import json
+
+    with open(base_path) as fh:
+        base = json.load(fh)["timings"]
+    ratios = {
+        n: t / base[n]
+        for n, t in timings.items()
+        if n in base and base[n] >= 0.1 and n not in sampled
+    }
+    if not ratios:
+        return None
+    ordered = sorted(ratios.values())
+    median = ordered[len(ordered) // 2]
+    threshold = 1.5 * median
+    return {
+        "median": median,
+        "threshold": threshold,
+        "top10": sorted(ratios.items(), key=lambda kv: -kv[1])[:10],
+        "flagged": sorted(n for n, r in ratios.items() if r > threshold),
+    }
 
 
 if __name__ == "__main__":

@@ -34,6 +34,21 @@ from airquality_data_pipeline_spark.streaming import jobs
 from tests.robustness.gen_alt_fixture import generate
 
 
+def _assert_counts_exact_sums_close(got_rows, batch_rows):
+    """n_events must be exact; sum_value compared with a tiny relative
+    tolerance — Spark does not guarantee the same double-sum fold order
+    between a streaming plan and its batch twin, so bit-exact equality
+    is a latent flake (r11 ADVICE)."""
+    assert set(got_rows) == set(batch_rows)
+    for k, (n_got, s_got) in got_rows.items():
+        n_batch, s_batch = batch_rows[k]
+        assert n_got == n_batch, k
+        if s_got is None or s_batch is None:
+            assert s_got == s_batch, k
+        else:
+            assert s_got == pytest.approx(s_batch, rel=1e-9, abs=1e-9), k
+
+
 def _drain(spark, df, mode="append"):
     name = f"t_{uuid.uuid4().hex[:8]}"
     jobs.run_to_memory(df, name, output_mode=mode)
@@ -89,6 +104,7 @@ def test_pre1970_shifted_tumbling_matches_batch(spark, ancient_dir):
         jobs.read_events_stream(spark, ancient_dir),
         jobs.tumbling_counts,
         time_cols=["window_start", "window_end"],
+        window_durations=["1 hour"],
     ))
     batch = (
         table(spark, ancient_dir, "events")
@@ -118,7 +134,7 @@ def test_pre1970_shifted_tumbling_matches_batch(spark, ancient_dir):
     ).collect()[0][0]
     wm = max_ts - datetime.timedelta(minutes=30)
     closed = {k: v for k, v in batch_rows.items() if k[1] <= wm}
-    assert got_rows == closed
+    _assert_counts_exact_sums_close(got_rows, closed)
     assert got_rows  # non-vacuous
     # emitted windows really are pre-1970 after the unshift
     assert all(k[0].year < 1970 for k in got_rows)
@@ -130,6 +146,7 @@ def test_pre1970_shifted_dedup_matches_batch(spark, ancient_dir):
         jobs.read_events_stream(spark, ancient_dir),
         jobs.watermark_dedup,
         time_cols=["ts", "minute"],
+        window_durations=["minute"],
     ))
     batch_keys = (
         table(spark, ancient_dir, "events")
@@ -230,7 +247,7 @@ def test_pre1970_shifted_sessions_match_batch(spark, ancient_dir):
         for r in batch.collect()
         if r.w.end <= wm
     }
-    assert got_rows == batch_rows
+    _assert_counts_exact_sums_close(got_rows, batch_rows)
     assert got_rows
     assert all(k[0].year < 1970 for k in got_rows)
 
@@ -262,5 +279,45 @@ def test_post1970_streams_unaffected_by_null_mass(spark, tmp_path_factory):
         for r in batch.collect()
     }
     assert got_rows  # closed windows exist
-    for k, v in got_rows.items():
-        assert batch_rows[k] == v
+    closed = {k: batch_rows[k] for k in got_rows}
+    _assert_counts_exact_sums_close(got_rows, closed)
+
+
+def test_time_shifted_misaligned_window_raises(spark, ancient_dir):
+    """The alignment contract is now runtime-enforced (r11 verdict
+    item 4): a 7-minute tumbling window does not divide the whole-day
+    shift interval, so unshifted window bounds would be WRONG —
+    time_shifted must raise, not silently emit them."""
+    def seven_minute_counts(events):
+        return events.withWatermark("ts", "30 minutes").groupBy(
+            F.window("ts", "7 minutes").alias("w")
+        ).count()
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        jobs.time_shifted(
+            jobs.read_events_stream(spark, ancient_dir),
+            seven_minute_counts,
+            time_cols=["w"],
+            window_durations=["7 minutes"],
+        )
+
+
+def test_validate_alignment_contract():
+    """Unit pins for the shared helper: day-multiple durations pass,
+    non-divisors raise, bare date_trunc units parse, junk rejects."""
+    jobs.validate_alignment(36525, ["1 hour", "30 minutes", "minute",
+                                    "1 day", "90 seconds"])
+    jobs.validate_alignment(14, ["2 weeks"])
+    with pytest.raises(ValueError, match="not a multiple"):
+        jobs.validate_alignment(36525, ["7 minutes"])
+    with pytest.raises(ValueError, match="not a multiple"):
+        # a week count that does not divide the default shift
+        jobs.validate_alignment(36525, ["2 weeks"])
+    with pytest.raises(ValueError, match="not a multiple"):
+        jobs.validate_alignment(36525, ["1 hour", "11 seconds"])
+    with pytest.raises(ValueError, match="unsupported duration unit"):
+        jobs.validate_alignment(1, ["500 milliseconds"])
+    with pytest.raises(ValueError, match="unparseable"):
+        jobs.validate_alignment(1, ["1 hour 30 minutes"])
+    assert jobs.duration_seconds("minute") == 60
+    assert jobs.duration_seconds("2 Hours") == 7200
