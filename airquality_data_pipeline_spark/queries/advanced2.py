@@ -24,7 +24,9 @@ from airquality_data_pipeline_spark.operators.dedup import shingle_array
 from airquality_data_pipeline_spark.queries.common import (
     dec,
     decq,
+    finite,
     roundq,
+    sql_finite,
     sql_floor_ms,
     sql_roundq,
     table,
@@ -212,13 +214,18 @@ def q144_mixture_reweight(spark, sf_dir):
 @register(
     "q145_mad_outliers",
     oracle="""
-    WITH med AS (
-      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    WITH ev AS (
+      -- non-finite = NULL at entry (finite()/sql_finite convention):
+      -- median/MAD over NaN/inf diverge cross-engine (nonfinite axis)
+      SELECT event_type, {f} AS value FROM events
+    ),
+    med AS (
+      SELECT event_type, median(value) AS med FROM ev GROUP BY 1
     ),
     mad AS (
       SELECT e.event_type, m.med,
              median(abs(e.value - m.med)) AS mad
-      FROM events e JOIN med m USING (event_type)
+      FROM ev e JOIN med m USING (event_type)
       GROUP BY 1, 2
     )
     SELECT e.event_type,
@@ -228,12 +235,13 @@ def q144_mixture_reweight(spark, sf_dir):
            CAST(SUM(CASE WHEN 0.6745 * abs(e.value - x.med) > 3.5 * x.mad
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            {maxz_rq} AS max_abs_z
-    FROM events e JOIN mad x USING (event_type)
+    FROM ev e JOIN mad x USING (event_type)
     GROUP BY e.event_type, x.med, x.mad
     """.format(
         # medians of grid-heavy values are midpoint rationals; the
         # modified z is a rational ratio: guarded floor grid, not
         # round() (r10 q225 class)
+        f=sql_finite("value"),
         med_rq=sql_roundq("x.med"),
         mad_rq=sql_roundq("x.mad"),
         maxz_rq=sql_roundq("max(0.6745 * abs(e.value - x.med)) / x.mad"),
@@ -241,7 +249,9 @@ def q144_mixture_reweight(spark, sf_dir):
 )
 def q145_mad_outliers(spark, sf_dir):
     utc(spark)
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", finite(F.col("value")).alias("value")
+    )
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     j = ev.join(F.broadcast(med), "event_type")
     mad = j.groupBy("event_type", "med").agg(
@@ -902,9 +912,13 @@ def q153_stratified_kfold(spark, sf_dir):
     "q154_winsorized_scaling",
     oracle="""
     WITH p AS (
+      -- percentiles over FINITE values only (sql_finite): Spark's
+      -- percentile and DuckDB's quantile_cont disagree on NaN/inf
+      -- input (nonfinite axis); the clip comparisons downstream are
+      -- deliberately native — NaN/inf ordering agrees cross-engine
       SELECT event_type,
-             quantile_cont(value, 0.05) AS p05,
-             quantile_cont(value, 0.95) AS p95
+             quantile_cont({f}, 0.05) AS p05,
+             quantile_cont({f}, 0.95) AS p95
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
@@ -923,6 +937,7 @@ def q153_stratified_kfold(spark, sf_dir):
         # mean-of-decimals are small-denominator rationals on the 1e-6
         # grid — plain round() ties at .5 boundaries cross-engine (the
         # r10 hot_key+all_ties x30 q225 catch generalized)
+        f=sql_finite("value"),
         p05_rq=sql_roundq("p.p05"),
         p95_rq=sql_roundq("p.p95"),
         mean_rq=sql_roundq(
@@ -934,9 +949,10 @@ def q153_stratified_kfold(spark, sf_dir):
 def q154_winsorized_scaling(spark, sf_dir):
     utc(spark)
     ev = table(spark, sf_dir, "events").select("event_type", "value")
+    fv = finite(F.col("value"))
     p = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p05"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.percentile(fv, F.lit(0.05)).alias("p05"),
+        F.percentile(fv, F.lit(0.95)).alias("p95"),
     )
     j = ev.join(F.broadcast(p), "event_type")
     clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
@@ -3570,9 +3586,12 @@ _BENFORD = {
     "q183_benford_audit",
     oracle="""
     WITH d AS (
+      -- finite prices only (sql_finite): NaN/inf >= 1 is TRUE on both
+      -- engines, then DuckDB's BIGINT cast raises (nonfinite axis);
+      -- a non-finite amount has no leading digit — excluded like NULL
       SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
                                  AS VARCHAR), 1, 1) AS BIGINT) AS digit
-      FROM orders WHERE o_totalprice >= 1
+      FROM orders WHERE {f} >= 1
     ),
     obs AS (
       SELECT digit, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY digit
@@ -3592,6 +3611,7 @@ _BENFORD = {
     """.format(
         # p*n*1000 (p a 6-dp constant) and the k/n share are rationals
         # with .5 boundaries: guarded floor grid (r10 q225 class)
+        f=sql_finite("o_totalprice"),
         exp_milli_rq=sql_roundq("CAST(exp.p AS DOUBLE) * tot.n * 1000", 0),
         share_rq=sql_roundq("CAST(obs.o AS DOUBLE) / tot.n"),
         chi2_rq=sql_roundq(
@@ -3608,7 +3628,15 @@ def q183_benford_audit(spark, sf_dir):
         F.floor("o_totalprice").cast("long").cast("string"), 1, 1
     ).cast("long")
     obs = (
-        o.where(F.col("o_totalprice") >= 1)
+        # finite(x) >= 1: NULL for NaN/inf -> row excluded, like the
+        # oracle's sql_finite guard (non-finite has no leading digit).
+        # The bare x >= 1 conjunct is subsumed by it (NaN/inf >= 1 is
+        # true, -inf fails both) but parquet-PUSHABLE, keeping min/max
+        # row-group skipping at 100 TB.
+        o.where(
+            (F.col("o_totalprice") >= 1)
+            & (finite(F.col("o_totalprice")) >= 1)
+        )
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("o"))
     )

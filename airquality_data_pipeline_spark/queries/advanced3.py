@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    finite,
     roundq,
+    sql_finite,
     sql_floor_ms,
     sql_roundq,
     table,
@@ -52,7 +54,11 @@ from airquality_data_pipeline_spark.queries.registry import register
       SELECT CAST({s_rq} AS BIGINT) AS s,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
       FROM events
-      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      -- isfinite (NULL-propagating) excludes NULL AND NaN/inf scores:
+      -- a non-finite score can't be ranked (nonfinite axis; grid cast
+      -- of NaN raises on both engines)
+      WHERE event_type IN ('purchase', 'click')
+        AND isfinite(CAST(value AS DOUBLE))
     ),
     g AS (
       SELECT s, CAST(SUM(pos) AS BIGINT) AS np_,
@@ -83,12 +89,18 @@ from airquality_data_pipeline_spark.queries.registry import register
 )
 def q190_roc_auc(spark, sf_dir):
     utc(spark)
-    # unscored rows can't be ranked — excluded on BOTH engines; an
-    # unfiltered NULL score group sorts first in Spark's running-sum
-    # window but last in DuckDB's, shifting `below` (null_mass axis)
+    # unscored (NULL) and unrankable (NaN/inf) rows are excluded on
+    # BOTH engines: an unfiltered NULL score group sorts first in
+    # Spark's running-sum window but last in DuckDB's (null_mass
+    # axis), and the grid cast of a non-finite score raises on both
+    # (nonfinite axis) — finite(x).isNotNull() covers both classes
+    # the bare isNotNull is redundant with the finite() conjunct but
+    # parquet-PUSHABLE (the CASE probe is not): row groups with
+    # all-null value still skip via null-count stats at 100 TB
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "click")
         & F.col("value").isNotNull()
+        & finite(F.col("value")).isNotNull()
     )
     s = ev.select(
         roundq(F.col("value") * 100, 0).cast("long").alias("s"),
@@ -813,7 +825,10 @@ def q198_hierarchy_rollup(spark, sf_dir):
     "q199_calibration_bins",
     oracle="""
     WITH scored AS (
-      SELECT least(value / 500.0, 1.0) AS p,
+      -- finite scores only (sql_finite): -inf/500 floors to a bin
+      -- DuckDB can't cast (nonfinite axis). A non-finite value scores
+      -- like an existing NULL: least(NULL, 1.0) = 1.0 on both engines
+      SELECT least({f} / 500.0, 1.0) AS p,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
       FROM events
     )
@@ -826,6 +841,7 @@ def q198_hierarchy_rollup(spark, sf_dir):
     """.format(
         # all three are micro-unit / count rationals (.5-tie class):
         # guarded floor grid (r10 q225 class)
+        f=sql_finite("value"),
         pred_rq=sql_roundq(
             "CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
         ),
@@ -839,7 +855,9 @@ def q198_hierarchy_rollup(spark, sf_dir):
 def q199_calibration_bins(spark, sf_dir):
     utc(spark)
     ev = table(spark, sf_dir, "events")
-    p = F.least(F.col("value") / 500.0, F.lit(1.0))
+    # finite(): non-finite scores behave like the pre-existing NULL
+    # semantics (least skips NULL -> p = 1.0 on both engines)
+    p = F.least(finite(F.col("value")) / 500.0, F.lit(1.0))
     y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     scored = ev.select(p.alias("p"), y.alias("y"))
     b = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long")
@@ -880,10 +898,14 @@ def q199_calibration_bins(spark, sf_dir):
     "q200_ols_two_feature",
     oracle="""
     WITH fx AS (
+      -- observations with a non-finite (or NULL) response can't enter
+      -- the fit: excluded on BOTH engines (nonfinite axis; the cents
+      -- grid cast of NaN raises on both)
       SELECT CAST({x1_rq} AS BIGINT) AS x1,
              CAST({x2_rq} AS BIGINT) AS x2c,
              CAST({y_rq} AS BIGINT) AS yc
       FROM lineitem
+      WHERE isfinite(CAST(l_extendedprice AS DOUBLE))
     ),
     mi AS (
       SELECT CAST(count(*) AS BIGINT) AS ni,
@@ -950,10 +972,23 @@ def q199_calibration_bins(spark, sf_dir):
 )
 def q200_ols_two_feature(spark, sf_dir):
     utc(spark)
-    fx = table(spark, sf_dir, "lineitem").select(
-        roundq(F.col("l_quantity"), 0).cast("long").alias("x1"),
-        roundq(F.col("l_discount") * 100, 0).cast("long").alias("x2c"),
-        roundq(F.col("l_extendedprice") * 100, 0).cast("long").alias("yc"),
+    # non-finite/NULL response rows are excluded from the fit on both
+    # engines (finite().isNotNull() twin of the oracle's isfinite)
+    # bare isNotNull first: redundant with finite() but parquet-
+    # pushable, keeping null-count row-group skipping at 100 TB
+    fx = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_extendedprice").isNotNull()
+            & finite(F.col("l_extendedprice")).isNotNull()
+        )
+        .select(
+            roundq(F.col("l_quantity"), 0).cast("long").alias("x1"),
+            roundq(F.col("l_discount") * 100, 0).cast("long").alias("x2c"),
+            roundq(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("yc"),
+        )
     )
     mi = fx.agg(
         F.count(F.lit(1)).alias("ni"),

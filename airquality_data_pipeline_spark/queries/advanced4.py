@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    finite,
     roundq,
+    sql_finite,
     sql_floor_ms,
     sql_roundq,
     table,
@@ -1362,8 +1364,11 @@ def q222_poisson_bootstrap(spark, sf_dir):
     FROM cell
     """.format(
         # value*100 sits ON half-cent boundaries when value carries a
-        # third decimal: guarded floor grid at scale 0 (r10 q225 class)
-        cents_rq=sql_roundq("e.value * 100", 0),
+        # third decimal: guarded floor grid at scale 0 (r10 q225
+        # class). sql_finite: a non-finite purchase amount is NULL
+        # cents (SUM skips it) — unguarded, the BIGINT cast of NaN
+        # raises on both engines (nonfinite axis).
+        cents_rq=sql_roundq(f"{sql_finite('e.value')} * 100", 0),
     ),
 )
 def q223_cohort_ltv(spark, sf_dir):
@@ -1381,7 +1386,9 @@ def q223_cohort_ltv(spark, sf_dir):
         .select(
             "cohort_wk",
             (wk - F.col("cohort_wk")).alias("offset_wk"),
-            roundq(F.col("value") * 100, 0).cast("long").alias("cents"),
+            roundq(finite(F.col("value")) * 100, 0)
+            .cast("long")
+            .alias("cents"),
         )
     )
     cell = rev.groupBy("cohort_wk", "offset_wk").agg(
@@ -1978,9 +1985,13 @@ def q231_srm_check(spark, sf_dir):
     "q232_capping_sensitivity",
     oracle="""
     WITH caps AS (
-      SELECT quantile_cont(value, 0.90) AS p90,
-             quantile_cont(value, 0.95) AS p95,
-             quantile_cont(value, 0.99) AS p99
+      -- percentiles over FINITE values only (sql_finite): Spark's
+      -- percentile and DuckDB's quantile_cont disagree on NaN/inf
+      -- input (nonfinite axis); the capped-mean DECIMAL casts already
+      -- NULL non-finite per the grid convention
+      SELECT quantile_cont({f}, 0.90) AS p90,
+             quantile_cont({f}, 0.95) AS p95,
+             quantile_cont({f}, 0.99) AS p99
       FROM events
     )
     SELECT CAST(count(*) AS BIGINT) AS n,
@@ -1993,6 +2004,7 @@ def q231_srm_check(spark, sf_dir):
     """.format(
         # capped means are micro-unit rationals (.5-tie class):
         # guarded floor grid (r10 q225 class)
+        f=sql_finite("value"),
         raw_rq=sql_roundq(
             "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
             " / count(*)"
@@ -2014,10 +2026,11 @@ def q231_srm_check(spark, sf_dir):
 def q232_capping_sensitivity(spark, sf_dir):
     utc(spark)
     ev = table(spark, sf_dir, "events").select("value")
+    fv = finite(F.col("value"))
     caps = ev.agg(
-        F.expr("percentile(value, 0.90)").alias("p90"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.percentile(fv, F.lit(0.90)).alias("p90"),
+        F.percentile(fv, F.lit(0.95)).alias("p95"),
+        F.percentile(fv, F.lit(0.99)).alias("p99"),
     )
     j = ev.crossJoin(F.broadcast(caps))
     n = F.count(F.lit(1))

@@ -22,7 +22,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
+    finite,
     roundq,
+    sql_finite,
     sql_roundq,
     table,
     utc,
@@ -989,7 +991,7 @@ def q239_compaction_plan(spark, sf_dir):
 @register(
     "q253_zone_map_skipping",
     oracle="""
-    WITH stats AS (SELECT min(value) AS vmin, max(value) AS vmax
+    WITH stats AS (SELECT min({f}) AS vmin, max({f}) AS vmax
                    FROM events),
     assigned AS (
       SELECT value, 'random' AS layout,
@@ -999,9 +1001,13 @@ def q239_compaction_plan(spark, sf_dir):
       UNION ALL
       SELECT value, 'value_clustered' AS layout,
              -- degenerate range (all-ties axis): one zone, file 0 —
-             -- guards the /0 and avoids NULL-in-least ambiguity
+             -- guards the /0 and avoids NULL-in-least ambiguity.
+             -- sql_finite on the zone anchors AND the assignment
+             -- input: NaN/inf would poison the domain split and the
+             -- BIGINT cast raises (nonfinite axis); a non-finite row
+             -- assigns like a NULL one (least skips NULL -> file 63)
              CASE WHEN vmax > vmin
-                  THEN least(63, CAST(floor((value - vmin)
+                  THEN least(63, CAST(floor(({f} - vmin)
                                        / ((vmax - vmin) / 64.0)) AS BIGINT))
                   ELSE 0 END
       FROM events, stats
@@ -1020,6 +1026,7 @@ def q239_compaction_plan(spark, sf_dir):
     FROM zones GROUP BY 1
     """.format(
         # k/n count ratio (.5-tie class): guarded floor grid (r10 q225)
+        f=sql_finite("value"),
         skip_rq=sql_roundq(
             "CAST(SUM(CASE WHEN mx < 20 OR mn > 50 THEN cnt"
             " ELSE 0 END) AS DOUBLE) / SUM(cnt)"
@@ -1029,8 +1036,9 @@ def q239_compaction_plan(spark, sf_dir):
 def q253_zone_map_skipping(spark, sf_dir):
     utc(spark)
     ev = table(spark, sf_dir, "events").select("event_id", "value")
+    fv = finite(F.col("value"))
     stats = ev.agg(
-        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+        F.min(fv).alias("vmin"), F.max(fv).alias("vmax")
     )
     rand_file = (
         F.conv(
@@ -1050,7 +1058,7 @@ def q253_zone_map_skipping(spark, sf_dir):
             F.lit(63).cast("long"),
             F.floor(
                 F.try_divide(
-                    F.col("value") - F.col("vmin"),
+                    fv - F.col("vmin"),
                     (F.col("vmax") - F.col("vmin")) / 64.0,
                 )
             ),

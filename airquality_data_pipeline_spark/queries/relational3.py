@@ -12,7 +12,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
+    finite,
     sql_dsum,
+    sql_finite,
     sql_floor_ms,
     table,
     ts_ms,
@@ -87,7 +89,7 @@ _Q79_STATS = [
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(CAST(corr(l_extendedprice, l_quantity) AS DECIMAL(18,12)) AS DOUBLE) AS corr_qty_price,
+           CAST(CAST(corr(CASE WHEN isfinite(CAST((l_extendedprice) AS DOUBLE)) THEN (l_extendedprice) END, l_quantity) AS DECIMAL(18,12)) AS DOUBLE) AS corr_qty_price,
            CAST(CAST(stddev_samp(l_discount) AS DECIMAL(18,12)) AS DOUBLE) AS sd_disc,
            CAST(CAST(stddev_pop(l_discount) AS DECIMAL(18,12)) AS DOUBLE) AS sdp_disc,
            CAST(CAST(var_samp(l_discount) AS DECIMAL(18,12)) AS DOUBLE) AS var_disc,
@@ -111,9 +113,17 @@ def q79_stat_aggs(spark, sf_dir):
     # l_quantity), while DuckDB's corr yields NULL. The explicit form
     # is the same statistic off the degenerate case (moment drift is
     # absorbed by the DECIMAL(18,12) quantize) and NULL on it.
+    # Non-finite prices NULL out (finite(), nonfinite_values axis:
+    # DuckDB's moment accumulators RAISE on inf), and corr is a
+    # PAIRWISE statistic — every moment, including stddev_pop of the
+    # untouched side, must run over pair-complete rows or the
+    # denominator sees rows the covariance skipped.
+    fx = finite(F.col("l_extendedprice"))
+    x_pair = F.when(F.col("l_quantity").isNotNull(), fx)
+    y_pair = F.when(fx.isNotNull(), F.col("l_quantity"))
     corr = F.try_divide(
-        F.covar_pop("l_extendedprice", "l_quantity"),
-        F.stddev_pop("l_extendedprice") * F.stddev_pop("l_quantity"),
+        F.covar_pop(x_pair, y_pair),
+        F.stddev_pop(x_pair) * F.stddev_pop(y_pair),
     )
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
