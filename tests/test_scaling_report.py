@@ -27,15 +27,17 @@ def _write_baseline(timings, axis=None):
 
 
 def test_flags_super_linear_growth():
+    # at a x10 sweep, ~linear growers (10x wall) are healthy; the
+    # 40x grower is clearly super-linear and must be the only flag
     base = {f"q{i}": 1.0 for i in range(20)}
     base["q_bad"] = 1.0
     now = {f"q{i}": 10.0 for i in range(20)}
     now["q_bad"] = 40.0
     path = _write_baseline(base)
     try:
-        rep = scaling_report(now, set(), SEED, 100.0, None)
+        rep = scaling_report(now, set(), SEED, 10.0, None)
         assert rep["median"] == 10.0
-        assert rep["threshold"] == 15.0
+        assert rep["threshold"] == 15.0  # 1.5x the scale factor
         assert rep["flagged"] == ["q_bad"]
         assert rep["top10"][0] == ("q_bad", 40.0)
         assert len(rep["top10"]) == 10
