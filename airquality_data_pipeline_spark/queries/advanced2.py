@@ -1346,6 +1346,12 @@ def q158_snowflake_rollup(spark, sf_dir):
 # provides ground truth: replicas (id >= 100000) act as the benchmark
 # set, so every 5th original MUST be flagged. Natural random-Gaussian
 # cosine tops out ~0.51, far under the threshold.
+# r12: centroid count is the q130/q172 sqrt-k dial
+# (k = max(8, floor(sqrt(|corpus|))), in-plan aggregate) instead of a
+# FIXED 8 — the sweep's new per-query scaling report measured the
+# fixed-k form at 16.6x wall for x10 data (bucket pair term ~ n²/8);
+# sqrt-k keeps per-bucket density constant so the pair term grows
+# linearly on non-degenerate data.
 # --------------------------------------------------------------------------
 @register(
     "q159_semantic_decontamination",
@@ -1367,7 +1373,9 @@ def q158_snowflake_rollup(spark, sf_dir):
         SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
       ) WHERE nrm > 0
     ),
-    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+              WHERE vec_id < greatest(8, CAST(floor(sqrt(
+                        (SELECT count(*) FROM corpus))) AS BIGINT))),
     assigned AS (
       SELECT id, v, nrm, bucket FROM (
         SELECT n.vec_id AS id, n.v, n.nrm, c.cent_id AS bucket,
@@ -1398,6 +1406,7 @@ def q159_semantic_decontamination(spark, sf_dir):
         cosine,
         ivf_assign,
         planted_neardup_corpus,
+        sqrt_k_centroids,
     )
 
     # NULL vectors excluded on BOTH engines (null_text axis)
@@ -1405,7 +1414,7 @@ def q159_semantic_decontamination(spark, sf_dir):
         F.col("embedding").isNotNull()
     )
     corpus = planted_neardup_corpus(emb)
-    assigned = ivf_assign(corpus, F.col("id") < 8)
+    assigned = ivf_assign(corpus, centroids=sqrt_k_centroids(corpus))
     train = assigned.where(F.col("id") < 100000).select(
         "bucket",
         F.col("id").alias("train_id"),
