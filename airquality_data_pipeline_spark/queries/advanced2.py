@@ -1951,7 +1951,8 @@ def q164_chi_square(spark, sf_dir):
     WITH rev AS (
       SELECT o_custkey,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
-      FROM orders WHERE o_totalprice IS NOT NULL
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
       GROUP BY o_custkey
     ),
     ranked AS (
@@ -1991,10 +1992,19 @@ def q165_revenue_concentration(spark, sf_dir):
     # null prices are excluded on BOTH engines (null_mass x10 catch):
     # a customer whose EVERY price is NULL gets r = NULL, which the
     # Gini rank sorts FIRST in Spark but LAST in DuckDB, shifting
-    # every other customer's rank weight i by one
+    # every other customer's rank weight i by one. NON-FINITE prices
+    # are the same hole one level up (nonfinite+hot_key x1 catch,
+    # r12): they pass isNotNull, then dec() NULLs them inside the sum,
+    # so a hot_key-thinned customer whose only orders are NaN/inf
+    # re-creates the r = NULL rank divergence. Row-filter them like
+    # NULLs (bare isNotNull stays as the parquet-pushable conjunct —
+    # the finite guard itself compiles to an unpushable CASE).
     o = (
         table(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice").isNotNull())
+        .where(
+            F.col("o_totalprice").isNotNull()
+            & finite(F.col("o_totalprice")).isNotNull()
+        )
         .select("o_custkey", "o_totalprice")
     )
     rev = o.groupBy("o_custkey").agg(
