@@ -192,3 +192,69 @@ def test_cross_engine_parity_on_nonfinite_parquet(spark, tmp_path):
                 assert g is None and w is None
             else:
                 assert not math.isnan(g) and g == w, (k, got[k], want[k])
+
+
+def test_null_aggregate_rank_divergence_envelope(spark):
+    """Engine envelope behind the q165 fix (nonfinite+hot_key x1
+    catch, r12): a group that aggregates to NULL is ranked FIRST by
+    Spark's ORDER BY x ASC but LAST by DuckDB's, so any cross-engine
+    rank over a nullable aggregate diverges unless the NULL groups
+    are filtered (or the ordering pins NULLS FIRST/LAST explicitly).
+    Flip-detecting: if either engine changes its default NULL sort
+    position, this pin fires and the q165-class guards can be
+    revisited."""
+    import duckdb
+
+    sdf = spark.createDataFrame([(None,), (1.0,), (2.0,)], "r double")
+    s_first = [
+        r.r for r in sdf.orderBy(F.col("r").asc()).collect()
+    ]
+    assert s_first[0] is None, "Spark ASC default is NULLS FIRST"
+    d_rows = duckdb.connect().execute(
+        "SELECT r FROM (VALUES (NULL), (1.0), (2.0)) t(r) ORDER BY r ASC"
+    ).fetchall()
+    assert d_rows[-1][0] is None, "DuckDB ASC default is NULLS LAST"
+
+
+def test_q165_all_nonfinite_customer_drops_from_gini_rank(
+    spark, tmp_path
+):
+    """Regression pin for the q165 fix: a customer whose EVERY price
+    is non-finite passes isNotNull but aggregates to r = NULL inside
+    the decimal sum, re-creating the NULL rank divergence pinned
+    above. The fix row-filters non-finite prices like NULLs on both
+    engines; this runs the REGISTERED query + oracle pair on a
+    fixture crafted to contain exactly that customer and asserts
+    full cross-engine agreement (n excludes the dropped customer)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airquality_data_pipeline_spark.queries import ORACLE, QUERIES
+
+    cust = [1, 1, 2, 2, 3, 4]
+    price = [100.0, 250.5, NAN, INF, 75.25, None]  # cust 2: ALL non-finite
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array(cust, pa.int64()),
+                "o_totalprice": pa.array(price, pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = QUERIES["q165_revenue_concentration"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    # customers 1 and 3 survive; 2 (all non-finite) and 4 (null) drop
+    assert row.n == 2
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"'{tmp_path}/orders.parquet'"
+    )
+    want = con.execute(ORACLE["q165_revenue_concentration"]).fetchall()
+    assert len(want) == 1
+    assert tuple(row) == want[0]
