@@ -174,6 +174,17 @@ def generate(
         already AGREE cross-engine (NaN==NaN in grouping, NaN sorts
         last, NaN > any literal in predicates) are deliberately left
         native.
+      - "nonfinite_mass" (r12 session 2): the INTENSITY sibling of
+        nonfinite_values, the way null_mass raises null fractions —
+        ~60% NaN + 15% +inf + 15% -inf (90% non-finite total) in the
+        same metric columns. The q165 catch showed the sharp trigger
+        is a GROUP whose every member is non-finite (its aggregate
+        goes NULL and NULL rank/sort placement diverges across
+        engines); at 16% poisoning such groups only appear when
+        another axis thins group sizes (hot_key), but at 90% they
+        appear catalog-wide on their own. Contradictory with
+        nonfinite_values (two intensities of one knob — raise, like
+        empty_relation+single_row).
       - "null_text" (r10, second null wave): NULLs in the corpus
         columns — documents.text 10% (with n_chars NULL on the same
         rows, keeping the n_chars = len(text) invariant vacuous
@@ -199,7 +210,7 @@ def generate(
         "all_ties", "single_lang", "constant_ts", "hot_key",
         "negative_mass", "null_mass", "null_text", "ancient_ts",
         "unicode_text", "no_purchases", "far_future", "empty_relation",
-        "single_row", "nonfinite_values",
+        "single_row", "nonfinite_values", "nonfinite_mass",
     }
     if unknown:
         raise ValueError(f"unknown axis parts {sorted(unknown)!r}")
@@ -207,6 +218,12 @@ def generate(
         # contradictory: a table cannot be both 0 and 1 rows; raising
         # (like unknown axes) beats silently privileging one (r11 ADVICE)
         raise ValueError("contradictory axes: empty_relation+single_row")
+    if {"nonfinite_values", "nonfinite_mass"} <= axes:
+        # two intensities of the same knob (16% vs 90% non-finite);
+        # raising beats silently privileging one
+        raise ValueError(
+            "contradictory axes: nonfinite_values+nonfinite_mass"
+        )
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
 
@@ -225,17 +242,23 @@ def generate(
 
     def maybe_nonfinite(values):
         """nonfinite_values axis: plant NaN/±inf in ~16% of a metric
-        column (10% NaN, 3% +inf, 3% -inf). Runs AFTER the other
-        axes' value choice and BEFORE nullify's mask, so
-        nonfinite_values+null_mass yields columns with nulls AND
-        non-finite values at once."""
-        if "nonfinite_values" not in axes:
+        column (10% NaN, 3% +inf, 3% -inf); nonfinite_mass raises
+        that to ~90% (60% NaN, 15% +inf, 15% -inf) so all-non-finite
+        GROUPS appear without another axis thinning group sizes (the
+        q165 trigger). Runs AFTER the other axes' value choice and
+        BEFORE nullify's mask, so nonfinite+null_mass yields columns
+        with nulls AND non-finite values at once."""
+        if "nonfinite_mass" in axes:
+            frac = (0.60, 0.75, 0.90)
+        elif "nonfinite_values" in axes:
+            frac = (0.10, 0.13, 0.16)
+        else:
             return values
         v = np.asarray(values, dtype="float64").copy()
         r = rng.random(len(v))
-        v[r < 0.10] = np.nan
-        v[(r >= 0.10) & (r < 0.13)] = np.inf
-        v[(r >= 0.13) & (r < 0.16)] = -np.inf
+        v[r < frac[0]] = np.nan
+        v[(r >= frac[0]) & (r < frac[1])] = np.inf
+        v[(r >= frac[1]) & (r < frac[2])] = -np.inf
         return v
 
     # empty_relation axis: facts/corpus zero-row, dims populated; the

@@ -198,3 +198,18 @@ def test_grouping_sets_empty_input_envelope(spark):
         "DuckDB no longer emits the grand-total row over empty input — "
         "the HAVING guards are now vacuous; re-probe the envelope"
     )
+
+
+def test_contradictory_axis_combos_raise(tmp_path):
+    """Both contradictory pairs must raise like unknown axes do
+    (r11 ADVICE for empty_relation+single_row; extended r12 when
+    nonfinite_mass landed as the intensity sibling of
+    nonfinite_values)."""
+    from tests.robustness.gen_alt_fixture import generate
+
+    for axis in (
+        "empty_relation+single_row",
+        "nonfinite_values+nonfinite_mass",
+    ):
+        with pytest.raises(ValueError, match="contradictory"):
+            generate(str(tmp_path / "x"), seed=13, scale=1.0, axis=axis)
