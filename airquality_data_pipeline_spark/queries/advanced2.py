@@ -326,44 +326,51 @@ def q146_ewma(spark, sf_dir):
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
+    # ONE window pass (r12, guide §2.4): the 20-term weighted sum is a
+    # frame aggregate over rowsBetween(-19, 0) — collect the frame's
+    # DECIMAL(18,2) values (frame order: oldest first) and fold them
+    # with exact integer weights 2^(19-k), k = rows-before-current.
+    # Replaces the explode(20x) + shuffled self-join + re-aggregation
+    # (4 exchanges, the window subtree computed twice) with a single
+    # hash exchange on user_id. Value-identical: the frame holds
+    # exactly the rows the old brn BETWEEN arn-19 AND arn join matched,
+    # the same decimal*long products enter the same exact decimal sum,
+    # and the divisor SUM(2^(19-k)) over m frame rows has the closed
+    # form 2^20 - 2^(20-m) in exact integers. NULL values (incl.
+    # non-finite -> NULL via dec): collect_list would DROP them and
+    # shift every weight, so they ride along as exact 0 (same numerator
+    # as the old NULL-skipping SUM, same frame size for the divisor);
+    # an all-NULL frame must still yield NULL like SUM over no non-NULL
+    # rows — the windowed count() guard reproduces that.
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-19, 0)
+    zero = F.lit(0).cast("decimal(18,2)")
     r = ev.select(
         "user_id",
-        "value",
-        F.row_number()
-        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.collect_list(F.coalesce(dec("value", 2), zero))
+        .over(frame)
+        .alias("_vs"),
+        F.count(dec("value", 2)).over(frame).alias("_nn"),
     )
-    # fan each row out to the 20 (user, rn) keys it contributes to,
-    # then equi-join — Catalyst gets a plain shuffled hash join on
-    # (user_id, rn) instead of a range-condition join
-    a = r.select(
+    num = F.expr(
+        """
+        aggregate(
+          zip_with(_vs, sequence(1, size(_vs)),
+                   (v, i) -> v * shiftleft(1L, 19 - size(_vs) + i)),
+          CAST(0 AS DECIMAL(38,2)),
+          (acc, x) -> acc + x
+        )
+        """
+    )
+    den = F.expr("shiftleft(1L, 20) - shiftleft(1L, 20 - size(_vs))")
+    return r.select(
         "user_id",
-        F.col("rn").alias("arn"),
-    ).withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(19))))
-    b = r.select(
-        F.col("user_id").alias("b_user"),
-        F.col("rn").alias("brn"),
-        "value",
-    )
-    pairs = a.join(
-        b,
-        (F.col("user_id") == F.col("b_user"))
-        & (F.col("brn") == F.col("arn") - F.col("d")),
-    )
-    u = F.pow(F.lit(2), F.lit(19) - F.col("d")).cast("long")
-    return (
-        pairs.groupBy("user_id", F.col("arn").alias("rn"))
-        .agg(
-            (
-                F.sum(dec("value", 2) * u).cast("double")
-                / F.sum(u).cast("double")
-            ).alias("_e")
-        )
-        .select(
-            "user_id",
-            F.col("rn").cast("long").alias("rn"),
-            roundq(F.col("_e")).alias("ewma"),
-        )
+        "rn",
+        F.when(
+            F.col("_nn") > 0,
+            roundq(num.cast("double") / den.cast("double")),
+        ).alias("ewma"),
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    fan_out,
     finite,
     roundq,
     sql_finite,
@@ -488,7 +489,17 @@ def q206_khop_reachability(spark, sf_dir):
 )
 def q207_table_profile(spark, sf_dir):
     utc(spark)
-    o = table(spark, sf_dir, "orders")
+    # 4 exact count-distincts Expand the scan 4x and the whole
+    # update side fuses into the single-row-group scan task — fan out
+    # so the Expand + partial aggregation run at full parallelism (r12)
+    o = fan_out(
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+        ),
+        spark,
+        sf_dir,
+        "orders",
+    )
     m = o.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("o_orderkey").alias("c1"),

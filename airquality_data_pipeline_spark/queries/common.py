@@ -105,6 +105,70 @@ def utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a byte-size conf value ('134217728', '128m', '1g')."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
+
+
+def _path_bytes(path: str) -> int:
+    import os
+
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.stat(os.path.join(path, f)).st_size
+                for f in os.listdir(path)
+            )
+        return os.stat(path).st_size
+    except OSError:
+        return 0
+
+
+def fan_out(
+    df: DataFrame, spark: SparkSession, sf_dir: str, *names: str
+) -> DataFrame:
+    """Round-robin repartition to defaultParallelism — ONLY when the
+    source files named can't feed the scan at full parallelism anyway.
+
+    Why (guide §2.5 "input skew"): the fixtures are single-row-group
+    parquet files, so every scan stage plans as ONE task no matter what
+    maxPartitionBytes says (parquet splits at row-group boundaries),
+    and all CPU-heavy work Catalyst fuses into the scan stage —
+    explodes, md5, decimal casts, HLL updates, map-side partial
+    aggregation — runs on one core. The repartition moves a few MB once
+    and buys a fully parallel first stage.
+
+    Scale-adaptive, not local-tuned: the repartition fires only while
+    the combined input is smaller than one ~maxPartitionBytes split per
+    core (os.stat only — no Spark job at plan build). At 100 TB the
+    scan is already parallel, the condition is false, and this is a
+    no-op — an unconditional repartition there would be a full extra
+    shuffle of the fact table. Callers should project/filter BEFORE
+    fanning out so the exchange carries only the needed columns
+    (guide §2.3). Use for CPU-bound first stages; a plain
+    scan->narrow-aggregate query does not need it."""
+    par = spark.sparkContext.defaultParallelism
+    split = _conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    total = sum(_path_bytes(f"{sf_dir}/{n}.parquet") for n in names)
+    if total >= par * split:
+        return df
+    return df.repartition(par)
+
+
 _INF = float("inf")
 
 

@@ -17,6 +17,7 @@ from airquality_data_pipeline_spark.queries.common import (
     davg,
     dec,
     dsum,
+    fan_out,
     sql_davg,
     sql_dsum,
     sql_floor_ms,
@@ -56,9 +57,27 @@ def q01_pricing_summary(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # the 8 decimal-cast aggregates are the stage's CPU; fan the
+    # single-row-group scan out so they run at full parallelism
+    # (filter + projection stay below the exchange — r12)
+    filtered = fan_out(
+        li.where(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        ).select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ),
+        spark,
+        sf_dir,
+        "lineitem",
+    )
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),

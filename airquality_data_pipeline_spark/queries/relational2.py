@@ -15,6 +15,7 @@ from airquality_data_pipeline_spark.operators.joins import (
 from airquality_data_pipeline_spark.queries.common import (
     davg,
     dsum,
+    fan_out,
     sql_davg,
     sql_dsum,
     sql_floor_ms,
@@ -856,7 +857,16 @@ def q68_bit_aggs(spark, sf_dir):
     """,
 )
 def q60_approx_distinct(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
+    # 2 exact count-distincts (Expand 3x) + 2 HLL sketches all fuse
+    # into the single-row-group scan task — fan out first (r12)
+    li = fan_out(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_partkey", "l_orderkey"
+        ),
+        spark,
+        sf_dir,
+        "lineitem",
+    )
 
     def rel_err(approx, exact):
         return F.abs(approx.cast("double") - exact.cast("double")) / exact.cast(
