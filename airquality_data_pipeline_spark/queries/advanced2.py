@@ -1204,12 +1204,14 @@ def q157_triangle_count(spark, sf_dir):
         .distinct()
         .localCheckpoint()
     )
+    # deg derives from the ALREADY-materialized e0 with one cheap
+    # union+agg — re-deriving it per consumer (oe build + node census)
+    # costs less than a third eager checkpoint round (r12)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
