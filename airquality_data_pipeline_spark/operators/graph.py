@@ -181,12 +181,14 @@ def pagerank_fixed_point(
 
     `edges` must be DIRECTED rows (src, dst) with every node appearing
     as a src (undirected graphs: emit both directions). The narrow
-    (src, dst) edge list is localCheckpoint-materialized once (lineage
-    cut: the unrolled iterations would otherwise re-derive the
-    caller's edge build 3x); out-degrees are a node-cardinality frame
-    derived lazily from it — per iteration the plan is one keyed join
-    of the persisted edges against the node-scale share vector
-    (r div deg, pre-divided on the small frame) plus a groupBy(dst)
+    (src, dst) edge list is localCheckpoint-materialized once,
+    hash-partitioned on src (lineage cut + a partitioning every
+    src-keyed consumer reuses: the unrolled iterations would otherwise
+    re-derive the caller's edge build 3x AND re-shuffle the edges per
+    round); out-degrees are a node-cardinality frame materialized once
+    from it — per iteration the plan is one keyed join of the
+    persisted edges against the node-scale share vector (r div deg,
+    pre-divided on the small frame) plus a groupBy(dst)
     re-aggregation: the standard distributed PageRank layout. NO broadcast hint touches
     the rank or degree frames (both are node-cardinality — a forced
     broadcast is an executor OOM at 10^8+ nodes, the r9 verdict's
@@ -197,10 +199,10 @@ def pagerank_fixed_point(
     is materialized) — accepted as the price of a plan that survives
     10^9 nodes. The only hinted broadcast is the 1-row node-count
     aggregate."""
-    # r12 layout (guide §2.3/§8: decide on small rows, move heavy rows
+    # layout (guide §2.3/§8: decide on small rows, move heavy rows
     # once): checkpoint the NARROW (src, dst) edge list only; degrees
-    # stay a node-cardinality frame derived lazily from the
-    # materialized edges. The old layout joined deg onto every edge row
+    # are a node-cardinality frame materialized once from the
+    # checkpointed edges. The r11 layout joined deg onto every edge row
     # inside the checkpoint job (an edge-cardinality join plus a 50%
     # wider materialized frame) just so the iteration could divide by
     # deg — instead each iteration computes share = r div deg on the
@@ -209,8 +211,26 @@ def pagerank_fixed_point(
     # fundamentally needs. Per-edge integers are unchanged
     # (r div deg joined-then-divided == divided-then-joined), so the
     # fixed-point trajectory is bit-identical.
-    e = edges.select("src", "dst").localCheckpoint()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize the narrow edge list HASH-PARTITIONED ON src: the
+    # checkpointed partitioning is visible to Catalyst (LogicalRDD
+    # keeps outputPartitioning), so deg's groupBy(src) and every
+    # iteration's equi-join on src plan with ZERO additional exchange
+    # on the edge-cardinality side — only the node-scale share vector
+    # moves per iteration (guide §2.4 "two operations keyed the same
+    # way share one exchange"). r12 shipped a keyless checkpoint blind;
+    # measured r13 (idle box, warm JVM, min-of-3): keyless 1.46 s vs
+    # src-partitioned 0.90 s at sf0.1.
+    e = edges.select("src", "dst").repartition("src").localCheckpoint()
+    # deg is NODE-cardinality: materialize it once (cheap checkpoint)
+    # instead of re-deriving the edge-scale groupBy inside every
+    # iteration's plan — r12 shipped the lazy version blind, and the
+    # unrolled plan re-aggregated the checkpointed edge list 4x (once
+    # for nn/r0, once per iteration's share join); measured r13:
+    # lazy-deg 4.13 s vs checkpointed-deg 3.72 s cold (see
+    # OPTIMIZATION_r13.md)
+    deg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    )
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     r = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"),

@@ -123,17 +123,31 @@ def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
 
 
 def _path_bytes(path: str) -> int:
+    """Local filesystem size of a file or (recursively) a directory.
+    Returns 0 for anything unstat-able — remote schemes (s3://, hdfs://),
+    permission errors, missing paths. Callers must treat 0 as UNKNOWN,
+    not as small (fan_out fails closed to a no-op on 0 — r12 ADVICE:
+    failing open round-robin-shuffled the full fact table exactly where
+    the guard exists to prevent it)."""
     import os
 
     try:
         if os.path.isdir(path):
+            # os.walk, not listdir: partitioned/nested parquet layouts
+            # (date=…/part-*.parquet) would otherwise count only the
+            # top-level directory entries (size ~4 KB each) and wildly
+            # undercount the input (r12 ADVICE)
             return sum(
-                os.stat(os.path.join(path, f)).st_size
-                for f in os.listdir(path)
+                os.stat(os.path.join(root, f)).st_size
+                for root, _dirs, files in os.walk(path)
+                for f in files
             )
         return os.stat(path).st_size
     except OSError:
         return 0
+
+
+_FAN_OUT_LOGGED: set = set()
 
 
 def fan_out(
@@ -164,8 +178,27 @@ def fan_out(
         spark, "spark.sql.files.maxPartitionBytes", 128 << 20
     )
     total = sum(_path_bytes(f"{sf_dir}/{n}.parquet") for n in names)
+    if total <= 0:
+        # size unknown (remote scheme / unstatable path): FAIL CLOSED to
+        # the unmodified plan — an unconditional round-robin shuffle of
+        # an unknown-size input is the 100 TB regression this guard
+        # exists to prevent (r12 ADVICE)
+        return df
     if total >= par * split:
         return df
+    key = (sf_dir, names)
+    if key not in _FAN_OUT_LOGGED:
+        # one stderr line per (dir, tables): plan shape depends on
+        # driver-local file sizes, so make any environment-dependent
+        # explain()/snapshot divergence attributable (r12 ADVICE)
+        _FAN_OUT_LOGGED.add(key)
+        import sys
+
+        print(
+            f"fan_out: repartition({par}) fires for {names} "
+            f"({total} bytes < {par} cores x {split} split)",
+            file=sys.stderr,
+        )
     return df.repartition(par)
 
 
