@@ -157,10 +157,16 @@ def minhash_candidate_pairs(
     E[matches]/k estimates Jaccard, so min_matches/k ~ the similarity
     threshold. No cross join at any point.
 
-    The self-join recomputes the signature pipeline for each side;
-    measured, that is cheaper here than caching the stacked frame
-    (settled empirically — cache build + memory-store reads cost more
-    than the scan+project recompute)."""
+    The signature frame is localCheckpoint-materialized first: it is
+    DOC-cardinality (k longs per doc — tiny at any scale), while each
+    side of the self-join would otherwise re-evaluate the whole
+    upstream scan+tokenize+explode+md5+aggregate pipeline (guide §3.3:
+    materialize to truncate duplicated subtrees). Measured at sf0.1
+    (warm, min-of-2): q41 0.92 -> 0.36 s, q229 2.67 -> 1.75 s, q230
+    2.33 -> 1.63 s. An earlier experiment that cached the STACKED
+    (long) frame was slower — the win comes from materializing the
+    compact wide frame before stacking."""
+    signatures = signatures.localCheckpoint()
     long = signatures.selectExpr(
         "id",
         "stack({}, {}) as (seed, mh)".format(
@@ -194,10 +200,14 @@ def ngram_jaccard_pairs(
     Quadratic only within identical-shingle buckets — at scale, run on
     minhash candidates instead of all pairs.
 
-    Intersection via self-equi-join on the shingle hash: both sides
-    shuffle the same projection on the same key, so AQE reuses the
-    shuffle stage at runtime and the exploded subtree is evaluated
-    once. A groupBy+collect_list bucket formulation was measured SLOWER
+    Intersection via self-equi-join on the shingle hash over a
+    localCheckpoint-materialized (id, hash) frame: the narrow 16-byte
+    rows are materialized ONCE and both join sides read the
+    checkpoint, instead of re-evaluating the scan+tokenize+explode+md5
+    subtree per side (AQE's shuffle-stage reuse was the previous bet;
+    measured r13, materializing is faster still: q42 1.10 -> 0.91 s,
+    and 0.26 s more off q229 on top of the signature checkpoint). A
+    groupBy+collect_list bucket formulation was measured SLOWER
     at sf0.1 (2.1 s vs 1.4 s): most buckets are singletons, and the
     object-hash aggregate materializing every bucket costs more than
     the sort-merge join that streams past them.
@@ -219,7 +229,7 @@ def ngram_jaccard_pairs(
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
         .cast("bigint")
         .alias("_sh"),
-    )
+    ).localCheckpoint()
     if sizes is None:
         sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = hashed.alias("a")
@@ -357,6 +367,12 @@ def simhash_band_candidates(
     assert max_hamming <= n_bands - 1, (
         "pigeonhole guarantee needs max_hamming <= n_bands - 1"
     )
+    # sigs is DOC-cardinality (id + a bits-wide string): materialize it
+    # once so the banded self-join does not re-evaluate the upstream
+    # simhash aggregate (scan+explode+md5+64 votes) per side — the
+    # same §3.3 plan-truncation as minhash_candidate_pairs. Measured
+    # q117 at sf0.1 (warm, min-of-3): 2.49 -> 0.75 s.
+    sigs = sigs.localCheckpoint()
     band_bits = bits // n_bands
     bands = sigs.select(
         "id",

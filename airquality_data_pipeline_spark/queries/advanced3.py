@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    fan_out,
     finite,
     roundq,
     sql_finite,
@@ -859,7 +860,14 @@ def q199_calibration_bins(spark, sf_dir):
     # semantics (least skips NULL -> p = 1.0 on both engines)
     p = F.least(finite(F.col("value")) / 500.0, F.lit(1.0))
     y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-    scored = ev.select(p.alias("p"), y.alias("y"))
+    # project to the two derived columns, then fan the single-task
+    # scan out so the decimal partial aggregation scales with cores
+    # instead of running on one (guide §2.3 + §2.5; r12 flagged q199
+    # as a 13x outlier at 8 cores — a single-task first stage cannot
+    # use any core count). Scale-guarded no-op at 100 TB.
+    scored = fan_out(
+        ev.select(p.alias("p"), y.alias("y")), spark, sf_dir, "events"
+    )
     b = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long")
     return scored.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),

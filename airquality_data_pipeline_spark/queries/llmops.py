@@ -27,6 +27,7 @@ from airquality_data_pipeline_spark.operators.similarity import (
 )
 from airquality_data_pipeline_spark.queries.common import (
     decq,
+    fan_out,
     roundq,
     sql_roundq,
     table,
@@ -534,6 +535,11 @@ def q132_incremental_dedup(spark, sf_dir):
     from airquality_data_pipeline_spark.operators.dedup import minhash_sig_expr
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the row-local signature expression (one md5 + 16 modular folds
+    # per shingle) is the query's CPU; fan the single-row-group scan
+    # out so it runs at full parallelism (guide §2.5) — scale-guarded,
+    # no-op at 100 TB
+    docs = fan_out(docs, spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -562,6 +568,12 @@ def q132_incremental_dedup(spark, sf_dir):
         .otherwise(F.concat(F.lit("EMPTY:"), F.md5(F.col("text"))))
         .alias("sig"),
     )
+    # materialize the signed corpus ONCE (doc-cardinality, 3 narrow
+    # cols): the seen and incoming branches below would otherwise each
+    # re-evaluate the signature expression over the full scan (guide
+    # §3.3). Measured with the fan-out at sf0.1 (warm, min-of-3):
+    # 2.27 -> 1.56 s
+    corpus = corpus.localCheckpoint()
     seen = corpus.where(F.col("grp") == "seen").select("sig").distinct()
     w = Window.partitionBy("sig").orderBy("doc_id")
     incoming = (
@@ -703,6 +715,11 @@ def q134_hll_shard_union(spark, sf_dir):
 )
 def q135_char_entropy(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
+    # the per-character explode is the query's CPU and fuses into the
+    # single-row-group scan: fan out first (guide §2.5; scale-guarded
+    # no-op at 100 TB). Measured at sf0.1 (warm, min-of-3):
+    # 6.2 -> 2.7 s
+    docs = fan_out(docs.select("doc_id", "text"), spark, sf_dir, "documents")
     # length > 0 guard: Spark's sequence(1, 0) infers a DESCENDING
     # step and yields [1, 0] — an empty doc would contribute two
     # phantom empty-string chars (n=2, entropy 0) while DuckDB's
@@ -1040,10 +1057,19 @@ def q138_containment_capped(spark, sf_dir):
         )
     )
     corpus = docs.unionByName(excerpts)
-    sh0 = word_shingles(corpus, text_col="text", id_col="doc_id", n=3)
+    # sh0 feeds both the df computation and the cap filter; the capped
+    # sh feeds sizes and BOTH sides of the intersection self-join —
+    # materialize each once instead of re-evaluating the
+    # tokenize+explode subtree per consumer (guide §3.3; measured at
+    # sf0.1 warm min-of-3: 2.52 -> 2.22 s)
+    sh0 = word_shingles(
+        corpus, text_col="text", id_col="doc_id", n=3
+    ).localCheckpoint()
     dfreq = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sh = sh0.join(dfreq.where(F.col("df") <= 64), "shingle").select(
-        "id", "shingle"
+    sh = (
+        sh0.join(dfreq.where(F.col("df") <= 64), "shingle")
+        .select("id", "shingle")
+        .localCheckpoint()
     )
     sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (

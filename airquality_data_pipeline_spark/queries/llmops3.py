@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from airquality_data_pipeline_spark.queries.common import (
     dec,
+    fan_out,
     roundq,
     sql_roundq,
     table,
@@ -284,9 +285,18 @@ def q251_perplexity_terciles(spark, sf_dir):
 )
 def q252_bpe_pair_stats(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
+    # per-character-position explode + regex filter fused into the
+    # single-task scan is the whole cost: project to the one needed
+    # column, then fan out (guide §2.3 + §2.5; scale-guarded no-op at
+    # 100 TB). Measured at sf0.1 (warm, min-of-3): 3.1 -> 0.9 s
+    base = fan_out(
+        docs.select(F.lower("text").alias("t")).where(F.length("t") >= 2),
+        spark,
+        sf_dir,
+        "documents",
+    )
     pairs = (
-        docs.select(F.lower("text").alias("t"))
-        .where(F.length("t") >= 2)
+        base
         .select(
             F.col("t"),
             F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),

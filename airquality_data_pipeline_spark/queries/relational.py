@@ -454,6 +454,17 @@ def q11_window_running(spark, sf_dir):
 )
 def q12_rollup(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
+    # rollup expands every row 3x before the decimal partial agg, all
+    # fused into the single-task scan: project the three needed
+    # columns and fan out first (guide §2.3 + §2.5; measured warm
+    # min-of-3 at sf0.1: 1.23 -> 1.05 s). Scale-guarded no-op at
+    # 100 TB.
+    li = fan_out(
+        li.select("l_returnflag", "l_linestatus", "l_quantity"),
+        spark,
+        sf_dir,
+        "lineitem",
+    )
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty")
     )
