@@ -291,8 +291,14 @@ def lsh_gated_neardup(
     """
     assert n_bits % band_bits == 0, "n_bits must split evenly into bands"
     n_bands = n_bits // band_bits
-    n = with_norm(emb, vec_col, id_col)
-    sigs = _sig_from_normed(n, n_bits, dim)
+    # the normed corpus feeds THREE consumers (signature build + both
+    # verify-join sides) and the signature frame feeds both sides of
+    # the banded self-join: materialize each once instead of
+    # re-evaluating the scan + 16 projection folds per consumer (guide
+    # §3.3, the minhash_candidate_pairs pattern). Measured q45 at
+    # sf0.1 (warm, alternating): ~4.6 -> ~3.3 s.
+    n = with_norm(emb, vec_col, id_col).localCheckpoint()
+    sigs = _sig_from_normed(n, n_bits, dim).localCheckpoint()
     bands = sigs.select(
         "id",
         F.explode(

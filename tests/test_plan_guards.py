@@ -249,11 +249,30 @@ def test_catalog_wide_no_cartesian_or_rowwise_python(spark, sf_dir):
 # queries/common.py, so after the warm-up below a table() call runs no
 # footer-read job either.
 _EAGER_BUILD_WHITELIST = {
+    # iterative graph closures / unrolled fixed-point iterations:
+    # localCheckpoint lineage cuts are the algorithm (plan would grow
+    # per round otherwise)
     "q71_neardup_components",
     "q120_dedup_pipeline",
     "q124_leakage_free_split",
     "q149_pagerank",
     "q157_triangle_count",
+    # r13 reuse materializations: a bounded frame consumed by 2+
+    # subtrees (self-join sides / score frames) is checkpointed once
+    # instead of re-evaluating the scan+explode+md5/fold pipeline per
+    # consumer (guide §3.3; OPTIMIZATION_r13.md changes 3-4, 8-10).
+    # The build-time jobs are the materialization itself — timed by
+    # the bench, which times build + execution together.
+    "q41_minhash_candidates",
+    "q42_ngram_jaccard",
+    "q45_embedding_neardup",
+    "q112_jaccard_estimate",
+    "q117_simhash_neardup",
+    "q132_incremental_dedup",
+    "q138_containment_capped",
+    "q152_rfm_segmentation",
+    "q229_dedup_pr_harness",
+    "q230_band_threshold_sweep",
 }
 
 _TABLES = [
